@@ -1,0 +1,71 @@
+"""SparkSession factory and session configuration.
+
+The reference app configures its runtime via StreamsConfig properties
+(/root/reference/src/main/java/myapps/WordCount.java:45-49,
+ /root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedGrouping.scala:53-61).
+Here the analogue is a tuned SparkSession: AQE on (runtime re-planning,
+skew-join handling, partition coalescing), Arrow enabled for the few
+pandas-UDF operators, UTC session time, and the parquet nanos escape
+hatch needed for the driver-generated ``events`` table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs, applied both at build time and defensively onto
+# externally-created sessions (the verification driver builds its own).
+RUNTIME_CONF = {
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as long ns and convert in the source catalog.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+    # At 100 TB this is what keeps a static shuffle.partitions choice from
+    # being a bottleneck — partitions re-split/merge from actual map stats.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF exchange (minhash/simhash/multimodal operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable on this build — keep going; readers fall back.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "kafka-streams-app-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract);
+    on a real cluster the caller passes the cluster master instead and the
+    same conf applies unchanged.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONF.items():
+        b = b.config(k, v)
+    return configure_session(b.getOrCreate())

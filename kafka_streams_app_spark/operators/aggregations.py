@@ -1,0 +1,112 @@
+"""Aggregations + event-time windowing (SURVEY.md §2.3-§2.4).
+
+Reference semantics:
+- continuous count per key (/root/reference/src/main/java/myapps/WordCount.java:56)
+- tumbling windowed count
+  (/root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedGrouping.scala:43-45)
+- windowed reduce (integer sum)
+  (/root/reference/src/test/scala/com/ayoubom/kafka/TopologiesTest.scala:355-367)
+- session-windowed count (TopologiesTest.scala:410-418)
+- emit-on-window-close / suppress
+  (/root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedGroupAtClose.scala:33,
+   TopologiesTest.scala:522,542)
+
+Scale notes: every aggregation here is a hash aggregate with map-side
+partial aggregation (Spark does partial+final automatically; the
+reference shuffles raw records to a single stateful agg). Window starts
+are projected as epoch seconds (BIGINT) so results are engine-portable.
+
+Floating-point determinism: double sums are computed by casting to
+DECIMAL first and back to DOUBLE after — exact and order-independent, so
+a 32-partition Spark sum bit-matches a single-threaded oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_sum(col: str, scale: tuple[int, int] = (30, 6)) -> Column:
+    """Order-independent SUM for doubles via exact decimal accumulation."""
+    p, s = scale
+    return F.sum(F.col(col).cast(f"decimal({p},{s})")).cast("double")
+
+
+def exact_avg(col: str, scale: tuple[int, int] = (30, 6)) -> Column:
+    p, s = scale
+    dec = F.col(col).cast(f"decimal({p},{s})")
+    return (F.sum(dec) / F.count(dec)).cast("double")
+
+
+def count_per_key(df: DataFrame, keys: list[str], out: str = "cnt") -> DataFrame:
+    """A1 — running count per key; batch view = final counts."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+
+
+def windowed_count(
+    df: DataFrame, ts: str, keys: list[str], duration_s: int,
+    slide_s: int | None = None, out: str = "cnt",
+) -> DataFrame:
+    """A2/W1/W3 — tumbling (or hopping) windowed count per key.
+
+    Output: window_start_s BIGINT, *keys, cnt.
+    """
+    slide = f"{slide_s} seconds" if slide_s else f"{duration_s} seconds"
+    w = F.window(ts, f"{duration_s} seconds", slide)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(out))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            *keys, out,
+        )
+    )
+
+
+def windowed_agg(
+    df: DataFrame, ts: str, keys: list[str], duration_s: int, **aggs: Column
+) -> DataFrame:
+    """A3 — windowed reduce/aggregate (any commutative Column agg)."""
+    w = F.window(ts, f"{duration_s} seconds")
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.unix_seconds(F.col("w.start")).alias("window_start_s"), *keys,
+                *aggs.keys())
+    )
+
+
+def session_count(
+    df: DataFrame, ts: str, keys: list[str], gap_s: int, out: str = "cnt"
+) -> DataFrame:
+    """A4/W4 — session windows with inactivity gap; start = first event ts.
+
+    Output: *keys, session_start_s BIGINT, cnt.
+    Spark's session_window merges per-key sessions pre-shuffle where
+    possible; state is bounded by the watermark in streaming mode.
+    """
+    w = F.session_window(ts, f"{gap_s} seconds")
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(out))
+        .select(*keys, F.unix_seconds(F.col("w.start")).alias("session_start_s"), out)
+    )
+
+
+def closed_windows_only(
+    windowed: DataFrame, source: DataFrame, ts: str, duration_s: int
+) -> DataFrame:
+    """W5/W6 batch analogue of emit-on-window-close / suppress.
+
+    Keeps only windows whose end <= max observed event time ("stream
+    time"), i.e. exactly the set a zero-grace on-close emitter would have
+    produced. The max is a scalar agg broadcast into the filter — no
+    driver round-trip in the plan.
+    """
+    stream_time = source.agg(F.max(F.col(ts)).alias("mx"))
+    return (
+        windowed.crossJoin(F.broadcast(stream_time))
+        .filter(F.col("window_start_s") + duration_s <= F.unix_seconds(F.col("mx")))
+        .drop("mx")
+    )

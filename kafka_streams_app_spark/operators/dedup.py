@@ -1,0 +1,219 @@
+"""Deduplication operators (BASELINE.json north-star: dedup).
+
+Four tiers, each a distributed plan with no driver-side loops:
+
+- exact: hash-groupBy on content (or its md5 fingerprint, so the shuffle
+  key is 32 bytes instead of the document).
+- n-gram Jaccard: shingle-inverted-index self-join -> exact Jaccard.
+- MinHash + LSH: signature -> banded bucketing -> candidate pairs ->
+  exact-Jaccard verification. The scale path: candidate generation cost
+  is O(sum of bucket sizes squared) instead of O(n^2).
+- SimHash: 64-bit signature, banded by 16-bit chunks, Hamming<=k verify
+  (see simhash() below; pandas-UDF-free, pure bit arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_app_spark.functions.text import fingerprint, shingles, tokens
+
+# MinHash parameters: 128 perms = 64 bands x 2 rows. For Jaccard s, the
+# probability a pair shares no band is (1-s^2)^64 — at s=0.8 that is
+# ~4e-29, so candidate recall at the 0.8 threshold is effectively 1.
+# Permutation arithmetic stays below 2^62 (p = 2^31-1, a,h < 2^31) so the
+# JVM-side long math never overflows under Spark 4's default ANSI mode.
+MINHASH_PERMS = 128
+LSH_ROWS = 2
+MERSENNE = (1 << 31) - 1
+_A = [((2 * i + 1) * 0x9E3779B9) % MERSENNE or 1 for i in range(MINHASH_PERMS)]
+_B = [(i * 0xC2B2AE3D + 1) % MERSENNE for i in range(MINHASH_PERMS)]
+
+
+def dedup_exact(df: DataFrame, content: str, id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) + multiplicity per content.
+
+    Grouping key is the md5 fingerprint of the content so the shuffle
+    moves 32-byte keys, not documents.
+    """
+    return (
+        df.groupBy(F.md5(F.col(content)).alias("content_key"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_cnt"))
+        .select(id_col, "dup_cnt")
+    )
+
+
+def _doc_shingles(df: DataFrame, text: str, id_col: str, k: int) -> DataFrame:
+    return df.select(F.col(id_col).alias("_id"), shingles(text, k).alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate (doc_a, doc_b) pairs via shingle sets."""
+    a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = inter.cast("double") / union
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jac"))
+        .filter((F.col("jac") >= threshold) & (inter > 0))
+    )
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame, text: str, id_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs by exact k-token-shingle Jaccard >= threshold.
+
+    Plan: explode shingles -> inverted-index self-join on shingle ->
+    count common shingles per pair -> Jaccard from per-doc set sizes.
+    Only pairs sharing >=1 shingle are ever materialized. At 100 TB,
+    hot shingles would be capped by a document-frequency filter (drop
+    shingles appearing in > X% of docs — standard inverted-index trick);
+    at test scale all shingles are kept so results are exact.
+    """
+    sh = _doc_shingles(df, text, id_col, k)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), (F.col("x._s") == F.col("y._s")) & (F.col("x._id") < F.col("y._id")))
+        .groupBy(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    na = sizes.select(F.col("_id").alias("doc_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("doc_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_common").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_common"))
+    return (
+        pairs.join(na, "doc_a").join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def minhash_signature(df: DataFrame, text: str, id_col: str, k: int = 3) -> DataFrame:
+    """(_id, sig array<bigint>[MINHASH_PERMS]) via (a*h+b) mod p over
+    xxhash64(shingle). All JVM-side column arithmetic, one shuffle
+    (the per-doc min aggregation)."""
+    sh = _doc_shingles(df, text, id_col, k)
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    h = F.pmod(F.xxhash64("_s"), F.lit(MERSENNE)).alias("_h")
+    ex = ex.select("_id", h)
+    mins = ex.groupBy("_id").agg(
+        *[
+            F.min(F.pmod(F.col("_h") * F.lit(_A[i]) + F.lit(_B[i]), F.lit(MERSENNE))).alias(f"_m{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    return mins.select(
+        "_id", F.array(*[f"_m{i}" for i in range(MINHASH_PERMS)]).alias("sig")
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame, text: str, id_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Signature -> 64 bands of 2 rows -> band-hash bucketing self-join ->
+    distinct candidates -> exact Jaccard filter. Output == the brute
+    force dedup_ngram_jaccard result (recall ~1 at the threshold by the
+    band construction), at O(candidates) instead of O(n^2 shingle-pairs).
+    """
+    sig = minhash_signature(df, text, id_col, k)
+    n_bands = MINHASH_PERMS // LSH_ROWS
+    bands = sig.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]).alias("bh"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bh")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _doc_shingles(df, text, id_col, k)
+    return _verify_jaccard(cand, sh, threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc from xxhash64(token) bit votes.
+
+    Pure column arithmetic: explode tokens, one ±1 vote per bit per
+    token, sum votes per doc, reassemble the sign bits. The 64 per-bit
+    sums aggregate map-side, so the shuffle is 64 longs per doc.
+    """
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("_t"))
+    h = F.xxhash64("_t")
+    votes = toks.select(
+        "_id",
+        *[
+            (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    sums = votes.groupBy("_id").agg(*[F.sum(f"_b{i}").alias(f"_b{i}") for i in range(SIMHASH_BITS)])
+    bits = [
+        F.when(F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc.bitwiseOR(b)
+    return sums.select("_id", acc.alias("simhash"))
+
+
+def dedup_simhash(
+    df: DataFrame, text: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Banding: split the 64-bit hash into 4 x 16-bit chunks; Hamming<=3
+    pairs must agree on >=1 chunk (pigeonhole), so bucketing by chunk
+    value finds all of them without an n^2 scan.
+    """
+    sim = simhash(df, text, id_col)
+    n_chunks = 4
+    chunks = sim.select(
+        "_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+            for c in range(n_chunks)
+        ])).alias("ck"),
+    ).select("_id", "simhash", "ck.chunk", "ck.cv")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"),
+              (F.col("x.chunk") == F.col("y.chunk")) & (F.col("x.cv") == F.col("y.cv"))
+              & (F.col("x._id") < F.col("y._id")))
+        .select(F.col("x._id").alias("doc_a"), F.col("x.simhash").alias("_ha"),
+                F.col("y._id").alias("doc_b"), F.col("y.simhash").alias("_hb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,49 @@
+"""Interactive queries over materialized state (SURVEY.md §2.6 Q1-Q5).
+
+The reference exposes RocksDB state stores over REST
+(/root/reference/src/main/scala/com/ayoubom/kafka/utils/IQService.scala:11-16,
+ /root/reference/src/main/java/myapps/utils/IQueriesService.java:78-176).
+In this engine a "store" is any materialized DataFrame (a batch snapshot,
+or a streaming aggregation mirrored by foreachBatch — see
+streaming/harness.py); interactive queries are plain filters over it, so
+Catalyst prunes partitions/pushes predicates into the store scan.
+
+The reference's metadata/routing layer (MetadataService.java:30-68) is
+deliberately absent: Spark's driver sees all state (SURVEY.md §2.6 Q6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def point_lookup(store: DataFrame, key_col: str, key) -> DataFrame:
+    """Q1 — GET /state/keyvalue/{store}/{key} (IQueriesService.java:78-102)."""
+    return store.filter(F.col(key_col) == F.lit(key))
+
+
+def all_entries(store: DataFrame) -> DataFrame:
+    """Q2 — GET /state/keyvalues/{store}/all (IQueriesService.java:117-122)."""
+    return store
+
+
+def range_scan(store: DataFrame, key_col: str, lo, hi) -> DataFrame:
+    """Q3 — key-range scan, bounds inclusive (IQueriesService.java:132-139)."""
+    return store.filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
+
+
+def window_fetch(
+    store: DataFrame, key_col: str, key, start_col: str, t_from, t_to
+) -> DataFrame:
+    """Q4 — all windows of a key in a start-time range
+    (IQueriesService.java:151-176)."""
+    return store.filter(
+        (F.col(key_col) == F.lit(key)) & F.col(start_col).between(F.lit(t_from), F.lit(t_to))
+    )
+
+
+def window_fetch_all(store: DataFrame, start_col: str, t_from, t_to) -> DataFrame:
+    """Q5 — fetchAll(t1, t2): every key, windows in range
+    (TopologiesTest.scala:60-70)."""
+    return store.filter(F.col(start_col).between(F.lit(t_from), F.lit(t_to)))

@@ -1,0 +1,153 @@
+"""Join suite (SURVEY.md §2.5 J1-J8), batch semantics.
+
+The reference's eight join variants are all key-equi joins executed by
+co-partitioned state-store lookup. In Spark the logical join is declared
+and Catalyst picks the physical strategy; we add explicit broadcast
+hints where one side is dimension-sized, because at 100 TB "small side
+fits in memory" is a design decision, not an optimizer guess.
+
+- J1/J2/J3 stream-stream windowed joins
+  (/root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedJoin.scala:46-54,
+   /root/reference/src/test/scala/com/ayoubom/kafka/TopologiesTest.scala:471-510)
+- J4 stream-table join (TopologiesTest.scala:421-435) — enrichment "at
+  arrival time" = as-of semantics.
+- J5/J6 KTable-KTable PK joins (TopologiesTest.scala:437-469)
+- J7/J8 KTable FK joins
+  (/root/reference/src/main/scala/com/ayoubom/kafka/apps/ForeignJoin.scala:37-42,
+   /root/reference/src/test/scala/com/ayoubom/kafka/TopologiesTest.scala:374-400)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    before_s: int,
+    after_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """J1/J2/J3 — windowed stream-stream join.
+
+    Match iff keys equal and right.ts in [left.ts - before_s, left.ts + after_s]
+    (inclusive, mirroring JoinWindows.ofTimeDifference* —
+    WindowedJoin.scala:49). Null keys never join (TopologiesTest.scala:288):
+    SQL equality semantics give that for free.
+
+    Scale: Spark executes this as a shuffled join on the equi-keys with
+    the range predicate as a post-filter; in streaming mode the same plan
+    becomes a watermark-bounded stream-stream join with state eviction.
+    Columns must be pre-aliased distinctly by the caller (l./r. prefixes).
+    """
+    cond = None
+    for lc, rc in on:
+        c = left[lc] == right[rc]
+        cond = c if cond is None else (cond & c)
+    rng = right[right_ts].between(
+        left[left_ts] - F.expr(f"INTERVAL {before_s} SECONDS"),
+        left[left_ts] + F.expr(f"INTERVAL {after_s} SECONDS"),
+    )
+    return left.join(right, cond & rng, how)
+
+
+def stream_table_join(
+    stream: DataFrame, table: DataFrame, on: list[tuple[str, str]],
+    how: str = "inner", broadcast_table: bool = True,
+) -> DataFrame:
+    """J4 (static variant) — enrich stream records from a table snapshot.
+
+    The table side is broadcast by default: dimension lookup without a
+    shuffle of the (huge) stream side.
+    """
+    t = F.broadcast(table) if broadcast_table else table
+    cond = None
+    for sc, tc in on:
+        c = stream[sc] == t[tc]
+        cond = c if cond is None else (cond & c)
+    return stream.join(t, cond, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """J4 (temporal) — for each left row, the latest right row with
+    right.ts <= left.ts and equal key (stream record enriched with the
+    table value current at its arrival time).
+
+    Implemented as union + sort-within-key + last(ignorenulls) — a single
+    shuffle on the key and NO range cross-product, so it scales linearly
+    where a join-then-rank approach would explode on dense keys. Right
+    rows sort before left rows at equal ts (a table update at exactly the
+    stream record's ts is visible, matching "current value at arrival").
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(key).alias("_k"), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_payload],
+    )
+    tagged_r = right.select(
+        F.col(key).alias("_k"), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
+        F.lit(None).cast(tagged_l.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    filled = unioned.select(
+        "_side", "_l",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_payload],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_r_{c}").alias(c) for c in right_payload],
+    )
+
+
+def table_table_join(
+    left_snap: DataFrame, right_snap: DataFrame, on: list[tuple[str, str]],
+    how: str = "inner",
+) -> DataFrame:
+    """J5/J6 — PK join of two latest-per-key snapshots (see ktable.py).
+
+    Tombstoned keys are already absent from the snapshots, which yields
+    the reference's retraction end-state (TopologiesTest.scala:219-253).
+    """
+    cond = None
+    for lc, rc in on:
+        c = left_snap[lc] == right_snap[rc]
+        cond = c if cond is None else (cond & c)
+    return left_snap.join(right_snap, cond, how)
+
+
+def fk_join(
+    left: DataFrame, right: DataFrame, fk: str, right_key: str,
+    how: str = "inner", broadcast_right: bool = True,
+) -> DataFrame:
+    """J7/J8 — KTable foreign-key join: join key extracted from the LEFT
+    VALUE (ForeignJoin.scala:40), N left rows : 1 right row.
+
+    Null FK rows: inner drops them, left keeps them with null right side
+    (the well-defined semantics the reference's edge-case tests document,
+    minus Kafka's own bugs — TopologiesTest.scala:100-217).
+
+    Scale: right side (the FK target) is usually dimension-like ->
+    broadcast; for fact-fact FK joins pass broadcast_right=False and the
+    shuffle partitions on the FK, with AQE handling FK skew.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, left[fk] == r[right_key], how)

@@ -1,0 +1,47 @@
+"""KTable (changelog -> latest-per-key view) batch semantics (SURVEY.md §1.1, §2.1 S2).
+
+The reference's KTable is "latest value per key; null value = tombstone"
+(/root/reference/src/main/scala/com/ayoubom/kafka/apps/ForeignJoin.scala:28-34,
+ /root/reference/src/test/scala/com/ayoubom/kafka/TopologiesTest.scala:378-384;
+ tombstones piped at TopologiesTest.scala:128,234-235).
+
+Batch materialization = one shuffle-free-partial `max_by` hash aggregate:
+groupBy(key).agg(max_by(payload_struct, order_struct)). This does a
+map-side partial max per partition, so at 100 TB the shuffle carries one
+row per (partition, key), not the full changelog. The incremental
+(streaming) twin lives in kafka_streams_app_spark/streaming/ktable.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    payload: list[str] | None = None,
+    tombstone: Column | None = None,
+) -> DataFrame:
+    """Materialize the latest record per key from a changelog.
+
+    order_by: changelog sequence columns, later wins; ties broken by the
+    full tuple so the result is deterministic.
+    tombstone: predicate over the *latest* record; keys whose latest
+    record is a tombstone are absent from the view (Kafka delete
+    semantics — a later upsert would resurrect the key, which holds here
+    because only the latest record is inspected).
+    """
+    payload = payload or [c for c in df.columns if c not in keys]
+    pay = F.struct(*[F.col(c) for c in payload])
+    ordr = F.struct(*[F.col(c) for c in order_by])
+    snap = (
+        df.groupBy(*keys)
+        .agg(F.max_by(pay, ordr).alias("_latest"))
+        .select(*keys, *[F.col(f"_latest.{c}").alias(c) for c in payload])
+    )
+    if tombstone is not None:
+        snap = snap.filter(~tombstone)
+    return snap

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (BASELINE.json north-star).
+
+- brute-force cosine top-k: exact baseline. Queries are broadcast; the
+  corpus is scanned once, fully distributed; ranking is a per-query
+  window top-k (no driver collect).
+- LSH-bucketed ANN: random-hyperplane signatures (seeded, deterministic)
+  with multi-probe via multiple hash tables; candidates only within
+  matching buckets — the 100 TB path where a full scan per query is off
+  the table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_app_spark.functions.vectors import as_double, cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: query_id, neighbor_id, cos_sim (double), rank.
+    Excludes the query row itself. Ties broken by neighbor_id so the
+    result set is deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python, seeded)."""
+    try:
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        m = rng.standard_normal((n_planes, dim))
+        return m.tolist()
+    except ImportError:  # pragma: no cover
+        import random
+
+        r = random.Random(seed)
+        return [[r.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH with n_tables hash tables.
+
+    A vector's bucket in table t = sign-bit string of its dot products
+    with that table's hyperplanes. Candidates = corpus vectors sharing a
+    bucket with the query in ANY table; exact cosine ranks candidates.
+    Recall rises with n_tables; cost is (sum of bucket sizes) not O(n*q).
+    """
+    def bucket_cols(df: DataFrame, vec: str) -> DataFrame:
+        v = as_double(F.col(vec))
+        out = df
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+            bits = []
+            for p_i, plane in enumerate(planes):
+                arr = F.array(*[F.lit(float(x)) for x in plane])
+                d = F.aggregate(
+                    F.zip_with(v, arr, lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                bits.append(F.when(d >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
+            acc = bits[0]
+            for b in bits[1:]:
+                acc = acc.bitwiseOR(b)
+            out = out.withColumn(f"_bkt{t}", acc)
+        return out
+
+    q = bucket_cols(
+        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")),
+        "_qv",
+    )
+    c = bucket_cols(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")),
+        "_cv",
+    )
+    # candidate pairs: union over tables of same-bucket matches
+    cand = None
+    for t in range(n_tables):
+        m = c.join(
+            F.broadcast(q.select("query_id", "_qv", f"_bkt{t}")),
+            on=(c[f"_bkt{t}"] == q[f"_bkt{t}"]) & (c["neighbor_id"] != q["query_id"]),
+        ).select("query_id", "neighbor_id", "_qv", "_cv")
+        cand = m if cand is None else cand.unionByName(m)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

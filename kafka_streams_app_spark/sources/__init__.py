@@ -1,0 +1,3 @@
+from kafka_streams_app_spark.sources.catalog import load_table, register_views
+
+__all__ = ["load_table", "register_views"]
