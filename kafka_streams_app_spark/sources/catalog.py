@@ -1,7 +1,7 @@
 """Schema catalog + batch sources (SURVEY.md §2.1 S1/S2 batch side).
 
 The reference declares per-topic types at use-site via serdes
-(/root/reference/src/main/java/myapps/WordCount.java:48-49,
+(/root/reference/src/main/java/com/ayoubom/kafka/WordCount.java:48-49,
  /root/reference/src/main/scala/com/ayoubom/kafka/serdes/JsonSerde.scala:10-36).
 This engine is schema-fixed: every table/stream has a catalog entry, which
 strictly generalizes use-site serdes and lets Catalyst prune/push down.

@@ -1,0 +1,109 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
+twin on DuckDB at sf0.01, then compares row count, column-name set, and
+order-insensitive values (exact for ints/strings, exact for our
+determinism-engineered doubles; any mismatch prints the diff head).
+
+Usage: python tools/check_queries.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — we engineered bit-equality
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    import __spark_entry__ as e
+    from kafka_streams_app_spark.engine import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"weak {name}: rows={len(srows)} (no oracle) [{el:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
+            n_fail += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+            n_fail += 1
+            continue
+        sn, dn = normalize(srows, scols), normalize(drows, dcols)
+        if sn != dn:
+            diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
+            print(f"FAIL {name}: {len(diffs)} value diffs of {len(sn)} rows; head:")
+            for a, b in diffs[:3]:
+                print(f"  spark: {a}\n  duck : {b}")
+            n_fail += 1
+            continue
+        print(f"PASS {name}: rows={len(srows)} [{el:.1f}s]")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_weak} weak (no oracle), {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
