@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is materialized through the `noop` data source so the full
+plan executes (a bare .count() would let Catalyst prune computed
+columns). Timings include plan + execution, excluding session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from kafka_streams_app_spark.engine import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the spine operators (scan->agg, windows, joins) plus the
+# heaviest north-star ops (minhash dedup, ANN) — the queries whose cost
+# profile matters at 100 TB.
+HEADLINE = [
+    "t1_wordcount",
+    "a2_windowed_count",
+    "a3_windowed_sum",
+    "a4_session_count",
+    "w3_hopping_count",
+    "j1_interval_join_inner",
+    "j4_asof_enrich",
+    "j5_table_join_inner",
+    "j8_fk_join_inner_agg",
+    "q5_window_fetch_all",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "text_quality",
+    "tpch_q1_pricing",
+    "tpch_q3_top_revenue",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # warm the JVM + parquet footers with one cheap query (not timed)
+    queries["a1_count_per_key"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()
