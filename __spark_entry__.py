@@ -463,9 +463,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
     "a4_session_count": (_q_a4_session_count, f"""
         WITH marked AS (
+          -- new session iff inactivity STRICTLY exceeds the gap: Spark's
+          -- session_window merges contiguous [t, t+gap) ranges (inclusive
+          -- bound, same as Kafka) — pinned by tests/test_semantics.py
           SELECT user_id, ts,
                  CASE WHEN lag(ts) OVER w IS NULL
-                        OR ts >= lag(ts) OVER w + INTERVAL 3600 SECOND
+                        OR ts > lag(ts) OVER w + INTERVAL 3600 SECOND
                       THEN 1 ELSE 0 END AS brk
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)

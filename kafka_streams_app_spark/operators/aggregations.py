@@ -85,6 +85,13 @@ def session_count(
     Output: *keys, session_start_s BIGINT, cnt.
     Spark's session_window merges per-key sessions pre-shuffle where
     possible; state is bounded by the watermark in streaming mode.
+
+    Boundary semantics: Spark merges an event into a session iff
+    ts <= last_ts + gap (contiguous [t, t+gap) ranges merge) — the SAME
+    inclusive bound as Kafka's SessionWindows, verified by porting
+    /root/reference/src/test/scala/com/ayoubom/kafka/TopologiesTest.scala:88-95
+    (bar piped at t+2 and t+4 with gap 2s merges into one session in
+    both engines; pinned by tests/test_semantics.py).
     """
     w = F.session_window(ts, f"{gap_s} seconds")
     return (
