@@ -1,0 +1,136 @@
+"""Watermarked streaming windows + emit strategies (SURVEY.md §2.4).
+
+Mapping from the reference's window/emit surface to Structured Streaming:
+
+- W1 tumbling, zero grace  -> window(ts, size) + withWatermark(ts, '0 seconds')
+  (/root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedGroupAtClose.scala:27-32)
+- W2 tumbling + grace      -> withWatermark(ts, grace) — the watermark
+  delay IS the grace period
+  (/root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedGrouping.scala:25-37,44)
+- W3 hopping               -> window(ts, size, slide)
+- W4 session               -> session_window(ts, gap)
+- W5/W6 emit-on-close / suppress -> APPEND output mode: a window's single
+  final row is emitted when the watermark passes window end
+  (WindowedGroupAtClose.scala:33, TopologiesTest.scala:294-333)
+- W7 emit-on-update        -> UPDATE output mode: every micro-batch emits
+  the windows it touched (WindowedGrouping.scala:59, commit interval 0)
+- W8 stream time           -> the watermark. Deliberate delta: Kafka
+  tracks stream time PER INPUT TOPIC and advances per record
+  (/root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedJoin.scala:14-22);
+  Spark's watermark is global per query and advances at micro-batch
+  boundaries. Final emitted sets match; emission interleaving differs.
+
+These builders take a STREAMING DataFrame (spark.readStream...) and
+return the windowed aggregation; callers choose the output mode at the
+writeStream (append = on-close, update = on-update).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_count_stream(
+    df: DataFrame,
+    ts: str,
+    keys: list[str],
+    duration_s: int,
+    grace_s: int = 0,
+    slide_s: int | None = None,
+    out: str = "cnt",
+) -> DataFrame:
+    """W1/W2/W3 streaming windowed count; grace_s is the watermark delay.
+
+    Same output shape as the batch twin
+    (operators/aggregations.py:windowed_count): window_start_s, *keys, cnt.
+    """
+    slide = f"{slide_s} seconds" if slide_s else f"{duration_s} seconds"
+    w = F.window(ts, f"{duration_s} seconds", slide)
+    return (
+        df.withWatermark(ts, f"{grace_s} seconds")
+        .groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(out))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"), *keys, out
+        )
+    )
+
+
+def windowed_agg_stream(
+    df: DataFrame, ts: str, keys: list[str], duration_s: int,
+    grace_s: int = 0, **aggs: Column,
+) -> DataFrame:
+    """A3 streaming windowed reduce (sum/min/max/...)."""
+    w = F.window(ts, f"{duration_s} seconds")
+    return (
+        df.withWatermark(ts, f"{grace_s} seconds")
+        .groupBy(w.alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.unix_seconds(F.col("w.start")).alias("window_start_s"), *keys,
+                *aggs.keys())
+    )
+
+
+def session_count_stream(
+    df: DataFrame, ts: str, keys: list[str], gap_s: int,
+    grace_s: int = 0, out: str = "cnt",
+) -> DataFrame:
+    """W4 streaming session windows (merge on inactivity <= gap, same
+    bound as Kafka — see operators/aggregations.py:session_count)."""
+    w = F.session_window(ts, f"{gap_s} seconds")
+    return (
+        df.withWatermark(ts, f"{grace_s} seconds")
+        .groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(out))
+        .select(*keys, F.unix_seconds(F.col("w.start")).alias("session_start_s"), out)
+    )
+
+
+def count_per_key_stream(df: DataFrame, keys: list[str], out: str = "cnt") -> DataFrame:
+    """A1 streaming continuous count per key (WordCount.java:56). Run in
+    UPDATE mode for the changelog (KTable.toStream) or COMPLETE for the
+    full table snapshot."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+
+
+def dedup_stream(df: DataFrame, keys: list[str], ts: str, horizon_s: int) -> DataFrame:
+    """Streaming exact dedup within a watermark horizon: the first record
+    per key wins; duplicates arriving within horizon_s are dropped and
+    state is evicted beyond it (bounded state at 100 TB/day rates)."""
+    return df.withWatermark(ts, f"{horizon_s} seconds").dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    before_s: int,
+    after_s: int,
+    watermark_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """J1/J2 streaming stream-stream windowed join.
+
+    Both sides are watermarked; the time-range predicate bounds the join
+    state Spark must keep (state eviction = watermark - range). Same
+    join condition as the batch twin (operators/joins.py:interval_join).
+    Left-outer emits unmatched left rows once the watermark passes the
+    end of their join window — Kafka emits them when the window expires
+    (WindowedJoin.scala semantics); final sets match.
+    """
+    l = left.withWatermark(left_ts, f"{watermark_s} seconds")
+    r = right.withWatermark(right_ts, f"{watermark_s} seconds")
+    cond = None
+    for lc, rc in on:
+        c = l[lc] == r[rc]
+        cond = c if cond is None else (cond & c)
+    rng = r[right_ts].between(
+        l[left_ts] - F.expr(f"INTERVAL {before_s} SECONDS"),
+        l[left_ts] + F.expr(f"INTERVAL {after_s} SECONDS"),
+    )
+    return l.join(r, cond & rng, how)

@@ -1,0 +1,210 @@
+"""Incremental (micro-batch) pin tests for the streaming runtime (M3).
+
+These replay the reference's timestamped sequences through real
+Structured Streaming queries via MicroBatchReplay and assert per-batch
+emissions — the incremental behaviors the batch tests can't pin
+(emit-on-close timing, update-mode changelogs, late-data drop,
+streaming dedup, stream-stream joins).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import functions as F
+
+from kafka_streams_app_spark.streaming import windows as W
+from kafka_streams_app_spark.streaming.harness import MicroBatchReplay
+
+T0 = datetime(2024, 5, 3, 9, 30, 0, tzinfo=timezone.utc)
+
+
+def ts(seconds: float) -> datetime:
+    return T0 + timedelta(seconds=seconds)
+
+
+T0S = int(T0.timestamp())
+EV = "key string, value int, ts timestamp"
+
+
+# --- W5/W6: emit-on-window-close (TopologiesTest.scala:294-313) -----------
+
+def test_emit_on_close_append_mode(spark):
+    """Records at +0,+2,+4 emit NOTHING until stream time (watermark)
+    passes the window end; the +11 record closes [t0,t0+10) -> one final
+    count of 3 is emitted; +100 closes [t0+10,t0+20)."""
+    with MicroBatchReplay(
+        spark, EV,
+        lambda src: W.windowed_count_stream(src, "ts", ["key"], 10),
+        output_mode="append",
+    ) as r:
+        r.pipe([("key1", 1, ts(0)), ("key1", 2, ts(2)), ("key1", 3, ts(4))])
+        assert r.drain() == []  # window still open: suppressed
+        r.pipe([("key1", 1, ts(11)), ("key1", 2, ts(15))])
+        emitted = {tuple(x) for x in r.drain()}
+        assert emitted == {(T0S, "key1", 3)}  # exactly one final emission
+        r.pipe([("key1", 1, ts(100))])
+        emitted = {tuple(x) for x in r.drain()}
+        assert emitted == {(T0S + 10, "key1", 2)}
+
+
+# --- W7: emit-on-update (WindowedGrouping.scala:59, commit interval 0) ----
+
+def test_emit_on_update_update_mode(spark):
+    """UPDATE mode emits the refreshed window count every micro-batch —
+    the reference's default emit-on-update with commit interval 0."""
+    with MicroBatchReplay(
+        spark, EV,
+        lambda src: W.windowed_count_stream(src, "ts", ["key"], 10),
+        output_mode="update",
+    ) as r:
+        r.pipe([("key1", 1, ts(0))])
+        assert {tuple(x) for x in r.drain()} == {(T0S, "key1", 1)}
+        r.pipe([("key1", 1, ts(2))])
+        assert {tuple(x) for x in r.drain()} == {(T0S, "key1", 2)}
+        r.pipe([("key2", 1, ts(3))])  # other key: key1's window not re-emitted
+        assert {tuple(x) for x in r.drain()} == {(T0S, "key2", 1)}
+
+
+# --- W1/W2: zero-grace late-data drop vs grace admitting late rows --------
+
+def test_late_data_dropped_zero_grace(spark):
+    """Zero grace: once the watermark passed a window's end, a late
+    record for it is dropped (WindowedGrouping.scala:20-23)."""
+    with MicroBatchReplay(
+        spark, EV,
+        lambda src: W.windowed_count_stream(src, "ts", ["key"], 10),
+        output_mode="append",
+    ) as r:
+        r.pipe([("key1", 1, ts(0))])
+        r.pipe([("key1", 1, ts(12))])   # watermark -> 12, closes [t0,t0+10)
+        assert {tuple(x) for x in r.drain()} == {(T0S, "key1", 1)}
+        r.pipe([("key1", 9, ts(9))])    # late for the closed window: dropped
+        r.pipe([("key1", 1, ts(25))])   # closes [t0+10,t0+20)
+        emitted = {tuple(x) for x in r.drain()}
+        assert (T0S, "key1", 2) not in emitted  # late row did NOT resurrect it
+        assert (T0S + 10, "key1", 1) in emitted
+
+
+def test_late_data_admitted_within_grace(spark):
+    """Grace 60s: the same late record IS admitted because the watermark
+    (stream time - grace) has not passed the window end yet
+    (WindowedGrouping.scala:25-37)."""
+    with MicroBatchReplay(
+        spark, EV,
+        lambda src: W.windowed_count_stream(src, "ts", ["key"], 10, grace_s=60),
+        output_mode="append",
+    ) as r:
+        r.pipe([("key1", 1, ts(0))])
+        r.pipe([("key1", 1, ts(12))])
+        r.pipe([("key1", 9, ts(9))])    # late but within grace: admitted
+        r.pipe([("key1", 1, ts(85))])   # watermark 85-60=25 > 10: close w0
+        emitted = {tuple(x) for x in r.drain()}
+        assert (T0S, "key1", 2) in emitted  # late row counted
+
+
+# --- W4 streaming session windows (TopologiesTest.scala:75-98) ------------
+
+def test_session_windows_streaming(spark):
+    data1 = [("foo", 3, ts(0)), ("bar", 1, ts(0)), ("foo", 2, ts(1)),
+             ("bar", 1, ts(1)), ("bar", 1, ts(2))]
+    data2 = [("foo", 3, ts(4)), ("bar", 1, ts(4)), ("bar", 1, ts(5))]
+    with MicroBatchReplay(
+        spark, EV,
+        lambda src: W.session_count_stream(src, "ts", ["key"], 2),
+        output_mode="append",
+    ) as r:
+        r.pipe(data1)
+        r.pipe(data2)
+        r.pipe([("zzz", 1, ts(1000))])  # advance watermark: close all
+        emitted = {tuple(x) for x in r.drain()}
+        # same merged sessions as the batch twin (inclusive gap bound)
+        assert emitted == {
+            ("foo", T0S, 2), ("foo", T0S + 4, 1), ("bar", T0S, 5),
+        }
+
+
+# --- A1 continuous count changelog (WordCount update stream) --------------
+
+def test_count_changelog_update_mode(spark):
+    with MicroBatchReplay(
+        spark, "word string, ts timestamp",
+        lambda src: W.count_per_key_stream(src, ["word"]),
+        output_mode="update",
+    ) as r:
+        r.pipe([("hello", ts(0)), ("world", ts(0))])
+        assert {tuple(x) for x in r.drain()} == {("hello", 1), ("world", 1)}
+        r.pipe([("hello", ts(1))])
+        assert {tuple(x) for x in r.drain()} == {("hello", 2)}  # changelog row
+
+
+# --- streaming dedup within watermark --------------------------------------
+
+def test_dedup_within_watermark(spark):
+    with MicroBatchReplay(
+        spark, EV,
+        lambda src: W.dedup_stream(src, ["key"], "ts", 60).select("key", "value"),
+        output_mode="append",
+    ) as r:
+        r.pipe([("a", 1, ts(0)), ("a", 2, ts(1)), ("b", 1, ts(1))])
+        assert sorted(tuple(x) for x in r.drain()) == [("a", 1), ("b", 1)]
+        r.pipe([("a", 3, ts(5))])  # still within horizon: dropped
+        assert r.drain() == []
+
+
+# --- J1/J2 stream-stream windowed joins (TopologiesTest.scala:255-292) ----
+
+def test_stream_stream_inner_join(spark):
+    """Self-join shaped: two records 1s apart within ±2s -> 4 pairs
+    including self-pairs (TopologiesTest.scala:255-270)."""
+    left_rows = [("key1", "fk1", ts(0)), ("key1", "fk1", ts(1))]
+
+    def build(src):
+        l = src.select(F.col("key").alias("l_key"), F.col("value").alias("l_v"),
+                       F.col("ts").alias("l_ts"))
+        r_ = src.select(F.col("key").alias("r_key"), F.col("value").alias("r_v"),
+                        F.col("ts").alias("r_ts"))
+        return W.interval_join_stream(
+            l, r_, [("l_key", "r_key")], "l_ts", "r_ts", 2, 2, watermark_s=0
+        ).select("l_key", "l_v", "r_v")
+
+    with MicroBatchReplay(
+        spark, "key string, value string, ts timestamp", build, "append"
+    ) as r:
+        r.pipe(left_rows)
+        r.query.processAllAvailable()
+        emitted = [tuple(x) for x in r.drain()]
+        assert len(emitted) == 4
+        assert set(emitted) == {("key1", "fk1", "fk1")}
+
+
+def test_stream_stream_left_join_null_key(spark):
+    """Left windowed join: matched rows emit immediately; the unmatched
+    (here: null-key) left row emits with a null right side only after
+    the watermark expires its join window (TopologiesTest.scala:272-292)."""
+    def build(src):
+        l = src.filter(F.col("value") != "m").select(
+            F.col("key").alias("l_key"), F.col("ts").alias("l_ts"))
+        r_ = src.filter(F.col("value") == "m").select(
+            F.col("key").alias("r_key"), F.col("value").alias("r_v"),
+            F.col("ts").alias("r_ts"))
+        return W.interval_join_stream(
+            l, r_, [("l_key", "r_key")], "l_ts", "r_ts", 10, 10,
+            watermark_s=0, how="left",
+        ).select("l_key", "r_v")
+
+    with MicroBatchReplay(
+        spark, "key string, value string, ts timestamp", build, "append"
+    ) as r:
+        r.pipe([("key1", "m", ts(0)), ("key1", "p", ts(0)), (None, "p", ts(0))])
+        matched = {tuple(x) for x in r.drain()}
+        assert ("key1", "m") in matched        # inner match emits promptly
+        # The global watermark is the MIN over both sides, so BOTH inputs
+        # must advance before the join window expires — the same
+        # both-topics-must-advance behavior the reference documents for
+        # Kafka's per-topic stream time (WindowedJoin.scala:14-22).
+        # Null-side rows then emit on state eviction in the next batch.
+        r.pipe([("zzz", "p", ts(1000)), ("zzz", "m", ts(1000))])
+        r.pipe([("zzz", "p", ts(2000)), ("zzz", "m", ts(2000))])
+        late = {tuple(x) for x in r.drain()}
+        assert (None, None) in late            # null key never joins
