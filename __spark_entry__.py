@@ -19,12 +19,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import uuid
+
 from kafka_streams_app_spark.engine import configure_session
 from kafka_streams_app_spark.functions import text as T
 from kafka_streams_app_spark.operators import aggregations as agg
 from kafka_streams_app_spark.operators import dedup, iq, joins, ktable, multimodal
 from kafka_streams_app_spark.operators import similarity, stateless
-from kafka_streams_app_spark.sources.catalog import load_table
+from kafka_streams_app_spark.sources.catalog import load_stream, load_table
+from kafka_streams_app_spark.streaming import windows as SW
+from kafka_streams_app_spark.streaming.harness import run_available_now
+from kafka_streams_app_spark.streaming.ktable import ktable_changelog_stream
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -389,6 +394,78 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.extract_features(media, dim=8)
 
 
+def _sink() -> str:
+    return f"s_{uuid.uuid4().hex[:10]}"
+
+
+def _q_s_windowed_count_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """W1/W5 through the REAL streaming runtime: watermarked tumbling
+    count in append mode over the events stream (Trigger.AvailableNow).
+    Append emission == closed windows per the final watermark, so the
+    oracle is the same closed-window SQL as the batch analogue."""
+    ev = load_stream(spark, sf, "events")
+    wc = SW.windowed_count_stream(ev, "ts", ["event_type"], 10, grace_s=0)
+    return run_available_now(spark, wc, _sink(), "append")
+
+
+def _q_s_count_complete(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 streaming continuous count, complete mode == final table."""
+    ev = load_stream(spark, sf, "events")
+    counts = SW.count_per_key_stream(ev, ["event_type"])
+    return run_available_now(spark, counts, _sink(), "complete")
+
+
+def _q_s_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup: first record per (user_id, event_type)
+    within the watermark horizon; key set == batch DISTINCT."""
+    ev = load_stream(spark, sf, "events")
+    dd = SW.dedup_stream(ev, ["user_id", "event_type"], "ts", 3600 * 24 * 40)
+    return run_available_now(
+        spark, dd.select("user_id", "event_type"), _sink(), "append"
+    )
+
+
+def _q_s_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 through the streaming runtime: purchase⋈click within ±6h on
+    user_id — same predicate as j1_interval_join_inner, so same oracle."""
+    ev = load_stream(spark, sf, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    j = SW.interval_join_stream(
+        l, r, [("l_user_id", "r_user_id")], "l_ts", "r_ts", 21600, 21600,
+        watermark_s=0,
+    ).select("l_event_id", "r_event_id")
+    return run_available_now(spark, j, _sink(), "append")
+
+
+def _q_s_ktable_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 incremental: latest-per-user KTable maintained by the
+    transformWithStateInPandas changelog operator; the final view (last
+    changelog row per key) must equal the batch max_by snapshot."""
+    ev = load_stream(spark, sf, "events").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    changelog = ktable_changelog_stream(ev, ["user_id"], "ts", ["event_id", "value"])
+    table = run_available_now(spark, changelog, _sink(), "update")
+    snap = ktable.latest_per_key(
+        table.filter(F.col("action") == "upsert"), ["user_id"], ["ts"],
+        payload=["new_event_id", "new_value"],
+    )
+    return snap.select(
+        "user_id",
+        F.col("new_event_id").alias("event_id"),
+        F.col("new_value").alias("value"),
+    )
+
+
 def _q_tpch_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
@@ -664,6 +741,33 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM documents
     """),
     "multimodal_features": (_q_multimodal_features, None),  # decode stub; plumbing-only
+    # --- streaming runtime (M3/M4) evaluated to completion ---
+    "s_windowed_count_closed": (_q_s_windowed_count_closed, f"""
+        SELECT * FROM (
+          SELECT {_win_start('ts', 10)} AS window_start_s, event_type,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        WHERE window_start_s + 10 <= (SELECT {_epoch_s('max(ts)')} FROM events)
+    """),
+    "s_count_complete": (_q_s_count_complete, """
+        SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
+    """),
+    "s_dedup_within_watermark": (_q_s_dedup_within_watermark, """
+        SELECT DISTINCT user_id, event_type FROM events
+    """),
+    "s_stream_stream_join": (_q_s_stream_stream_join, """
+        SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 21600 SECOND AND l.ts + INTERVAL 21600 SECOND
+    """),
+    "s_ktable_latest": (_q_s_ktable_latest, """
+        SELECT user_id, event_id, value FROM (
+          SELECT user_id, event_id, value, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """),
     # --- analytic headliners (bench queries) ---
     "tpch_q1_pricing": (_q_tpch_q1_pricing, """
         SELECT l_returnflag, l_linestatus,

@@ -58,3 +58,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every catalog table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a STREAM (S1 streaming side): the
+    parquet file plays an already-filled topic; Trigger.AvailableNow
+    replays it to completion. Same timestamp normalizations as
+    load_table, applied on the streaming DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLES)}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # schema as the (nanos-as-long) reader sees it, from the batch reader
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    # the file source wants a directory; watch sf_dir filtered to this table
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    ns_cols, ntz_cols = TABLES[name]
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
