@@ -44,6 +44,29 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Rebalance a DataFrame up to cluster parallelism IF it has fewer
+    partitions — the guard for compute-bound stages (minhash folds,
+    simhash votes, LSH bucketing) fed by small scans.
+
+    A small parquet file arrives as ONE partition, serializing the whole
+    downstream chain on one core; repartitioning tiny inputs costs a
+    negligible shuffle and unlocks N-way compute. On big inputs (100 TB
+    => ~1e6 scan splits at 128 MB) the partition count already exceeds
+    parallelism, so this is a no-op — no accidental full-data shuffle.
+
+    Nuance: under AQE, getNumPartitions() on an already-shuffled input
+    reflects POST-coalesce partitions, so a small shuffled input may get
+    a second (small-data, cheap) exchange; large shuffled inputs keep
+    >= parallelism partitions after coalescing and still no-op.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _ensure_vendor_pythonpath() -> None:
     """Expose _vendor (protobuf shim for transformWithStateInPandas
     workers — see _vendor/README.md) to every Spark Python worker.

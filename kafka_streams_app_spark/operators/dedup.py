@@ -14,10 +14,14 @@ Four tiers, each a distributed plan with no driver-side loops:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from kafka_streams_app_spark.functions.text import shingles, tokens
+from kafka_streams_app_spark.engine import ensure_parallelism
+from kafka_streams_app_spark.functions.text import shingles_of_tokens, tokens
 
 # MinHash parameters: 128 perms = 64 bands x 2 rows. For Jaccard s, the
 # probability a pair shares no band is (1-s^2)^64 — at s=0.8 that is
@@ -45,9 +49,16 @@ def dedup_exact(df: DataFrame, content: str, id_col: str) -> DataFrame:
 
 
 def _doc_shingles(df: DataFrame, text: str, id_col: str, k: int) -> DataFrame:
-    return df.select(F.col(id_col).alias("_id"), shingles(text, k).alias("_sh")).filter(
-        F.size("_sh") > 0
+    # two-phase (tokens -> shingles) so tokenization runs once per row,
+    # not once per shingle — see functions/text.py:shingles_of_tokens.
+    # ensure_parallelism: a single-file scan must not serialize the
+    # compute-heavy signature/banding chain on one core.
+    tok = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), tokens(text).alias("_t")
     )
+    return tok.select(
+        "_id", shingles_of_tokens(F.col("_t"), k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -120,21 +131,35 @@ def dedup_ngram_jaccard(
 
 def minhash_signature(df: DataFrame, text: str, id_col: str, k: int = 3) -> DataFrame:
     """(_id, sig array<bigint>[MINHASH_PERMS]) via (a*h+b) mod p over
-    xxhash64(shingle). All JVM-side column arithmetic, one shuffle
-    (the per-doc min aggregation)."""
+    xxhash64(shingle).
+
+    Shingle hashing stays JVM-side (xxhash64 over the shingle array);
+    the 128-permutation min-plane runs as an Arrow-batched pandas UDF:
+    one numpy broadcast (n_shingles x 128) min per document. This is
+    the sanctioned Python escape hatch — Spark's higher-order functions
+    evaluate lambdas interpreted per element (measured ~25x more CPU
+    than numpy for the same 60M-op fold at sf0.1), and a 128-column min
+    aggregate overflows whole-stage codegen. Values are identical to
+    the pure-JVM formulation: int64 products stay below 2^62, so numpy
+    int64 arithmetic never wraps.
+
+    No shuffle: signatures are computed where the shingles are.
+    """
+    a_vec, b_vec = _A, _B
+
+    @pandas_udf("array<long>")
+    def _sig(hash_arrays: "pd.Series") -> "pd.Series":
+        a = np.asarray(a_vec, dtype=np.int64)
+        b = np.asarray(b_vec, dtype=np.int64)
+        out = []
+        for h in hash_arrays:
+            hv = np.asarray(h, dtype=np.int64)[:, None]          # (n, 1)
+            out.append(np.min((hv * a + b) % MERSENNE, axis=0))  # (128,)
+        return pd.Series(out)
+
     sh = _doc_shingles(df, text, id_col, k)
-    ex = sh.select("_id", F.explode("_sh").alias("_s"))
-    h = F.pmod(F.xxhash64("_s"), F.lit(MERSENNE)).alias("_h")
-    ex = ex.select("_id", h)
-    mins = ex.groupBy("_id").agg(
-        *[
-            F.min(F.pmod(F.col("_h") * F.lit(_A[i]) + F.lit(_B[i]), F.lit(MERSENNE))).alias(f"_m{i}")
-            for i in range(MINHASH_PERMS)
-        ]
-    )
-    return mins.select(
-        "_id", F.array(*[f"_m{i}" for i in range(MINHASH_PERMS)]).alias("sig")
-    )
+    hashes = F.transform(F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
+    return sh.select("_id", _sig(hashes).alias("sig"))
 
 
 def dedup_minhash_lsh(
@@ -188,7 +213,9 @@ def simhash(df: DataFrame, text: str, id_col: str) -> DataFrame:
     token, sum votes per doc, reassemble the sign bits. The 64 per-bit
     sums aggregate map-side, so the shuffle is 64 longs per doc.
     """
-    toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("_t"))
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("_t")
+    )
     h = F.xxhash64("_t")
     votes = toks.select(
         "_id",

