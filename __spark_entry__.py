@@ -446,6 +446,15 @@ def _q_s_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, j, _sink(), "append")
 
 
+def _q_s_session_count(spark: SparkSession, sf: str) -> DataFrame:
+    """W4 streaming sessions in append mode: a session emits once the
+    watermark (max event time, zero grace) passes its end (last+gap);
+    the per-user sessions still open at end-of-stream stay suppressed."""
+    ev = load_stream(spark, sf, "events")
+    sc = SW.session_count_stream(ev, "ts", ["user_id"], 3600, grace_s=0)
+    return run_available_now(spark, sc, _sink(), "append")
+
+
 def _q_s_ktable_latest(spark: SparkSession, sf: str) -> DataFrame:
     """S2 incremental: latest-per-user KTable maintained by the
     transformWithStateInPandas changelog operator; the final view (last
@@ -464,6 +473,64 @@ def _q_s_ktable_latest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("new_event_id").alias("event_id"),
         F.col("new_value").alias("value"),
     )
+
+
+def _q_s_fk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """J7/J8 INCREMENTAL (M4): the full two-stage FK-join pipeline over
+    the events stream — left KTable = latest event per user (FK = its
+    event_type), right KTable = latest event per type; the stateful
+    FK-join changelog is reduced to its end state, which must equal the
+    batch join of the two snapshots.
+
+    Stage 1 (left changelog -> intermediate dir) mirrors Kafka's
+    subscription-response topic; stage 2 is the groupBy(fk) join
+    processor. Both run Trigger.AvailableNow to completion.
+    """
+    import shutil
+    import tempfile
+
+    from kafka_streams_app_spark.streaming.fk_join import (
+        fk_instructions,
+        fk_join_changelog_stream,
+    )
+
+    left = load_stream(spark, sf, "events").select(
+        F.col("user_id").alias("pk"), F.col("event_type").alias("fk"),
+        F.col("value"), F.unix_micros("ts").alias("seq"),
+    )
+    changelog = ktable_changelog_stream(left, ["pk"], "seq", ["fk", "value"])
+    inter = tempfile.mkdtemp(prefix="fk_inter_")
+    ckpt = tempfile.mkdtemp(prefix="fk_ckpt_")
+    q1 = (
+        changelog.writeStream.format("parquet")
+        .option("path", inter).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q1.awaitTermination()
+
+    inter_src = spark.readStream.schema(changelog.schema).parquet(inter)
+    instr = fk_instructions(inter_src, "pk", "fk", ["fk", "value"], "seq")
+    right = load_stream(spark, sf, "events").select(
+        F.col("event_type").alias("rk"), F.col("value").alias("rvalue"),
+        F.unix_micros("ts").alias("seq"),
+    )
+    join = fk_join_changelog_stream(
+        instr, right, right_key="rk", right_payload=["rvalue"],
+        right_seq="seq", right_tombstone=None,
+        left_value_cols=["value"], how="inner",
+    )
+    table = run_available_now(spark, join, _sink(), "update")
+    snap = ktable.latest_per_key(
+        table, ["pk"], ["_seq", "_minor"],
+        payload=["action", "value", "r_rvalue"],
+    )
+    result = (
+        snap.filter(F.col("action") == "upsert")
+        .select(F.col("pk").alias("user_id"), "value",
+                F.col("r_rvalue").alias("rvalue"))
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
 
 
 def _q_tpch_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
@@ -762,11 +829,44 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
           ON l.user_id = r.user_id
          AND r.ts BETWEEN l.ts - INTERVAL 21600 SECOND AND l.ts + INTERVAL 21600 SECOND
     """),
+    "s_session_count": (_q_s_session_count, f"""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 3600 SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), islands AS (
+          SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id, {_epoch_s('min(ts)')} AS session_start_s, count(*) AS cnt
+        FROM islands GROUP BY user_id, sid
+        HAVING max(ts) + INTERVAL 3600 SECOND <= (SELECT max(ts) FROM events)
+    """),
     "s_ktable_latest": (_q_s_ktable_latest, """
         SELECT user_id, event_id, value FROM (
           SELECT user_id, event_id, value, row_number() OVER (
             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1
+    """),
+    "s_fk_join_incremental": (_q_s_fk_join_incremental, """
+        WITH l AS (
+          SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        ), r AS (
+          SELECT event_type, value AS rvalue FROM (
+            SELECT event_type, value, row_number() OVER (
+              PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        )
+        SELECT l.user_id, l.value, r.rvalue
+        FROM l JOIN r ON l.event_type = r.event_type
     """),
     # --- analytic headliners (bench queries) ---
     "tpch_q1_pricing": (_q_tpch_q1_pricing, """

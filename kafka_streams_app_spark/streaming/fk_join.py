@@ -107,6 +107,7 @@ class _FKJoinProcessor(StatefulProcessor):
         right_schema: StructType,
         out_columns: list[str],
         how: str,
+        pk_schema: StructType,
     ) -> None:
         self.left_cols = left_cols
         self.right_cols = right_cols
@@ -114,15 +115,11 @@ class _FKJoinProcessor(StatefulProcessor):
         self.right_schema = right_schema
         self.out_columns = out_columns
         self.how = how
+        self.pk_schema = pk_schema
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.right = handle.getValueState("right", self.right_schema)
-        self.subs = handle.getMapState(
-            "subs", StructType([StructField("pk", StringType())]), self.sub_schema
-        )
-
-    def _all_subs(self) -> list[tuple[str, tuple]]:
-        return [(k[0], tuple(v)) for k, v in self.subs.iterator()]
+        self.subs = handle.getMapState("subs", self.pk_schema, self.sub_schema)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(rows)).sort_values(["seq", "minor"], kind="stable")
@@ -131,6 +128,12 @@ class _FKJoinProcessor(StatefulProcessor):
         r_nulls = (None,) * len(self.right_cols)
         l_nulls = (None,) * len(self.left_cols)
         left_join = self.how == "left"
+        # Work on a LOCAL snapshot of the subscription map: state writes
+        # made earlier in this batch are not guaranteed visible to
+        # MapState.iterator() within the same batch, so a same-batch
+        # sub followed by a right update would miss the fan-out without
+        # this overlay. State mutations are mirrored to RocksDB below.
+        subs_now: dict = {k[0]: tuple(v) for k, v in self.subs.iterator()}
         out: list[tuple] = []
 
         def right_or_null() -> tuple:
@@ -138,37 +141,40 @@ class _FKJoinProcessor(StatefulProcessor):
 
         for rec in pdf.to_dict("records"):
             kind, pk = rec["kind"], rec["pk"]
+            om = (rec["seq"], rec["minor"])  # emission order tag
             if kind == KIND_RIGHT:
                 if rec["right_is_delete"]:
                     if r_present:
                         r_present, r_val = False, ()
-                        for spk, spay in self._all_subs():
+                        for spk, spay in subs_now.items():
                             out.append(
-                                (spk, "upsert") + spay + r_nulls if left_join
-                                else (spk, "delete") + l_nulls + r_nulls
+                                ((spk, "upsert") + spay + r_nulls if left_join
+                                 else (spk, "delete") + l_nulls + r_nulls) + om
                             )
                 else:
                     r_present = True
                     r_val = tuple(rec[c] for c in self.right_cols)
-                    for spk, spay in self._all_subs():
-                        out.append((spk, "upsert") + spay + r_val)
+                    for spk, spay in subs_now.items():
+                        out.append((spk, "upsert") + spay + r_val + om)
             elif kind == KIND_SUB:
                 pay = tuple(rec[c] for c in self.left_cols)
+                subs_now[pk] = pay
                 self.subs.updateValue((pk,), pay)
                 if left_join:
-                    out.append((pk, "upsert") + pay + right_or_null())
+                    out.append((pk, "upsert") + pay + right_or_null() + om)
                 elif r_present:
-                    out.append((pk, "upsert") + pay + r_val)
+                    out.append((pk, "upsert") + pay + r_val + om)
             else:  # unsub_move / unsub_delete
-                if self.subs.containsKey((pk,)):
+                if pk in subs_now:
+                    del subs_now[pk]
                     self.subs.removeKey((pk,))
                     if left_join:
                         if kind == KIND_UNSUB_DELETE:
-                            out.append((pk, "delete") + l_nulls + r_nulls)
+                            out.append((pk, "delete") + l_nulls + r_nulls + om)
                         # unsub_move: the paired sub's upsert supersedes
                     elif r_present:
                         # a join row existed for this pk iff right present
-                        out.append((pk, "delete") + l_nulls + r_nulls)
+                        out.append((pk, "delete") + l_nulls + r_nulls + om)
         if r_present:
             self.right.update(r_val)
         else:
@@ -200,7 +206,7 @@ def fk_join_changelog_stream(
     tagged_right = right_raw.select(
         F.col(right_key).alias("fk"),
         F.lit(KIND_RIGHT).alias("kind"),
-        F.lit(None).cast(StringType()).alias("pk"),
+        F.lit(None).cast(instructions.schema["pk"].dataType).alias("pk"),
         *[F.lit(None).cast(instructions.schema[c].dataType).alias(c)
           for c in left_value_cols],
         F.col(right_seq).alias("seq"),
@@ -224,13 +230,18 @@ def fk_join_changelog_stream(
     right_state_schema = StructType(
         [StructField(c, r_schema[c].dataType, True) for c in right_payload]
     )
+    pk_type = instructions.schema["pk"].dataType
     out_schema = StructType(
-        [StructField("pk", StringType(), True),
+        [StructField("pk", pk_type, True),
          StructField("action", StringType(), False)]
         + [StructField(c, instructions.schema[c].dataType, True)
            for c in left_value_cols]
         + [StructField(f"r_{c}", r_schema[c].dataType, True)
            for c in right_payload]
+        # ordering tag of the triggering instruction: lets consumers
+        # reduce the changelog to an end state (latest per pk)
+        + [StructField("_seq", instructions.schema["seq"].dataType, True),
+           StructField("_minor", instructions.schema["minor"].dataType, True)]
     )
     return unioned.groupBy("fk").transformWithStateInPandas(
         statefulProcessor=_FKJoinProcessor(
@@ -240,6 +251,7 @@ def fk_join_changelog_stream(
             right_state_schema,
             [f.name for f in out_schema.fields],
             how,
+            StructType([StructField("pk", pk_type)]),
         ),
         outputStructType=out_schema,
         outputMode="Update",
@@ -343,7 +355,8 @@ class FKJoinReplay:
         self._right.pipe([r + (self._next_seq(),) for r in rows])
 
     def drain(self) -> list[tuple]:
-        return [tuple(x) for x in self._right.drain()]
+        """Join-changelog rows since last drain, ordering tag stripped."""
+        return [tuple(x)[:-2] for x in self._right.drain()]
 
     def stop(self) -> None:
         self.q1.stop()
