@@ -344,6 +344,13 @@ def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_simhash(docs, "text", "doc_id", max_hamming=3)
 
 
+def _q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return dedup.dedup_embedding_cosine(
+        emb, "vec_id", "embedding", threshold=0.4, method="exact"
+    )
+
+
 def _q_sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
@@ -565,6 +572,56 @@ def _q_tpch_q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
 
 
+def _q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region and year, with
+    the customer-and-supplier-in-same-nation constraint. Dimension
+    chain (region->nation->customer/supplier) broadcasts; the
+    lineitem⋈orders fact join shuffles on the order key."""
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = joins.fk_join(
+        load_table(spark, sf, "nation"), region, "n_regionkey", "r_regionkey"
+    )
+    customer = joins.fk_join(
+        load_table(spark, sf, "customer"), nation, "c_nationkey", "n_nationkey"
+    )
+    supplier = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+              .cast("decimal(30,6)")).cast("double").alias("revenue"),
+    )
+
+
+def _q_tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + aggregate — the predicate-pushdown
+    showcase (all three filters reach the parquet scan)."""
+    li = load_table(spark, sf, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+              .cast("decimal(30,6)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- stateless transforms (T1-T5 + branch/merge) ---
     "t1_wordcount": (_q_t1_wordcount, "WITH " + _TOKS + """
@@ -744,6 +801,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _JACCARD_PAIRS.format(thr=0.8)),
     "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _JACCARD_PAIRS.format(thr=0.8)),
     "dedup_simhash": (_q_dedup_simhash, None),  # xxhash64 not available in DuckDB
+    "dedup_embedding_cosine": (_q_dedup_embedding_cosine, """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.4
+    """),
     # --- similarity search (north-star) ---
     "sim_cosine_topk": (_q_sim_cosine_topk, """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -880,6 +948,31 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  AS avg_qty,
                count(*) AS count_order
         FROM lineitem GROUP BY 1, 2
+    """),
+    "tpch_q5_local_revenue": (_q_tpch_q5_local_revenue, """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+                 AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """),
+    "tpch_q6_forecast_revenue": (_q_tpch_q6_forecast_revenue, """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+                 AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
     """),
     "tpch_q3_top_revenue": (_q_tpch_q3_top_revenue, """
         SELECT o_orderkey,

@@ -41,6 +41,8 @@ HEADLINE = [
     "text_quality",
     "tpch_q1_pricing",
     "tpch_q3_top_revenue",
+    "tpch_q5_local_revenue",
+    "tpch_q6_forecast_revenue",
 ]
 
 

@@ -274,3 +274,85 @@ def dedup_simhash(
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+def dedup_embedding_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    dim: int | None = None,
+    n_planes: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    method="lsh" (the 100 TB path): random-hyperplane bucketing of the
+    corpus against itself — candidates share a (table, bucket) pair, so
+    cost is sum-of-bucket-sizes^2, not n^2; exact cosine verifies each
+    candidate. Recall at near-dup thresholds (cos >= 0.9) is ~98% with
+    the 6x8 defaults (see similarity.lsh_ann_topk's analysis); for
+    certainty-critical audits use method="exact".
+
+    method="exact": all-pairs verification (id_a < id_b). O(n^2) — the
+    oracle/baseline twin, viable for corpora small enough to broadcast
+    one side.
+
+    Output: id_a, id_b, cos DOUBLE (rounded 6dp for engine-portability).
+    """
+    from kafka_streams_app_spark.engine import ensure_parallelism
+    from kafka_streams_app_spark.functions.vectors import as_double, cosine
+
+    a = ensure_parallelism(df).select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("_va")
+    )
+    b = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("_vb"))
+    if method == "exact":
+        cand = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("method='lsh' requires dim")
+        from kafka_streams_app_spark.operators.similarity import _hyperplanes
+
+        def buckets(side: DataFrame, vec: str, idc: str) -> DataFrame:
+            v = F.col(vec)
+            table_cols = []
+            for t in range(n_tables):
+                planes = _hyperplanes(dim, n_planes, 42 + 1000 * t)
+                bits = []
+                for p_i, plane in enumerate(planes):
+                    arr = F.array(*[F.lit(float(x)) for x in plane])
+                    d = F.aggregate(
+                        F.zip_with(v, arr, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x,
+                    )
+                    bits.append(F.when(d >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
+                acc = bits[0]
+                for bit in bits[1:]:
+                    acc = acc.bitwiseOR(bit)
+                table_cols.append(acc)
+            return side.select(
+                idc, vec, F.posexplode(F.array(*table_cols)).alias("_tbl", "_bkt")
+            )
+
+        ab = buckets(a, "_va", "id_a")
+        bb = buckets(b, "_vb", "id_b")
+        cand = (
+            ab.join(
+                bb,
+                (ab["_tbl"] == bb["_tbl"]) & (ab["_bkt"] == bb["_bkt"])
+                & (ab["id_a"] < bb["id_b"]),
+            )
+            .select("id_a", "id_b", "_va", "_vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        cand.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

