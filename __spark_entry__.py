@@ -389,6 +389,62 @@ def _q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", T.quality_score("text").alias("quality"))
 
 
+def _q_text_bpe_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", T.bpe_token_estimate("text").alias("n_pieces"))
+
+
+def _q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint sketch sizes per doc (rolling-hash
+    fingerprinting; xxhash64 has no DuckDB twin -> rows-only check;
+    the algorithm itself is pinned vs a Python reference in
+    tests/test_text_functions.py)."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", T.tokens("text").alias("_t"))
+    hashed = tok.select("doc_id", T.token_hashes(F.col("_t")).alias("_h"))
+    return hashed.select(
+        "doc_id",
+        F.size(T.winnowing_of_hashes(F.col("_h"))).alias("n_fingerprints"),
+    )
+
+
+def _q_extras_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Free Spark extra (SURVEY §2.3 'not in reference'): ROLLUP
+    subtotals over the pricing summary dimensions."""
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        agg.exact_sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_extras_topn_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Free Spark extra: ranked top-3 orders per market segment
+    (Window.partitionBy().orderBy() — SURVEY §2.7 'sorts/limits/top-k')."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    j = joins.fk_join(orders, customer, "o_custkey", "c_custkey", how="inner")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling fan-out over binary payloads (decode stubbed as
+    deterministic chunking): media_id, frame_idx, frame-byte md5."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.text_as_media(docs, "doc_id", "text")
+    frames = multimodal.sample_frames_stub(media, frame_bytes=256, every_n=2)
+    return frames.select("media_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
 def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     media = multimodal.text_as_media(docs, "doc_id", "text")
@@ -867,6 +923,44 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                round(len_factor * (1.0 - punct_ratio) * (0.5 + 0.5 * sw_factor), 6)
                  AS quality
         FROM parts
+    """),
+    "text_bpe_count": (_q_text_bpe_count, f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '{T.BPE_PIECE_RE.replace("'", "''")}')) AS INTEGER) AS n_pieces
+        FROM documents
+    """),
+    "text_winnowing": (_q_text_winnowing, None),  # xxhash64 absent in DuckDB
+    # --- free Spark extras (beyond the reference surface) ---
+    "extras_rollup": (_q_extras_rollup, """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """),
+    "extras_topn_per_group": (_q_extras_topn_per_group, """
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        WHERE rn <= 3
+    """),
+    # oracle slices the TEXT (DuckDB cannot slice BLOBs); documents are
+    # pure ASCII (verified octet_length==length at all SFs) so char
+    # slices hash identically to the Spark side's byte slices
+    "multimodal_frames": (_q_multimodal_frames, """
+        WITH chunks AS (
+          SELECT doc_id AS media_id,
+                 unnest(range(0, greatest(1, octet_length(encode(text)) // 256), 2))
+                   AS frame_idx,
+                 text
+          FROM documents
+        )
+        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256))
+                 AS frame_md5
+        FROM chunks
     """),
     # --- multimodal (north-star) ---
     "multimodal_meta": (_q_multimodal_meta, """

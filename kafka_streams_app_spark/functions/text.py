@@ -110,3 +110,59 @@ def shingles(text: str | Column, k: int = 3) -> Column:
     first and use shingles_of_tokens (see its docstring).
     """
     return shingles_of_tokens(tokens(text), k)
+
+
+# BPE-ish token pieces: common English contractions, space-prefixed word
+# or number runs, punctuation runs, residual whitespace. Mirrors the
+# GPT-2 pretokenizer's shape without lookaheads, so the same pattern
+# runs under Java regex (Spark) and RE2 (DuckDB).
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_token_estimate(text: str | Column) -> Column:
+    """Approximate LLM token count: number of BPE-ish pretokenizer
+    pieces. A corpus-cost estimator (pieces upper-bound merged BPE
+    tokens), not a replica of any specific tokenizer's merges —
+    deterministic, JVM-side, and oracle-expressible
+    (len(regexp_extract_all(...)) in DuckDB)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), F.lit(0)))
+
+
+def token_hashes(toks: Column, p: int = (1 << 31) - 1) -> Column:
+    """Per-token xxhash64 mod p — materialize this column BEFORE calling
+    winnowing_of_hashes (the same evaluate-once discipline as
+    shingles_of_tokens; hashing inside the gram fold would re-run
+    xxhash over the whole token array once per gram)."""
+    return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
+
+
+def winnowing_of_hashes(
+    tok_h: Column, k: int = 5, window: int = 4, p: int = (1 << 31) - 1
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    polynomial rolling hash over k-token grams, then the minimum hash of
+    each sliding window of `window` consecutive gram hashes; distinct
+    mins are the fingerprint set.
+
+    Guarantee: any shared run of >= k + window - 1 tokens between two
+    documents yields at least one shared fingerprint, at ~1/window the
+    storage of full gram hashing — the standard plagiarism/near-dup
+    sketch. Pure column arithmetic; base-31 polynomial over hashed
+    tokens keeps every step below 2^36 (no ANSI overflow). tok_h must be
+    a MATERIALIZED column from token_hashes().
+    """
+    n_grams = F.size(tok_h) - (k - 1)
+    gram_idx = F.sequence(F.lit(1), n_grams)
+    gram_hash = F.transform(
+        gram_idx,
+        lambda i: F.aggregate(
+            F.slice(tok_h, i, k), F.lit(0).cast("long"),
+            lambda acc, h: F.pmod(acc * 31 + h, F.lit(p)),
+        ),
+    )
+    win_idx = F.sequence(F.lit(1), n_grams - (window - 1))
+    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(gram_hash, i, window)))
+    return F.when(n_grams >= window, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )

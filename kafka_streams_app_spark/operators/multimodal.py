@@ -92,3 +92,62 @@ def media_metadata(df: DataFrame) -> DataFrame:
         F.length("payload").alias("n_bytes"),
         F.substring(F.md5("payload"), 1, 8).alias("digest8"),
     )
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize stage: real Spark plumbing (Arrow mapInPandas over
+    binary payloads, metadata rewrite), STUBBED decode — the container
+    has no image libs, so the "resized image" is a deterministic
+    truncation/padding of the payload to width*height bytes. A real
+    deployment replaces the inner loop with PIL decode->resize->encode;
+    the schema, batch shape, and partition-parallel flow are identical.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                (p[:target] if len(p) >= target else p + b"\x00" * (target - len(p)))
+                if p is not None else None
+                for p in pdf["payload"]
+            ]
+            out["meta_json"] = [
+                f'{{"resized": [{width}, {height}]}}' for _ in range(len(pdf))
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def sample_frames_stub(
+    df: DataFrame, frame_bytes: int = 256, every_n: int = 10
+) -> DataFrame:
+    """Video frame sampling: emit every_n-th fixed-size chunk of the
+    payload as a "frame" (1 input row -> N output rows). The chunking is
+    the deterministic stand-in for an ffmpeg keyframe decode; the
+    fan-out row shape (media_id, frame_idx, frame) and the
+    partition-local expansion are what a real pipeline needs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_chunks = max(1, len(payload) // frame_bytes)
+                for fi in range(0, n_chunks, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(payload[fi * frame_bytes:(fi + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
