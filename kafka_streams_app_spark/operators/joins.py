@@ -151,3 +151,40 @@ def fk_join(
     """
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, left[fk] == r[right_key], how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key (skew) join: salt the left key into `salt` sub-keys and
+    replicate the right side once per salt value, so a single hot key's
+    rows spread over `salt` partitions instead of one straggler task.
+
+    Use when one side has pathological key skew AND the right side is
+    too big to broadcast; AQE's skew-join split handles moderate skew
+    automatically (engine.RUNTIME_CONF), this is the explicit tool for
+    the extreme case. Cost: right side is materialized `salt` times —
+    size the factor to the skew, not the cluster.
+
+    The salt is deterministic (hash of the whole left row), so results
+    are stable across retries. Output columns = left ⧺ right minus the
+    synthetic salt columns.
+    """
+    l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.struct(*left.columns)), F.lit(salt)).cast("int")
+    )
+    r = right.join(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
+        ),
+        how="cross",
+    )
+    j = l.join(
+        r, (l[left_key] == r[right_key]) & (l["_salt"] == r["_salt"]), how
+    )
+    return j.drop("_salt")
