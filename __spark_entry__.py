@@ -538,6 +538,34 @@ def _q_s_ktable_latest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s_pk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 INCREMENTAL: KTable⋈KTable PK join as a stateful changelog
+    operator over the raw view/click event changelogs; the end state
+    (latest join row per user) must equal the batch snapshot join
+    (same oracle as j5_table_join_inner)."""
+    from kafka_streams_app_spark.streaming.pk_join import pk_join_stream
+
+    ev = load_stream(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_event_id"),
+        F.unix_micros("ts").alias("seq"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_event_id"),
+        F.unix_micros("ts").alias("seq"),
+    )
+    join = pk_join_stream(
+        left, right, key="user_id",
+        left_payload=["v_event_id"], right_payload=["c_event_id"], how="inner",
+    )
+    table = run_available_now(spark, join, _sink(), "update")
+    snap = ktable.latest_per_key(
+        table.filter(F.col("action") == "upsert"), ["user_id"], ["_seq"],
+        payload=["v_event_id", "c_event_id"],
+    )
+    return snap.select("user_id", "v_event_id", "c_event_id")
+
+
 def _q_s_fk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """J7/J8 INCREMENTAL (M4): the full two-stage FK-join pipeline over
     the events stream — left KTable = latest event per user (FK = its
@@ -1014,6 +1042,20 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
           SELECT user_id, event_id, value, row_number() OVER (
             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1
+    """),
+    "s_pk_join_incremental": (_q_s_pk_join_incremental, """
+        WITH v AS (
+          SELECT user_id, event_id AS v_event_id FROM (
+            SELECT user_id, event_id, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1
+        ), c AS (
+          SELECT user_id, event_id AS c_event_id FROM (
+            SELECT user_id, event_id, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'click') WHERE rn = 1
+        )
+        SELECT v.user_id, v_event_id, c_event_id FROM v JOIN c ON v.user_id = c.user_id
     """),
     "s_fk_join_incremental": (_q_s_fk_join_incremental, """
         WITH l AS (
