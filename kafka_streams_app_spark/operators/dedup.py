@@ -315,31 +315,10 @@ def dedup_embedding_cosine(
     elif method == "lsh":
         if dim is None:
             raise ValueError("method='lsh' requires dim")
-        from kafka_streams_app_spark.operators.similarity import _hyperplanes
+        from kafka_streams_app_spark.operators.similarity import _bucketed
 
-        def buckets(side: DataFrame, vec: str, idc: str) -> DataFrame:
-            v = F.col(vec)
-            table_cols = []
-            for t in range(n_tables):
-                planes = _hyperplanes(dim, n_planes, 42 + 1000 * t)
-                bits = []
-                for p_i, plane in enumerate(planes):
-                    arr = F.array(*[F.lit(float(x)) for x in plane])
-                    d = F.aggregate(
-                        F.zip_with(v, arr, lambda x, y: x * y),
-                        F.lit(0.0), lambda acc, x: acc + x,
-                    )
-                    bits.append(F.when(d >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
-                acc = bits[0]
-                for bit in bits[1:]:
-                    acc = acc.bitwiseOR(bit)
-                table_cols.append(acc)
-            return side.select(
-                idc, vec, F.posexplode(F.array(*table_cols)).alias("_tbl", "_bkt")
-            )
-
-        ab = buckets(a, "_va", "id_a")
-        bb = buckets(b, "_vb", "id_b")
+        ab = _bucketed(a, "id_a", "_va", dim, n_planes, n_tables, 42)
+        bb = _bucketed(b, "id_b", "_vb", dim, n_planes, n_tables, 42)
         cand = (
             ab.join(
                 bb,
