@@ -21,7 +21,15 @@ from pyspark.sql import functions as F
 
 import uuid
 
-from kafka_streams_app_spark.engine import configure_session
+from kafka_streams_app_spark.engine import _ensure_vendor_pythonpath, configure_session
+
+# Inject the _vendor protobuf shim into PYTHONPATH at IMPORT time — i.e.
+# before any externally-owned SparkSession launches its JVM — so
+# transformWithStateInPandas workers inherit it no matter who builds the
+# session. (Sessions created before this import are handled by the
+# tws_available() worker probe + grouped-replay fallback below.)
+_ensure_vendor_pythonpath()
+
 from kafka_streams_app_spark.functions import text as T
 from kafka_streams_app_spark.operators import aggregations as agg
 from kafka_streams_app_spark.operators import dedup, iq, joins, ktable, multimodal
@@ -29,7 +37,11 @@ from kafka_streams_app_spark.operators import similarity, stateless
 from kafka_streams_app_spark.sources.catalog import load_stream, load_table
 from kafka_streams_app_spark.streaming import windows as SW
 from kafka_streams_app_spark.streaming.harness import run_available_now
-from kafka_streams_app_spark.streaming.ktable import ktable_changelog_stream
+from kafka_streams_app_spark.streaming.ktable import (
+    ktable_changelog_batch,
+    ktable_changelog_stream,
+)
+from kafka_streams_app_spark.streaming.replay import tws_available
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -521,12 +533,24 @@ def _q_s_session_count(spark: SparkSession, sf: str) -> DataFrame:
 def _q_s_ktable_latest(spark: SparkSession, sf: str) -> DataFrame:
     """S2 incremental: latest-per-user KTable maintained by the
     transformWithStateInPandas changelog operator; the final view (last
-    changelog row per key) must equal the batch max_by snapshot."""
-    ev = load_stream(spark, sf, "events").select(
-        "user_id", "event_id", "value", "ts"
-    )
-    changelog = ktable_changelog_stream(ev, ["user_id"], "ts", ["event_id", "value"])
-    table = run_available_now(spark, changelog, _sink(), "update")
+    changelog row per key) must equal the batch max_by snapshot.
+
+    When the session owner's workers lack protobuf (externally-created
+    session, see streaming/replay.py) the SAME state machine replays
+    via applyInPandas grouped replay — identical changelog output."""
+    if tws_available(spark):
+        ev = load_stream(spark, sf, "events").select(
+            "user_id", "event_id", "value", "ts"
+        )
+        changelog = ktable_changelog_stream(
+            ev, ["user_id"], "ts", ["event_id", "value"]
+        )
+        table = run_available_now(spark, changelog, _sink(), "update")
+    else:
+        ev = load_table(spark, sf, "events").select(
+            "user_id", "event_id", "value", "ts"
+        )
+        table = ktable_changelog_batch(ev, ["user_id"], "ts", ["event_id", "value"])
     snap = ktable.latest_per_key(
         table.filter(F.col("action") == "upsert"), ["user_id"], ["ts"],
         payload=["new_event_id", "new_value"],
@@ -542,10 +566,13 @@ def _q_s_pk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """J5 INCREMENTAL: KTable⋈KTable PK join as a stateful changelog
     operator over the raw view/click event changelogs; the end state
     (latest join row per user) must equal the batch snapshot join
-    (same oracle as j5_table_join_inner)."""
-    from kafka_streams_app_spark.streaming.pk_join import pk_join_stream
+    (same oracle as j5_table_join_inner). Falls back to the same state
+    machine via applyInPandas grouped replay when TWS workers lack
+    protobuf (streaming/replay.py)."""
+    from kafka_streams_app_spark.streaming.pk_join import pk_join_batch, pk_join_stream
 
-    ev = load_stream(spark, sf, "events")
+    use_tws = tws_available(spark)
+    ev = (load_stream if use_tws else load_table)(spark, sf, "events")
     left = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("event_id").alias("v_event_id"),
         F.unix_micros("ts").alias("seq"),
@@ -554,11 +581,17 @@ def _q_s_pk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", F.col("event_id").alias("c_event_id"),
         F.unix_micros("ts").alias("seq"),
     )
-    join = pk_join_stream(
-        left, right, key="user_id",
-        left_payload=["v_event_id"], right_payload=["c_event_id"], how="inner",
-    )
-    table = run_available_now(spark, join, _sink(), "update")
+    if use_tws:
+        join = pk_join_stream(
+            left, right, key="user_id",
+            left_payload=["v_event_id"], right_payload=["c_event_id"], how="inner",
+        )
+        table = run_available_now(spark, join, _sink(), "update")
+    else:
+        table = pk_join_batch(
+            left, right, key="user_id",
+            left_payload=["v_event_id"], right_payload=["c_event_id"], how="inner",
+        )
     snap = ktable.latest_per_key(
         table.filter(F.col("action") == "upsert"), ["user_id"], ["_seq"],
         payload=["v_event_id", "c_event_id"],
@@ -575,42 +608,57 @@ def _q_s_fk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     Stage 1 (left changelog -> intermediate dir) mirrors Kafka's
     subscription-response topic; stage 2 is the groupBy(fk) join
-    processor. Both run Trigger.AvailableNow to completion.
+    processor. Both run Trigger.AvailableNow to completion. When TWS
+    workers lack protobuf (externally-created session) the same two
+    stages chain directly as batch grouped replays (streaming/replay.py)
+    — identical changelog output, no intermediate directory needed.
     """
     import shutil
     import tempfile
 
     from kafka_streams_app_spark.streaming.fk_join import (
         fk_instructions,
+        fk_join_changelog_batch,
         fk_join_changelog_stream,
     )
 
-    left = load_stream(spark, sf, "events").select(
+    use_tws = tws_available(spark)
+    load = load_stream if use_tws else load_table
+    left = load(spark, sf, "events").select(
         F.col("user_id").alias("pk"), F.col("event_type").alias("fk"),
         F.col("value"), F.unix_micros("ts").alias("seq"),
     )
-    changelog = ktable_changelog_stream(left, ["pk"], "seq", ["fk", "value"])
-    inter = tempfile.mkdtemp(prefix="fk_inter_")
-    ckpt = tempfile.mkdtemp(prefix="fk_ckpt_")
-    q1 = (
-        changelog.writeStream.format("parquet")
-        .option("path", inter).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q1.awaitTermination()
-
-    inter_src = spark.readStream.schema(changelog.schema).parquet(inter)
-    instr = fk_instructions(inter_src, "pk", "fk", ["fk", "value"], "seq")
-    right = load_stream(spark, sf, "events").select(
+    right = load(spark, sf, "events").select(
         F.col("event_type").alias("rk"), F.col("value").alias("rvalue"),
         F.unix_micros("ts").alias("seq"),
     )
-    join = fk_join_changelog_stream(
-        instr, right, right_key="rk", right_payload=["rvalue"],
-        right_seq="seq", right_tombstone=None,
-        left_value_cols=["value"], how="inner",
-    )
-    table = run_available_now(spark, join, _sink(), "update")
+    ckpt = None
+    if use_tws:
+        changelog = ktable_changelog_stream(left, ["pk"], "seq", ["fk", "value"])
+        inter = tempfile.mkdtemp(prefix="fk_inter_")
+        ckpt = tempfile.mkdtemp(prefix="fk_ckpt_")
+        q1 = (
+            changelog.writeStream.format("parquet")
+            .option("path", inter).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q1.awaitTermination()
+        inter_src = spark.readStream.schema(changelog.schema).parquet(inter)
+        instr = fk_instructions(inter_src, "pk", "fk", ["fk", "value"], "seq")
+        join = fk_join_changelog_stream(
+            instr, right, right_key="rk", right_payload=["rvalue"],
+            right_seq="seq", right_tombstone=None,
+            left_value_cols=["value"], how="inner",
+        )
+        table = run_available_now(spark, join, _sink(), "update")
+    else:
+        changelog = ktable_changelog_batch(left, ["pk"], "seq", ["fk", "value"])
+        instr = fk_instructions(changelog, "pk", "fk", ["fk", "value"], "seq")
+        table = fk_join_changelog_batch(
+            instr, right, right_key="rk", right_payload=["rvalue"],
+            right_seq="seq", right_tombstone=None,
+            left_value_cols=["value"], how="inner",
+        )
     snap = ktable.latest_per_key(
         table, ["pk"], ["_seq", "_minor"],
         payload=["action", "value", "r_rvalue"],
@@ -620,7 +668,8 @@ def _q_s_fk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("pk").alias("user_id"), "value",
                 F.col("r_rvalue").alias("rvalue"))
     )
-    shutil.rmtree(ckpt, ignore_errors=True)
+    if ckpt is not None:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return result
 
 

@@ -186,7 +186,7 @@ class _FKJoinProcessor(StatefulProcessor):
         pass
 
 
-def fk_join_changelog_stream(
+def _fk_join_plan(
     instructions: DataFrame,
     right_raw: DataFrame,
     *,
@@ -195,13 +195,10 @@ def fk_join_changelog_stream(
     right_seq: str,
     right_tombstone: str | None,
     left_value_cols: list[str],
-    how: str = "inner",
-) -> DataFrame:
-    """Query-2 builder: union(instructions, tagged right changelog)
-    -> groupBy(fk) -> stateful join processor -> join changelog
-    (pk, action, left value cols, right payload cols).
-    """
-    _require_rocksdb(instructions.sparkSession)
+    how: str,
+) -> tuple[DataFrame, _FKJoinProcessor, StructType]:
+    """Shared union-tag input + processor + output schema for the
+    stream (TWS) and batch (grouped replay) paths."""
     r_schema = right_raw.schema
     tagged_right = right_raw.select(
         F.col(right_key).alias("fk"),
@@ -243,20 +240,72 @@ def fk_join_changelog_stream(
         + [StructField("_seq", instructions.schema["seq"].dataType, True),
            StructField("_minor", instructions.schema["minor"].dataType, True)]
     )
+    proc = _FKJoinProcessor(
+        left_value_cols,
+        [f"r_{c}" for c in right_payload],
+        sub_schema,
+        right_state_schema,
+        [f.name for f in out_schema.fields],
+        how,
+        StructType([StructField("pk", pk_type)]),
+    )
+    return unioned, proc, out_schema
+
+
+def fk_join_changelog_stream(
+    instructions: DataFrame,
+    right_raw: DataFrame,
+    *,
+    right_key: str,
+    right_payload: list[str],
+    right_seq: str,
+    right_tombstone: str | None,
+    left_value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Query-2 builder: union(instructions, tagged right changelog)
+    -> groupBy(fk) -> stateful join processor -> join changelog
+    (pk, action, left value cols, right payload cols).
+    """
+    _require_rocksdb(instructions.sparkSession)
+    unioned, proc, out_schema = _fk_join_plan(
+        instructions, right_raw, right_key=right_key,
+        right_payload=right_payload, right_seq=right_seq,
+        right_tombstone=right_tombstone, left_value_cols=left_value_cols,
+        how=how,
+    )
     return unioned.groupBy("fk").transformWithStateInPandas(
-        statefulProcessor=_FKJoinProcessor(
-            left_value_cols,
-            [f"r_{c}" for c in right_payload],
-            sub_schema,
-            right_state_schema,
-            [f.name for f in out_schema.fields],
-            how,
-            StructType([StructField("pk", pk_type)]),
-        ),
+        statefulProcessor=proc,
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
     )
+
+
+def fk_join_changelog_batch(
+    instructions: DataFrame,
+    right_raw: DataFrame,
+    *,
+    right_key: str,
+    right_payload: list[str],
+    right_seq: str,
+    right_tombstone: str | None,
+    left_value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Same FK-join state machine over BATCH changelog frames via
+    grouped replay (applyInPandas; no TWS/protobuf dependency). The
+    groupBy(fk) shuffle — Kafka's subscription topic — is identical;
+    only the state backend (in-task memory vs RocksDB) differs."""
+    from kafka_streams_app_spark.streaming.replay import grouped_replay
+
+    unioned, proc, out_schema = _fk_join_plan(
+        instructions, right_raw, right_key=right_key,
+        right_payload=right_payload, right_seq=right_seq,
+        right_tombstone=right_tombstone, left_value_cols=left_value_cols,
+        how=how,
+    )
+    return grouped_replay(unioned, ["fk"], proc, out_schema)
 
 
 class FKJoinReplay:

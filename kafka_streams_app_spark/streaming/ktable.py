@@ -91,6 +91,36 @@ class _LatestPerKey(StatefulProcessor):
         pass
 
 
+def _ktable_plan(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    payload: list[str],
+    tombstone_col: str | None,
+) -> tuple[_LatestPerKey, StructType]:
+    """Shared processor + output schema for the stream and batch paths."""
+    in_schema = df.schema
+    state_schema = StructType(
+        [StructField(c, in_schema[c].dataType, True) for c in payload]
+    )
+    key_fields = [StructField(k, in_schema[k].dataType, True) for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("action", StringType(), False),
+            StructField("old_present", BooleanType(), False),
+        ]
+        + [StructField(f"old_{c}", in_schema[c].dataType, True) for c in payload]
+        + [StructField(f"new_{c}", in_schema[c].dataType, True) for c in payload]
+        + [StructField(seq_col, in_schema[seq_col].dataType, True)]
+    )
+    proc = _LatestPerKey(
+        keys, seq_col, payload, tombstone_col, state_schema,
+        [f.name for f in out_schema.fields],
+    )
+    return proc, out_schema
+
+
 def ktable_changelog_stream(
     df: DataFrame,
     keys: list[str],
@@ -110,27 +140,26 @@ def ktable_changelog_stream(
     and the originating seq (for downstream ordering, e.g. the FK join).
     """
     _require_rocksdb(df.sparkSession)
-    in_schema = df.schema
-    state_schema = StructType(
-        [StructField(c, in_schema[c].dataType, True) for c in payload]
-    )
-    key_fields = [StructField(k, in_schema[k].dataType, True) for k in keys]
-    out_schema = StructType(
-        key_fields
-        + [
-            StructField("action", StringType(), False),
-            StructField("old_present", BooleanType(), False),
-        ]
-        + [StructField(f"old_{c}", in_schema[c].dataType, True) for c in payload]
-        + [StructField(f"new_{c}", in_schema[c].dataType, True) for c in payload]
-        + [StructField(seq_col, in_schema[seq_col].dataType, True)]
-    )
-    out_columns = [f.name for f in out_schema.fields]
+    proc, out_schema = _ktable_plan(df, keys, seq_col, payload, tombstone_col)
     return df.groupBy(*keys).transformWithStateInPandas(
-        statefulProcessor=_LatestPerKey(
-            keys, seq_col, payload, tombstone_col, state_schema, out_columns
-        ),
+        statefulProcessor=proc,
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ktable_changelog_batch(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    payload: list[str],
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Same state machine over a BATCH changelog frame via grouped
+    replay (applyInPandas; no TWS/protobuf dependency) — emits the
+    identical changelog rows. See streaming/replay.py for when/why."""
+    from kafka_streams_app_spark.streaming.replay import grouped_replay
+
+    proc, out_schema = _ktable_plan(df, keys, seq_col, payload, tombstone_col)
+    return grouped_replay(df, keys, proc, out_schema)

@@ -113,26 +113,20 @@ class _PKJoinProcessor(StatefulProcessor):
         pass
 
 
-def pk_join_stream(
+def _pk_join_plan(
     left_raw: DataFrame,
     right_raw: DataFrame,
     *,
     key: str,
     left_payload: list[str],
     right_payload: list[str],
-    seq: str = "seq",
-    left_tombstone: str | None = None,
-    right_tombstone: str | None = None,
-    how: str = "inner",
-) -> DataFrame:
-    """Join two streaming table changelogs on their shared primary key.
-
-    Inputs are RAW changelog streams (key, payload cols, seq, optional
-    boolean tombstone col). Output: join changelog (key, action,
-    left payload, right payload) — exactly the rows the reference's
-    output-join topic carries.
-    """
-    _require_rocksdb(left_raw.sparkSession)
+    seq: str,
+    left_tombstone: str | None,
+    right_tombstone: str | None,
+    how: str,
+) -> tuple[DataFrame, _PKJoinProcessor, StructType]:
+    """Shared union-tag input + processor + output schema for the
+    stream (TWS) and batch (grouped replay) paths."""
     l_schema, r_schema = left_raw.schema, right_raw.schema
 
     def tag(df: DataFrame, side: str, payload: list[str], other: list[str],
@@ -166,12 +160,65 @@ def pk_join_stream(
         + [StructField(c, r_schema[c].dataType, True) for c in right_payload]
         + [StructField("_seq", l_schema[seq].dataType, True)]
     )
+    proc = _PKJoinProcessor(
+        left_payload, right_payload, left_state, right_state,
+        [f.name for f in out_schema.fields], how,
+    )
+    return unioned, proc, out_schema
+
+
+def pk_join_stream(
+    left_raw: DataFrame,
+    right_raw: DataFrame,
+    *,
+    key: str,
+    left_payload: list[str],
+    right_payload: list[str],
+    seq: str = "seq",
+    left_tombstone: str | None = None,
+    right_tombstone: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two streaming table changelogs on their shared primary key.
+
+    Inputs are RAW changelog streams (key, payload cols, seq, optional
+    boolean tombstone col). Output: join changelog (key, action,
+    left payload, right payload) — exactly the rows the reference's
+    output-join topic carries.
+    """
+    _require_rocksdb(left_raw.sparkSession)
+    unioned, proc, out_schema = _pk_join_plan(
+        left_raw, right_raw, key=key, left_payload=left_payload,
+        right_payload=right_payload, seq=seq, left_tombstone=left_tombstone,
+        right_tombstone=right_tombstone, how=how,
+    )
     return unioned.groupBy(key).transformWithStateInPandas(
-        statefulProcessor=_PKJoinProcessor(
-            left_payload, right_payload, left_state, right_state,
-            [f.name for f in out_schema.fields], how,
-        ),
+        statefulProcessor=proc,
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
     )
+
+
+def pk_join_batch(
+    left_raw: DataFrame,
+    right_raw: DataFrame,
+    *,
+    key: str,
+    left_payload: list[str],
+    right_payload: list[str],
+    seq: str = "seq",
+    left_tombstone: str | None = None,
+    right_tombstone: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Same PK-join state machine over BATCH changelog frames via
+    grouped replay (applyInPandas; no TWS/protobuf dependency)."""
+    from kafka_streams_app_spark.streaming.replay import grouped_replay
+
+    unioned, proc, out_schema = _pk_join_plan(
+        left_raw, right_raw, key=key, left_payload=left_payload,
+        right_payload=right_payload, seq=seq, left_tombstone=left_tombstone,
+        right_tombstone=right_tombstone, how=how,
+    )
+    return grouped_replay(unioned, [key], proc, out_schema)
