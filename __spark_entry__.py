@@ -464,9 +464,21 @@ def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature extraction (byte-histogram decode stub) with a
+    canon-safe contract shape: posexplode the array<float> feature to
+    (media_id, n_bytes, dim_idx, val) scalar rows. The float32 feature
+    carries round(c/n, 6); float->double->round(6) recovers the exact
+    6dp decimal (float32 abs error < 6e-8 << the 5e-7 rounding
+    boundary), so the DuckDB byte-histogram oracle hashes identically."""
     docs = load_table(spark, sf, "documents")
     media = multimodal.text_as_media(docs, "doc_id", "text")
-    return multimodal.extract_features(media, dim=8)
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("feature").alias("dim_idx", "val")
+    ).select(
+        "media_id", "n_bytes", "dim_idx",
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
 
 
 def _sink() -> str:
@@ -1046,7 +1058,25 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                substring(md5(text), 1, 8) AS digest8
         FROM documents
     """),
-    "multimodal_features": (_q_multimodal_features, None),  # decode stub; plumbing-only
+    # byte-histogram oracle over the text payload (docs are pure ASCII,
+    # so DuckDB ord(char) == payload byte; see multimodal._fake_decode)
+    "multimodal_features": (_q_multimodal_features, """
+        WITH d AS (
+          SELECT doc_id AS media_id, text,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents
+        ), dims AS (SELECT unnest(range(0, 8)) AS dim_idx),
+        votes AS (
+          SELECT media_id, ord(substring(text, CAST(i AS INTEGER), 1)) % 8 AS dim_idx
+          FROM (SELECT media_id, text, unnest(range(1, length(text)+1)) AS i FROM d)
+        ),
+        hist AS (SELECT media_id AS hid, dim_idx AS hdim, count(*) AS c
+                 FROM votes GROUP BY 1, 2)
+        SELECT d.media_id, d.n_bytes, CAST(dims.dim_idx AS INTEGER) AS dim_idx,
+               round(COALESCE(hist.c, 0) / greatest(1, d.n_bytes), 6) AS val
+        FROM d CROSS JOIN dims
+        LEFT JOIN hist ON hist.hid = d.media_id AND hist.hdim = dims.dim_idx
+    """),
     # --- streaming runtime (M3/M4) evaluated to completion ---
     "s_windowed_count_closed": (_q_s_windowed_count_closed, f"""
         SELECT * FROM (

@@ -9,6 +9,7 @@ deterministic so tests can assert on it.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -56,7 +57,9 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     for b in payload:
         buckets[b % dim] += 1
     n = max(1, len(payload))
-    return [round(c / n, 6) for c in buckets]
+    # half-UP 6dp rounding (what SQL round() does in Spark and DuckDB);
+    # Python's round() is banker's and diverges on exact ties like 29/128
+    return [math.floor(c / n * 1e6 + 0.5) / 1e6 for c in buckets]
 
 
 def extract_features(df: DataFrame, dim: int = 8, batch_size: int = 1024) -> DataFrame:
