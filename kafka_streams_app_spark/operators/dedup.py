@@ -94,12 +94,14 @@ def dedup_ngram_jaccard(
     self-join (the standard posting-list prune). Without it, one
     stop-phrase shingle shared by M documents creates M^2/2 pairs on a
     single shuffle key — quadratic AND skewed at 100 TB. With the cap the
-    join cost is bounded by max_df^2 per shingle. Note the resulting
-    Jaccard is still computed over FULL shingle sets (sizes come from the
-    uncapped sets; only pair *generation* is pruned), so a pair is missed
-    only if it shares nothing but ultra-common shingles — such a pair is
-    almost surely below any useful threshold anyway. max_df=None keeps
-    every shingle (exact result; the DuckDB oracle runs this variant).
+    join cost is bounded by max_df^2 per shingle. Accuracy caveat: the
+    common-shingle NUMERATOR is counted from the pruned posting lists
+    while set sizes stay uncapped, so any pair sharing hot shingles has
+    its Jaccard UNDERESTIMATED by up to (hot overlap)/union — a pair can
+    drop below the threshold even though it also shares rare shingles.
+    Use max_df as a recall/cost dial, not an exact filter; max_df=None
+    keeps every shingle (exact result; the DuckDB oracle runs this
+    variant).
     """
     sh = _doc_shingles(df, text, id_col, k)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
@@ -129,9 +131,16 @@ def dedup_ngram_jaccard(
     )
 
 
-def minhash_signature(df: DataFrame, text: str, id_col: str, k: int = 3) -> DataFrame:
+def minhash_signature(
+    df: DataFrame, text: str, id_col: str, k: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """(_id, sig array<bigint>[MINHASH_PERMS]) via (a*h+b) mod p over
     xxhash64(shingle).
+
+    ``shingles``: optionally a precomputed _doc_shingles frame — lets a
+    caller that also needs the shingle sets (LSH verification) tokenize
+    the corpus once instead of twice.
 
     Shingle hashing stays JVM-side (xxhash64 over the shingle array);
     the 128-permutation min-plane runs as an Arrow-batched pandas UDF:
@@ -157,7 +166,7 @@ def minhash_signature(df: DataFrame, text: str, id_col: str, k: int = 3) -> Data
             out.append(np.min((hv * a + b) % MERSENNE, axis=0))  # (128,)
         return pd.Series(out)
 
-    sh = _doc_shingles(df, text, id_col, k)
+    sh = shingles if shingles is not None else _doc_shingles(df, text, id_col, k)
     hashes = F.transform(F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
     return sh.select("_id", _sig(hashes).alias("sig"))
 
@@ -171,8 +180,16 @@ def dedup_minhash_lsh(
     distinct candidates -> exact Jaccard filter. Output == the brute
     force dedup_ngram_jaccard result (recall ~1 at the threshold by the
     band construction), at O(candidates) instead of O(n^2 shingle-pairs).
+
+    The shingle frame is computed ONCE and persisted: both the
+    signature stage and the Jaccard verification consume it, halving
+    the dominant tokenize+shingle cost (it was ~31% of the sf0.1 bench
+    when computed twice). At cluster scale the persist is a
+    MEMORY_AND_DISK cache of (id, shingle array) — strictly smaller
+    than re-reading and re-tokenizing the corpus per stage.
     """
-    sig = minhash_signature(df, text, id_col, k)
+    sh = _doc_shingles(df, text, id_col, k).persist()
+    sig = minhash_signature(df, text, id_col, k, shingles=sh)
     n_bands = MINHASH_PERMS // LSH_ROWS
     bands = sig.select(
         "_id",
@@ -197,7 +214,6 @@ def dedup_minhash_lsh(
         .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
         .distinct()
     )
-    sh = _doc_shingles(df, text, id_col, k)
     return _verify_jaccard(cand, sh, threshold)
 
 

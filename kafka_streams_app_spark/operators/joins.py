@@ -172,9 +172,20 @@ def salted_join(
     size the factor to the skew, not the cluster.
 
     The salt is deterministic (hash of the whole left row), so results
-    are stable across retries. Output columns = left ⧺ right minus the
-    synthetic salt columns.
+    are stable across retries; note fully-identical left rows hash to
+    the SAME salt, so a hot key made of duplicate rows does not spread.
+    Output columns = left ⧺ right minus the synthetic salt columns.
+
+    Only inner/left are supported: the right side is replicated once
+    per salt value, so right/full would emit `salt` copies of every
+    unmatched right row.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "right-preserving joins would duplicate unmatched right rows "
+            "once per salt value"
+        )
     l = left.withColumn(
         "_salt", F.pmod(F.xxhash64(F.struct(*left.columns)), F.lit(salt)).cast("int")
     )
