@@ -92,6 +92,121 @@ _STOPWORD_SCORES = ", ".join(
     for lang in T.STOPWORDS
 )
 
+# 60-bit token hash from the md5 hex prefix — byte-identical to Spark's
+# conv(substring(md5(t),1,15),16,10) (functions/text.py:token_hashes,
+# operators/dedup.py:_token_hash)
+def _h60(x: str) -> str:
+    return f"CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _simhash_md5_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of dedup_simhash(hash_fn='md5'): 60-bit simhash from
+    per-token md5-derived bit votes, all-pairs xor/bit_count filter
+    (banding is a pure pruning optimization — same result set)."""
+    bits = 60
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    acc = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+    WITH {_TOKS},
+    tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+    h AS (SELECT doc_id, {_h60('tk')} AS hv FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({acc} AS BIGINT) AS sh FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _winnowing_md5_sql(k: int = 5, window: int = 4, p: int = (1 << 31) - 1) -> str:
+    """DuckDB twin of winnowing_of_hashes over md5-derived token hashes:
+    base-31 rolling gram hash, sliding-window minima, distinct count."""
+    return f"""
+    WITH {_TOKS},
+    h AS (SELECT doc_id, [{_h60('x')} % {p} FOR x IN t] AS hs FROM toks),
+    g AS (SELECT doc_id,
+                 [list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+{k - 1}]),
+                              (a, b) -> (a * 31 + b) % {p})
+                  FOR i IN range(1, len(hs) - {k - 1} + 1)] AS gh
+          FROM h),
+    w AS (SELECT doc_id,
+                 CASE WHEN len(gh) >= {window}
+                      THEN [list_min(gh[i:i+{window - 1}])
+                            FOR i IN range(1, len(gh) - {window - 1} + 1)]
+                      ELSE [] END AS mins
+          FROM g)
+    SELECT doc_id, CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints
+    FROM w
+    """
+
+
+def _lsh_ann_md5_sql(
+    k: int = 10, n_planes: int = 6, n_tables: int = 8, dim: int = 64
+) -> str:
+    """DuckDB twin of lsh_ann_topk(plane_fn='md5'): regenerates the
+    Rademacher ±1 planes (embedded as literal sign patterns — both
+    sides derive them from md5(f"{t}-{p}-{j}") bit 0), quantizes vectors
+    to floor(v*1e6) int64 so every dot product is EXACT integer
+    arithmetic, rebuilds all n_tables bucket ids, joins candidates on
+    any-table bucket equality, and ranks by exact cosine — the full
+    approximate pipeline, bit-for-bit."""
+    import hashlib
+
+    def sign(t: int, p: int, j: int) -> int:
+        h = int(hashlib.md5(f"{t}-{p}-{j}".encode()).hexdigest()[:15], 16)
+        return 1 if (h & 1) else -1
+
+    def dot(t: int, p: int) -> str:
+        return " ".join(
+            ("+" if sign(t, p, j) > 0 else "-") + f" q[{j + 1}]"
+            for j in range(dim)
+        ).lstrip("+ ")
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot(t, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    buckets = ", ".join(bucket(t) for t in range(n_tables))
+    any_tbl = " OR ".join(
+        f"c.bks[{t + 1}] = q.qb[{t + 1}]" for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             [CAST(floor(x * 1000000.0) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS q
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, [{buckets}] AS bks FROM e),
+    qs AS (SELECT vec_id AS query_id, v AS qv, bks AS qb FROM b
+           WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v AS cv
+      FROM b c JOIN qs q
+        ON c.vec_id <> q.query_id AND ({any_tbl})
+    ),
+    s AS (SELECT query_id, neighbor_id,
+                 list_inner_product(qv, cv)
+                   / (sqrt(list_inner_product(qv, qv))
+                      * sqrt(list_inner_product(cv, cv))) AS cs
+          FROM cand),
+    r AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+                   AS INTEGER) AS rank,
+                 round(cs, 6) AS cos_sim
+          FROM s)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= {k}
+    """
+
+
 # epoch-second floor of a timestamp (matches Spark unix_seconds truncation)
 def _epoch_s(col: str) -> str:
     return f"CAST(epoch_us({col}) // 1000000 AS BIGINT)"
@@ -352,8 +467,11 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5-derived 60-bit token hash so
+    DuckDB can recompute the identical signature (the xxhash64 default
+    has no DuckDB twin; it stays pinned vs this variant in pytest)."""
     docs = load_table(spark, sf, "documents")
-    return dedup.dedup_simhash(docs, "text", "doc_id", max_hamming=3)
+    return dedup.dedup_simhash(docs, "text", "doc_id", max_hamming=3, hash_fn="md5")
 
 
 def _q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
@@ -373,9 +491,16 @@ def _q_sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_sim_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH ANN with md5-derived Rademacher planes + integer-quantized
+    dots: the DuckDB oracle regenerates the same buckets and candidate
+    set, so the WHOLE approximate pipeline is hash-checked (not just
+    rows counted). The gaussian-plane variant stays pinned vs exact
+    top-k recall in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
-    top = similarity.lsh_ann_topk(emb, queries_df, "vec_id", "embedding", dim=64, k=10)
+    top = similarity.lsh_ann_topk(
+        emb, queries_df, "vec_id", "embedding", dim=64, k=10, plane_fn="md5"
+    )
     return top.select(
         "query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
     )
@@ -408,12 +533,15 @@ def _q_text_bpe_count(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprint sketch sizes per doc (rolling-hash
-    fingerprinting; xxhash64 has no DuckDB twin -> rows-only check;
-    the algorithm itself is pinned vs a Python reference in
-    tests/test_text_functions.py)."""
+    fingerprinting, Schleimer et al.) over md5-derived token hashes so
+    the full pipeline — gram rolling hash, window minima, distinct set —
+    is recomputed by the DuckDB oracle; the xxhash64 production default
+    is pinned vs a Python reference in tests/test_text_functions.py."""
     docs = load_table(spark, sf, "documents")
     tok = docs.select("doc_id", T.tokens("text").alias("_t"))
-    hashed = tok.select("doc_id", T.token_hashes(F.col("_t")).alias("_h"))
+    hashed = tok.select(
+        "doc_id", T.token_hashes(F.col("_t"), hash_fn="md5").alias("_h")
+    )
     return hashed.select(
         "doc_id",
         F.size(T.winnowing_of_hashes(F.col("_h"))).alias("n_fingerprints"),
@@ -945,7 +1073,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _JACCARD_PAIRS.format(thr=0.8)),
     "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _JACCARD_PAIRS.format(thr=0.8)),
-    "dedup_simhash": (_q_dedup_simhash, None),  # xxhash64 not available in DuckDB
+    "dedup_simhash": (_q_dedup_simhash, _simhash_md5_sql(3)),
     "dedup_embedding_cosine": (_q_dedup_embedding_cosine, """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -975,7 +1103,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
               FROM s)
         SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 10
     """),
-    "sim_lsh_ann_topk": (_q_sim_lsh_ann_topk, None),  # approximate; pinned vs exact in tests
+    "sim_lsh_ann_topk": (_q_sim_lsh_ann_topk, _lsh_ann_md5_sql(k=10)),
     # --- text analysis (north-star) ---
     "text_stats": (_q_text_stats, "WITH " + _TOKS + r""",
         pr AS (
@@ -1019,7 +1147,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  '{T.BPE_PIECE_RE.replace("'", "''")}')) AS INTEGER) AS n_pieces
         FROM documents
     """),
-    "text_winnowing": (_q_text_winnowing, None),  # xxhash64 absent in DuckDB
+    "text_winnowing": (_q_text_winnowing, _winnowing_md5_sql()),
     # --- free Spark extras (beyond the reference surface) ---
     "extras_rollup": (_q_extras_rollup, """
         SELECT l_returnflag, l_linestatus,

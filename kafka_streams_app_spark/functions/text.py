@@ -129,11 +129,27 @@ def bpe_token_estimate(text: str | Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), F.lit(0)))
 
 
-def token_hashes(toks: Column, p: int = (1 << 31) - 1) -> Column:
-    """Per-token xxhash64 mod p — materialize this column BEFORE calling
+def token_hashes(
+    toks: Column, p: int = (1 << 31) - 1, hash_fn: str = "xxhash64"
+) -> Column:
+    """Per-token hash mod p — materialize this column BEFORE calling
     winnowing_of_hashes (the same evaluate-once discipline as
     shingles_of_tokens; hashing inside the gram fold would re-run
-    xxhash over the whole token array once per gram)."""
+    the hash over the whole token array once per gram).
+
+    hash_fn='xxhash64' is the fast production default; 'md5' derives a
+    60-bit value from the md5 hex prefix — byte-identical to DuckDB's
+    CAST('0x'||substring(md5(t),1,15) AS BIGINT) % p, making winnowing
+    oracle-checkable across engines."""
+    if hash_fn == "md5":
+        return F.transform(
+            toks,
+            lambda t: F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(p)
+            ),
+        )
+    if hash_fn != "xxhash64":
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (expected xxhash64|md5)")
     return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
 
 

@@ -222,28 +222,49 @@ def dedup_minhash_lsh(
 SIMHASH_BITS = 64
 
 
-def simhash(df: DataFrame, text: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per doc from xxhash64(token) bit votes.
+def _token_hash(hash_fn: str):
+    """Per-token 64/60-bit hash Column + bit width.
+
+    xxhash64: fastest (native JVM hash) — the production default.
+    md5: 60 bits from the md5 hex prefix via conv(hex, 16, 10) —
+    byte-identical in DuckDB (CAST('0x'||substring(md5(t),1,15) AS
+    BIGINT)), which is what makes simhash/winnowing oracle-checkable.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64("_t"), 64
+    if hash_fn == "md5":
+        return (
+            F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long"),
+            60,
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (expected xxhash64|md5)")
+
+
+def simhash(
+    df: DataFrame, text: str, id_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """64-bit (60-bit for hash_fn='md5') SimHash per doc from per-token
+    hash bit votes.
 
     Pure column arithmetic: explode tokens, one ±1 vote per bit per
-    token, sum votes per doc, reassemble the sign bits. The 64 per-bit
-    sums aggregate map-side, so the shuffle is 64 longs per doc.
+    token, sum votes per doc, reassemble the sign bits. The per-bit
+    sums aggregate map-side, so the shuffle is n_bits longs per doc.
     """
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("_t")
     )
-    h = F.xxhash64("_t")
+    h, n_bits = _token_hash(hash_fn)
     votes = toks.select(
         "_id",
         *[
             (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
-            for i in range(SIMHASH_BITS)
+            for i in range(n_bits)
         ],
     )
-    sums = votes.groupBy("_id").agg(*[F.sum(f"_b{i}").alias(f"_b{i}") for i in range(SIMHASH_BITS)])
+    sums = votes.groupBy("_id").agg(*[F.sum(f"_b{i}").alias(f"_b{i}") for i in range(n_bits)])
     bits = [
         F.when(F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        for i in range(SIMHASH_BITS)
+        for i in range(n_bits)
     ]
     acc = bits[0]
     for b in bits[1:]:
@@ -252,28 +273,33 @@ def simhash(df: DataFrame, text: str, id_col: str) -> DataFrame:
 
 
 def dedup_simhash(
-    df: DataFrame, text: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text: str, id_col: str, max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
-    Banding: split the 64-bit hash into 4 x 16-bit chunks; Hamming<=3
-    pairs must agree on >=1 chunk (pigeonhole), so bucketing by chunk
-    value finds all of them without an n^2 scan. The pigeonhole guarantee
-    needs max_hamming + 1 <= n_chunks; larger distances would silently
-    miss pairs, so they are rejected.
+    Banding: split the hash into 4 chunks (16 bits for xxhash64, 15 for
+    md5); Hamming<=3 pairs must agree on >=1 chunk (pigeonhole), so
+    bucketing by chunk value finds all of them without an n^2 scan. The
+    pigeonhole guarantee needs max_hamming + 1 <= n_chunks; larger
+    distances would silently miss pairs, so they are rejected.
     """
     n_chunks = 4
     if max_hamming > n_chunks - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
-            f"{n_chunks}x16-bit banding (max supported: {n_chunks - 1})"
+            f"{n_chunks}-chunk banding (max supported: {n_chunks - 1})"
         )
-    sim = simhash(df, text, id_col)
+    _, n_bits = _token_hash(hash_fn)
+    chunk_bits = n_bits // n_chunks
+    chunk_mask = (1 << chunk_bits) - 1
+    sim = simhash(df, text, id_col, hash_fn=hash_fn)
     chunks = sim.select(
         "_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+                     F.shiftright("simhash", c * chunk_bits)
+                     .bitwiseAND(F.lit(chunk_mask)).alias("cv"))
             for c in range(n_chunks)
         ])).alias("ck"),
     ).select("_id", "simhash", "ck.chunk", "ck.cv")

@@ -72,27 +72,60 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
         return [[r.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def rademacher_planes(dim: int, n_planes: int, table: int) -> "np.ndarray":
+    """±1 hyperplanes derived from md5(f"{table}-{plane}-{dim}") bit 0 —
+    Achlioptas-style sign random projections whose entries ANY engine
+    can regenerate (DuckDB: the same md5-hex-prefix bit). Statistically
+    equivalent to Gaussian planes for sign-LSH (the collision
+    probability 1 - theta/pi argument only needs a symmetric
+    distribution), and the basis of the oracle-checkable ANN variant."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for j in range(dim):
+            h = int(hashlib.md5(f"{table}-{p}-{j}".encode()).hexdigest()[:15], 16)
+            out[p, j] = 1 if (h & 1) else -1
+    return out
+
+
 def _bucketed(
     df: DataFrame, idc: str, vec: str,
     dim: int, n_planes: int, n_tables: int, seed: int,
+    plane_fn: str = "gaussian",
 ) -> DataFrame:
     """(id, vec, _tbl, _bkt) rows: each vector's bucket id in each of
     n_tables hyperplane tables, computed as ONE Arrow-batched numpy
     einsum per batch ((tables, planes, dim) x (n, dim) -> sign bits).
     The JVM higher-order-function formulation of the same dots evaluates
     interpreted lambdas per element (~15M for 5k x 64d x 48 planes) and
-    measured ~6x slower; sign flips vs the fold are possible only for
-    dot products within float rounding of zero, which the exact-cosine
-    rerank makes irrelevant."""
-    planes = np.stack([
-        np.array(_hyperplanes(dim, n_planes, seed + 1000 * t))
-        for t in range(n_tables)
-    ])
+    measured ~6x slower.
+
+    plane_fn='gaussian': seeded normal planes, float dots (sign flips
+    vs another summation order possible only within float rounding of
+    zero — irrelevant after the exact-cosine rerank).
+    plane_fn='md5': Rademacher ±1 planes over floor(v*1e6) integer
+    quantization — the dot is EXACT int64 arithmetic, so any engine
+    (the DuckDB oracle) reproduces bit-identical buckets regardless of
+    summation order.
+    """
+    if plane_fn == "md5":
+        planes = np.stack([
+            rademacher_planes(dim, n_planes, t) for t in range(n_tables)
+        ])
+    else:
+        planes = np.stack([
+            np.array(_hyperplanes(dim, n_planes, seed + 1000 * t))
+            for t in range(n_tables)
+        ])
     powers = 1 << np.arange(n_planes)
+    quantize = plane_fn == "md5"
 
     @pandas_udf("array<int>")
     def bucket_ids(vs: "pd.Series") -> "pd.Series":
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        if quantize:
+            m = np.floor(m * 1e6).astype(np.int64)
         dots = np.einsum("tpd,nd->ntp", planes, m)
         ids = ((dots >= 0) * powers).sum(axis=2).astype(np.int32)
         return pd.Series(list(ids))
@@ -112,6 +145,7 @@ def lsh_ann_topk(
     n_planes: int = 6,
     n_tables: int = 8,
     seed: int = 42,
+    plane_fn: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with n_tables hash tables.
 
@@ -135,13 +169,13 @@ def lsh_ann_topk(
     q = _bucketed(
         queries.select(F.col(id_col).alias("query_id"),
                        as_double(F.col(vec_col)).alias("_qv")),
-        "query_id", "_qv", dim, n_planes, n_tables, seed,
+        "query_id", "_qv", dim, n_planes, n_tables, seed, plane_fn,
     )
     c = _bucketed(
         ensure_parallelism(corpus).select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
         ),
-        "neighbor_id", "_cv", dim, n_planes, n_tables, seed,
+        "neighbor_id", "_cv", dim, n_planes, n_tables, seed, plane_fn,
     )
     cand = (
         c.join(
