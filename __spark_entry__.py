@@ -661,6 +661,43 @@ def _q_s_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, j, _sink(), "append")
 
 
+def _q_s_interval_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 through the streaming runtime: LEFT stream-stream interval
+    join (TopologiesTest.scala:272-292). Unmatched left rows emit their
+    (left, null) row once the watermark passes the end of their join
+    window — with Trigger.AvailableNow's final no-data batch, that is
+    every unmatched purchase whose window closed by end-of-stream; the
+    oracle keeps exactly those null rows."""
+    ev = load_stream(spark, sf, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    j = SW.interval_join_stream(
+        l, r, [("l_user_id", "r_user_id")], "l_ts", "r_ts", 21600, 21600,
+        watermark_s=0, how="leftOuter",
+    ).select("l_event_id", "r_event_id")
+    return run_available_now(spark, j, _sink(), "append")
+
+
+def _q_s_windowed_count_grace(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 through the streaming runtime: tumbling count with a 30s GRACE
+    (WindowedGrouping.scala:44 — the lateness param). The watermark
+    delay IS the grace period: a window closes (emits, in append mode)
+    only once stream time passes window end + grace, so the final
+    emitted set excludes windows ending within the last 30s of stream
+    time — exactly what the oracle's max(ts)-30 cutoff selects."""
+    ev = load_stream(spark, sf, "events")
+    wc = SW.windowed_count_stream(ev, "ts", ["event_type"], 10, grace_s=30)
+    return run_available_now(spark, wc, _sink(), "append")
+
+
 def _q_s_session_count(spark: SparkSession, sf: str) -> DataFrame:
     """W4 streaming sessions in append mode: a session emits once the
     watermark (max event time, zero grace) passes its end (last+gap);
@@ -753,6 +790,25 @@ def _q_s_fk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
     stages chain directly as batch grouped replays (streaming/replay.py)
     — identical changelog output, no intermediate directory needed.
     """
+    return _fk_incremental_pipeline(spark, sf, how="inner")
+
+
+def _q_s_fk_join_left_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """J7 INCREMENTAL, LEFT mode — the reference's actual ForeignJoin
+    topology is a leftJoin (ForeignJoin.scala:37-42). The right KTable
+    is restricted to click/view types so users whose latest event is
+    another type exercise the unmatched-subscription path: left mode
+    must emit (left, null) for them (and the batch oracle LEFT JOIN
+    shows exactly those nulls)."""
+    return _fk_incremental_pipeline(
+        spark, sf, how="left", right_types=("click", "view")
+    )
+
+
+def _fk_incremental_pipeline(
+    spark: SparkSession, sf: str, how: str,
+    right_types: tuple[str, ...] | None = None,
+) -> DataFrame:
     import shutil
     import tempfile
 
@@ -768,7 +824,10 @@ def _q_s_fk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
         F.col("user_id").alias("pk"), F.col("event_type").alias("fk"),
         F.col("value"), F.unix_micros("ts").alias("seq"),
     )
-    right = load(spark, sf, "events").select(
+    right = load(spark, sf, "events")
+    if right_types is not None:
+        right = right.filter(F.col("event_type").isin(*right_types))
+    right = right.select(
         F.col("event_type").alias("rk"), F.col("value").alias("rvalue"),
         F.unix_micros("ts").alias("seq"),
     )
@@ -788,7 +847,7 @@ def _q_s_fk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
         join = fk_join_changelog_stream(
             instr, right, right_key="rk", right_payload=["rvalue"],
             right_seq="seq", right_tombstone=None,
-            left_value_cols=["value"], how="inner",
+            left_value_cols=["value"], how=how,
         )
         table = run_available_now(spark, join, _sink(), "update")
     else:
@@ -797,7 +856,7 @@ def _q_s_fk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
         table = fk_join_changelog_batch(
             instr, right, right_key="rk", right_payload=["rvalue"],
             right_seq="seq", right_tombstone=None,
-            left_value_cols=["value"], how="inner",
+            left_value_cols=["value"], how=how,
         )
     snap = ktable.latest_per_key(
         table, ["pk"], ["_seq", "_minor"],
@@ -1225,6 +1284,44 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         JOIN (SELECT * FROM events WHERE event_type = 'click') r
           ON l.user_id = r.user_id
          AND r.ts BETWEEN l.ts - INTERVAL 21600 SECOND AND l.ts + INTERVAL 21600 SECOND
+    """),
+    "s_interval_join_left": (_q_s_interval_join_left, """
+        SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 21600 SECOND AND l.ts + INTERVAL 21600 SECOND
+        WHERE r.event_id IS NOT NULL
+           -- a null row is emitted once the GLOBAL watermark passes
+           -- strictly beyond the row's join-window end; the global
+           -- watermark is the MIN over both watermarked inputs (each
+           -- side sees only its own filtered events)
+           OR l.ts + INTERVAL 21600 SECOND < (
+                SELECT least(
+                  (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+                  (SELECT max(ts) FROM events WHERE event_type = 'click')))
+    """),
+    "s_windowed_count_grace": (_q_s_windowed_count_grace, f"""
+        SELECT * FROM (
+          SELECT {_win_start('ts', 10)} AS window_start_s, event_type,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        WHERE window_start_s + 10 <= (SELECT {_epoch_s('max(ts)')} FROM events) - 30
+    """),
+    "s_fk_join_left_incremental": (_q_s_fk_join_left_incremental, """
+        WITH l AS (
+          SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        ), r AS (
+          SELECT event_type, value AS rvalue FROM (
+            SELECT event_type, value, row_number() OVER (
+              PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type IN ('click', 'view')) WHERE rn = 1
+        )
+        SELECT l.user_id, l.value, r.rvalue
+        FROM l LEFT JOIN r ON l.event_type = r.event_type
     """),
     "s_session_count": (_q_s_session_count, f"""
         WITH marked AS (
