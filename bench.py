@@ -59,18 +59,21 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: single runs on this box show intermittent
-    # multi-second GC/contention spikes on otherwise sub-second queries;
-    # the minimum reflects the plan's actual cost
+    # best-of-3, INTERLEAVED: single runs on this box show intermittent
+    # multi-second GC/contention spikes on otherwise sub-second queries
+    # (r2 recorded j5/j8/dedup_exact at 2-5x their steady-state cost even
+    # at best-of-2). Interleaving the passes (q1..qn, q1..qn, q1..qn)
+    # decorrelates a host-contention burst from any one query's samples;
+    # the per-query minimum reflects the plan's actual cost.
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        best = None
-        for _ in range(2):
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.time()
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             el = time.time() - t0
-            best = el if best is None or el < best else best
-        per_query[name] = round(best, 3)
+            if name not in per_query or el < per_query[name]:
+                per_query[name] = el
+    per_query = {n: round(v, 3) for n, v in per_query.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
