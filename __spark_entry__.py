@@ -474,6 +474,14 @@ def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_simhash(docs, "text", "doc_id", max_hamming=3, hash_fn="md5")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup pairs:
+    every doc mapped to its cluster's min doc id (min-label propagation
+    to fixpoint; the oracle walks the same graph with a recursive CTE)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.dedup_clusters(docs, "text", "doc_id", k=3, threshold=0.8)
+
+
 def _q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return dedup.dedup_embedding_cosine(
@@ -504,6 +512,40 @@ def _q_sim_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return top.select(
         "query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+def _q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: deterministic-sample coarse quantizer, exact-integer L2
+    assignment, nprobe=4 probing, exact-cosine rerank — the DuckDB
+    oracle recomputes the identical inverted lists and candidates."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    top = similarity.ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=10,
+        centroid_mod=(17, 3), nprobe=4,
+    )
+    return top.select(
+        "query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def _q_extras_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) — free Spark extension beyond the reference
+    surface (SURVEY §2.5 'no semi/anti joins'): customers with >=1
+    high-value order, right side deduplicated inside the join."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    j = joins.semi_join(customer, orders, "c_custkey", "o_custkey")
+    return j.select("c_custkey", "c_mktsegment")
+
+
+def _q_extras_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers who never placed an order above
+    400k (a threshold that splits the synthetic data non-trivially)."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    j = joins.anti_join(customer, orders, "c_custkey", "o_custkey")
+    return j.select("c_custkey", "c_name")
 
 
 def _q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -696,6 +738,16 @@ def _q_s_windowed_count_grace(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_stream(spark, sf, "events")
     wc = SW.windowed_count_stream(ev, "ts", ["event_type"], 10, grace_s=30)
     return run_available_now(spark, wc, _sink(), "append")
+
+
+def _q_s_windowed_sum_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """A3/W5 through the streaming runtime: watermarked tumbling SUM in
+    append mode (decimal-exact accumulation, same as the batch twin)."""
+    ev = load_stream(spark, sf, "events")
+    ws = SW.windowed_agg_stream(
+        ev, "ts", ["event_type"], 60, grace_s=0, sum_value=agg.exact_sum("value")
+    )
+    return run_available_now(spark, ws, _sink(), "append")
 
 
 def _q_s_session_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -1133,6 +1185,31 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _JACCARD_PAIRS.format(thr=0.8)),
     "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _JACCARD_PAIRS.format(thr=0.8)),
     "dedup_simhash": (_q_dedup_simhash, _simhash_md5_sql(3)),
+    # recursive CTE walks the same near-dup graph the Spark side closes
+    # with min-label propagation
+    "dedup_clusters": (_q_dedup_clusters, "WITH RECURSIVE " + _SHINGLES + """,
+        ex AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE len(s) > 0),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+        pairs AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+          FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        pr AS (
+          SELECT doc_a, doc_b FROM pairs p
+          JOIN sizes na ON p.doc_a = na.doc_id
+          JOIN sizes nb ON p.doc_b = nb.doc_id
+          WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.8
+        ),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION ALL SELECT doc_b, doc_a FROM pr),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """),
     "dedup_embedding_cosine": (_q_dedup_embedding_cosine, """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1163,6 +1240,52 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 10
     """),
     "sim_lsh_ann_topk": (_q_sim_lsh_ann_topk, _lsh_ann_md5_sql(k=10)),
+    # IVF: same integer-quantization trick — assignment and probing are
+    # exact int64 L2, so the inverted lists match bit-for-bit
+    "sim_ivf_topk": (_q_sim_ivf_topk, """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 [CAST(floor(x * 1000000.0) AS BIGINT)
+                  FOR x IN embedding::DOUBLE[]] AS q
+          FROM embeddings
+        ),
+        c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % 17 = 3),
+        ad AS (
+          SELECT e.vec_id, e.v, c.cid,
+                 list_sum([(e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])
+                           FOR i IN range(1, len(e.q) + 1)]) AS dist
+          FROM e CROSS JOIN c
+        ),
+        assign AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ad)
+          WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, v AS qv, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ad)
+          WHERE rn <= 4 AND vec_id % 100 = 0
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, p.qv, a.v AS cv
+          FROM assign a JOIN probes p
+            ON a.cid = p.cid AND a.vec_id <> p.query_id
+        ),
+        s AS (SELECT query_id, neighbor_id,
+                     list_inner_product(qv, cv)
+                       / (sqrt(list_inner_product(qv, qv))
+                          * sqrt(list_inner_product(cv, cv))) AS cs
+              FROM cand),
+        r AS (SELECT query_id, neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+                       AS INTEGER) AS rank,
+                     round(cs, 6) AS cos_sim
+              FROM s)
+        SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 10
+    """),
     # --- text analysis (north-star) ---
     "text_stats": (_q_text_stats, "WITH " + _TOKS + r""",
         pr AS (
@@ -1213,6 +1336,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
                count(*) AS n_rows
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """),
+    "extras_semi_join": (_q_extras_semi_join, """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """),
+    "extras_anti_join": (_q_extras_anti_join, """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """),
     "extras_topn_per_group": (_q_extras_topn_per_group, """
         SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
@@ -1322,6 +1455,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         )
         SELECT l.user_id, l.value, r.rvalue
         FROM l LEFT JOIN r ON l.event_type = r.event_type
+    """),
+    "s_windowed_sum_closed": (_q_s_windowed_sum_closed, f"""
+        SELECT * FROM (
+          SELECT {_win_start('ts', 60)} AS window_start_s, event_type,
+                 CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2)
+        WHERE window_start_s + 60 <= (SELECT {_epoch_s('max(ts)')} FROM events)
     """),
     "s_session_count": (_q_s_session_count, f"""
         WITH marked AS (

@@ -377,3 +377,65 @@ def dedup_embedding_cosine(
         cand.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --- duplicate clustering ---------------------------------------------------
+
+def dedup_clusters(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    pairs: DataFrame | None = None,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets the
+    MIN doc id of its duplicate cluster as cluster_id (the canonical
+    survivor a training pipeline keeps; singletons map to themselves).
+
+    Min-label propagation to fixpoint: labels start as own id; each
+    round every node takes the min of its own and its neighbors' labels.
+    Each round is one distributed join + partial-aggregating groupBy —
+    state never touches the driver; the driver only runs the O(diameter)
+    convergence loop (bounded by max_iter), checking a LIMIT-1 count per
+    round. Near-dup clusters have tiny diameters (pairs share content),
+    so 2-4 rounds converge in practice; for adversarial long-chain
+    graphs swap in alternating large-star/small-star (O(log n) rounds,
+    same per-round plan shape).
+    """
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(df, text, id_col, k=k, threshold=threshold)
+    fwd = pairs.select(F.col("doc_a").alias("_s"), F.col("doc_b").alias("_d"))
+    rev = pairs.select(F.col("doc_b").alias("_s"), F.col("doc_a").alias("_d"))
+    edges = fwd.union(rev).persist()
+    # localCheckpoint each round: iterative self-referencing plans grow
+    # exponentially otherwise (round i embeds all rounds < i), blowing
+    # the driver heap around ~8 iterations. Checkpointing materializes
+    # the labels and truncates lineage — the standard Spark pattern for
+    # fixpoint algorithms.
+    lab = df.select(
+        F.col(id_col).alias("_id"), F.col(id_col).alias("_lab")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = edges.join(lab, edges["_s"] == lab["_id"]).select(
+            F.col("_d").alias("_id"), F.col("_lab")
+        )
+        new = (
+            lab.unionByName(prop)
+            .groupBy("_id")
+            .agg(F.min("_lab").alias("_lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "_id")
+            .filter(F.col("n._lab") != F.col("o._lab"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return lab.select(F.col("_id").alias(id_col), F.col("_lab").alias("cluster_id"))

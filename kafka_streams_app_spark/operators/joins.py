@@ -199,3 +199,34 @@ def salted_join(
         r, (l[left_key] == r[right_key]) & (l["_salt"] == r["_salt"]), how
     )
     return j.drop("_salt")
+
+
+def semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """LEFT SEMI join: left rows with >=1 match, right columns dropped.
+
+    Not in the reference surface (SURVEY §2.5: no semi/anti joins) —
+    free Spark extension. Semi beats inner+distinct at scale: the right
+    side deduplicates inside the join (no post-join explosion), and a
+    broadcast semi join never shuffles the left side at all.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, left[left_key] == r[right_key], "left_semi")
+
+
+def anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """LEFT ANTI join: left rows with NO match (NOT EXISTS). The
+    relational complement of semi_join; same broadcast/shuffle notes."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, left[left_key] == r[right_key], "left_anti")

@@ -191,3 +191,76 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    centroid_mod: tuple[int, int] = (17, 3),
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the other classic scale path next to LSH.
+
+    Coarse quantizer = a deterministic corpus sample (id % m == r — at
+    ~sqrt(n) centroids this is the standard random-sample codebook;
+    k-means refinement would only move centroids, not the mechanism).
+    Every corpus vector is assigned to its nearest centroid by EXACT
+    integer L2 over floor(v*1e6) quantization (ties -> lowest centroid
+    id), so ANY engine reproduces identical inverted lists — the DuckDB
+    oracle recomputes the full pipeline. Queries probe their nprobe
+    nearest centroids' lists; candidates are reranked by exact cosine.
+
+    Scale: the codebook is O(sqrt(n)) rows pulled once to the driver —
+    the standard coarse-quantizer distribution step (bounded, not a
+    data-path collect); assignment is one Arrow-batched einsum per
+    partition (no shuffle); the candidate join shuffles only on the
+    centroid id, with per-list cost n/n_centroids * nprobe per query.
+    """
+    cent_rows = sorted(
+        (r[0], list(r[1]))
+        for r in corpus.filter(
+            F.col(id_col) % centroid_mod[0] == centroid_mod[1]
+        ).select(id_col, as_double(F.col(vec_col))).collect()
+    )
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.floor(
+        np.array([v for _, v in cent_rows], dtype=np.float64) * 1e6
+    ).astype(np.int64)
+
+    def _qmat(vs: "pd.Series") -> "np.ndarray":
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return np.floor(m * 1e6).astype(np.int64)
+
+    @pandas_udf("long")
+    def assign(vs: "pd.Series") -> "pd.Series":
+        d = ((_qmat(vs)[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(cids[np.argmin(d, axis=1)])  # ties: first = lowest cid
+
+    @pandas_udf("array<long>")
+    def probes(vs: "pd.Series") -> "pd.Series":
+        d = ((_qmat(vs)[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # stable: cid order on ties
+        return pd.Series([cids[i] for i in idx])
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    c = c.withColumn("_cl", assign(F.col("_cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    q = q.select("query_id", "_qv", F.explode(probes(F.col("_qv"))).alias("_cl"))
+    cand = c.join(
+        F.broadcast(q),
+        on=(c["_cl"] == q["_cl"]) & (c["neighbor_id"] != q["query_id"]),
+    ).select("query_id", "neighbor_id", "_qv", "_cv")
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -14,3 +14,8 @@ def spark():
     s = get_spark(app_name="kafka-streams-app-spark-tests", shuffle_partitions=4)
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.01"

@@ -15,20 +15,14 @@ import __spark_entry__ as entry_mod
 from kafka_streams_app_spark.engine import get_spark
 from kafka_streams_app_spark.plans import audit_registry
 
-# streaming entries run a query to completion just to build a plan; the
-# batch plans cover the same operators, so skip them here
-SKIP = {
-    "s_windowed_count_closed", "s_count_complete", "s_dedup_within_watermark",
-    "s_stream_stream_join", "s_ktable_latest",
-}
-
-
 def main() -> int:
     spark = get_spark(shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    reports = audit_registry(
-        spark, entry_mod.queries(), "/root/testdata/sf0.01", skip=SKIP
-    )
+    qs = entry_mod.queries()
+    # streaming entries run a query to completion just to build a plan;
+    # the batch plans cover the same operators, so skip them here
+    skip = {n for n in qs if n.startswith("s_")}
+    reports = audit_registry(spark, qs, "/root/testdata/sf0.01", skip=skip)
     bad = 0
     hdr = f"{'query':32} {'pushF':>5} {'bcast':>5} {'shufJ':>5} {'exch':>4} " \
           f"{'cg':>3} {'pyArrow':>7} {'pyRow':>5}"
