@@ -47,3 +47,24 @@ def window_fetch_all(store: DataFrame, start_col: str, t_from, t_to) -> DataFram
     """Q5 — fetchAll(t1, t2): every key, windows in range
     (TopologiesTest.scala:60-70)."""
     return store.filter(F.col(start_col).between(F.lit(t_from), F.lit(t_to)))
+
+
+def key_routing(df: DataFrame, keys: list[str], num_partitions: int) -> DataFrame:
+    """Q6 analogue — metadata/routing: which partition owns a key.
+
+    The reference's MetadataService answers "which application instance
+    hosts the store partition for this key" and proxies remote lookups
+    (MetadataService.java:30-68, IQueriesService.java:84-87,104-109).
+    Spark has no multi-instance routing problem — the driver sees all
+    state — but the underlying question ("where does this key live")
+    maps to shuffle partition ownership: HashPartitioning routes a row
+    to pmod(murmur3_hash(keys), n), which is exactly F.hash. The
+    returned partition_id IS the task/state-store partition that owns
+    the key in any repartition(n, keys)-shaped exchange — pinned
+    against spark_partition_id() in tests/test_sinks_iq.py.
+    """
+    return df.select(
+        *keys,
+        F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_partitions))
+        .alias("partition_id"),
+    )

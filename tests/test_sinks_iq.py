@@ -88,3 +88,25 @@ def test_to_topic_memory_and_parquet(spark, tmp_path):
     assert mem == pq == {("a", 1), ("b", 2)}
     q1.stop()
     q2.stop()
+
+
+def test_key_routing_matches_actual_partition_placement(spark):
+    """Q6 analogue: pmod(murmur3, n) must equal the partition a
+    repartition(n, key) exchange actually routes each row to — the
+    Spark-native answer to MetadataService.queryMetadataForKey."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_app_spark.operators.iq import key_routing
+
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("user-"), F.col("id")).alias("key")
+    )
+    n = 7
+    predicted = key_routing(df, ["key"], n)
+    actual = (
+        df.repartition(n, "key")
+        .select("key", F.spark_partition_id().alias("pid"))
+    )
+    joined = predicted.join(actual, "key")
+    assert joined.filter(F.col("partition_id") != F.col("pid")).count() == 0
+    assert joined.count() == 1000
