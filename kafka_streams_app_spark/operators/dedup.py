@@ -394,15 +394,15 @@ def dedup_clusters(
     MIN doc id of its duplicate cluster as cluster_id (the canonical
     survivor a training pipeline keeps; singletons map to themselves).
 
-    Min-label propagation to fixpoint: labels start as own id; each
-    round every node takes the min of its own and its neighbors' labels.
-    Each round is one distributed join + partial-aggregating groupBy —
-    state never touches the driver; the driver only runs the O(diameter)
-    convergence loop (bounded by max_iter), checking a LIMIT-1 count per
-    round. Near-dup clusters have tiny diameters (pairs share content),
-    so 2-4 rounds converge in practice; for adversarial long-chain
-    graphs swap in alternating large-star/small-star (O(log n) rounds,
-    same per-round plan shape).
+    Min-label propagation with pointer doubling: each round every node
+    takes the min of its own and its neighbors' labels, then jumps to
+    its label's label (label(x) <- label(label(x))), which halves chain
+    lengths — convergence in O(log diameter) rounds, so max_iter=20
+    covers diameters up to ~2^20 (pinned on long-path graphs in
+    tests/test_property_round3.py). Each round is two distributed
+    joins + a partial-aggregating groupBy — state never touches the
+    driver; the driver only runs the convergence loop, checking a
+    LIMIT-1 count per round.
     """
     if pairs is None:
         pairs = dedup_ngram_jaccard(df, text, id_col, k=k, threshold=threshold)
@@ -421,10 +421,20 @@ def dedup_clusters(
         prop = edges.join(lab, edges["_s"] == lab["_id"]).select(
             F.col("_d").alias("_id"), F.col("_lab")
         )
-        new = (
+        nbr = (
             lab.unionByName(prop)
             .groupBy("_id")
             .agg(F.min("_lab").alias("_lab"))
+        )
+        # pointer doubling: follow the label one hop (labels are always
+        # node ids, so the self-join always resolves)
+        jump = nbr.select(F.col("_id").alias("_jid"), F.col("_lab").alias("_jlab"))
+        new = (
+            nbr.join(jump, nbr["_lab"] == jump["_jid"], "left")
+            .select(
+                "_id",
+                F.coalesce(F.col("_jlab"), F.col("_lab")).alias("_lab"),
+            )
             .localCheckpoint()
         )
         changed = (
