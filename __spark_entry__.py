@@ -1006,6 +1006,48 @@ def _q_tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT join + two-level aggregation (per-customer
+    order count, then the distribution of those counts). The outer join
+    keeps order-less customers in the c_count=0 bucket."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    j = customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q_tpch_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-filter (orders whose total quantity
+    exceeds a threshold) then join back to orders/customer, top 10.
+    The HAVING side is tiny after the filter -> broadcast join back."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(agg.exact_sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    j = (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.select("c_custkey", "o_orderkey",
+                 F.unix_seconds("o_orderdate").alias("o_orderdate_s"),
+                 "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- stateless transforms (T1-T5 + branch/merge) ---
     "t1_wordcount": (_q_t1_wordcount, "WITH " + _TOKS + """
@@ -1553,6 +1595,31 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
           AND l_shipdate < TIMESTAMP '1998-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """),
+    "tpch_q13_custdist": (_q_tpch_q13_custdist, """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN (
+            SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+            ON c_custkey = o.o_custkey
+          GROUP BY c_custkey)
+        GROUP BY c_count
+    """),
+    "tpch_q18_large_orders": (_q_tpch_q18_large_orders, """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 250
+        )
+        SELECT c_custkey, o_orderkey,
+               CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS o_orderdate_s,
+               o_totalprice, sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
     """),
     "tpch_q3_top_revenue": (_q_tpch_q3_top_revenue, """
         SELECT o_orderkey,

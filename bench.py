@@ -43,6 +43,8 @@ HEADLINE = [
     "tpch_q3_top_revenue",
     "tpch_q5_local_revenue",
     "tpch_q6_forecast_revenue",
+    "tpch_q13_custdist",
+    "tpch_q18_large_orders",
 ]
 
 
