@@ -633,6 +633,23 @@ def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.media_metadata(media)
 
 
+def _q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize stage through the Arrow mapInPandas pipeline (decode
+    stubbed as truncate-or-pad): with a 6x6=36-byte target every doc
+    (min 44 bytes at all SFs) truncates, so the DuckDB oracle can slice
+    the ASCII text and md5 the same bytes; the padding branch stays
+    pinned in pytest."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.text_as_media(docs, "doc_id", "text")
+    resized = multimodal.resize_stub(media, width=6, height=6)
+    return resized.select(
+        "media_id",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        "meta_json",
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature extraction (byte-histogram decode stub) with a
     canon-safe contract shape: posexplode the array<float> feature to
@@ -1418,6 +1435,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT doc_id AS media_id, 'image' AS media_type,
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                substring(md5(text), 1, 8) AS digest8
+        FROM documents
+    """),
+    "multimodal_resize": (_q_multimodal_resize, """
+        SELECT doc_id AS media_id, CAST(36 AS INTEGER) AS n_bytes,
+               md5(substring(text, 1, 36)) AS payload_md5,
+               '{"resized": [6, 6]}' AS meta_json
         FROM documents
     """),
     # byte-histogram oracle over the text payload (docs are pure ASCII,

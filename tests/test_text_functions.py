@@ -93,3 +93,18 @@ def test_sample_frames_stub_fanout(spark):
         0, 2, 4, 6, 8,
     ]
     assert all(len(f["frame"]) == 256 for f in frames)
+
+
+def test_resize_stub_pads_short_payloads(spark):
+    """Payloads shorter than the target are zero-padded to exactly
+    width*height bytes (the branch the contract entry's truncate-only
+    configuration never hits)."""
+    from kafka_streams_app_spark.operators.multimodal import resize_stub, text_as_media
+
+    docs = spark.createDataFrame([(1, "ab"), (2, "x" * 100)], "doc_id long, text string")
+    out = {
+        r["media_id"]: r["payload"]
+        for r in resize_stub(text_as_media(docs, "doc_id", "text"), 4, 4).collect()
+    }
+    assert out[1] == b"ab" + b"\x00" * 14
+    assert out[2] == b"x" * 16
