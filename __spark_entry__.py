@@ -757,6 +757,41 @@ def _q_s_windowed_count_grace(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, wc, _sink(), "append")
 
 
+def _q_s_stream_table_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 INCREMENTAL: KStream⋈KTable enrichment-at-arrival as a
+    stateful streaming operator (TopologiesTest.scala:421-435) — clicks
+    enriched with the latest purchase AT CLICK TIME, which is exactly
+    the as-of semantics, so the oracle is j4's ASOF LEFT JOIN. Dual
+    path: TWS when workers have protobuf, grouped replay otherwise."""
+    from kafka_streams_app_spark.streaming.stream_table import (
+        stream_table_join_batch,
+        stream_table_join_stream,
+    )
+
+    use_tws = tws_available(spark)
+    load = load_stream if use_tws else load_table
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("seq")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+        F.unix_micros("ts").alias("seq"),
+    )
+    kwargs = dict(
+        key="user_id", stream_payload=["event_id", "value"],
+        table_payload=["purchase_event_id", "purchase_value"], how="left",
+    )
+    if use_tws:
+        j = stream_table_join_stream(clicks, purchases, **kwargs)
+        j = run_available_now(spark, j, _sink(), "append")
+    else:
+        j = stream_table_join_batch(clicks, purchases, **kwargs)
+    return j.select("event_id", "value", "purchase_event_id", "purchase_value")
+
+
 def _q_s_windowed_sum_closed(spark: SparkSession, sf: str) -> DataFrame:
     """A3/W5 through the streaming runtime: watermarked tumbling SUM in
     append mode (decimal-exact accumulation, same as the batch twin)."""
@@ -1520,6 +1555,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         )
         SELECT l.user_id, l.value, r.rvalue
         FROM l LEFT JOIN r ON l.event_type = r.event_type
+    """),
+    "s_stream_table_join": (_q_s_stream_table_join, """
+        SELECT l.event_id, l.value,
+               r.event_id AS purchase_event_id, r.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """),
     "s_windowed_sum_closed": (_q_s_windowed_sum_closed, f"""
         SELECT * FROM (

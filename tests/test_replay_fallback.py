@@ -89,3 +89,39 @@ def test_batch_fk_join_two_stage_resubscription(spark):
         ("p1", "upsert", "three stripes", "US"),  # sub(nike) joins
         ("p1", "delete", None, None),             # delete: ONE retraction
     ]
+
+
+def test_batch_stream_table_join_arrival_time_semantics(spark):
+    """J4 incremental: a stream record sees the table value current at
+    its arrival — later table updates do NOT retro-enrich, a tombstone
+    clears the value (left -> null; inner -> dropped), and a table
+    update at exactly the stream record's seq IS visible."""
+    from kafka_streams_app_spark.streaming.stream_table import (
+        stream_table_join_batch,
+    )
+
+    stream = spark.createDataFrame(
+        [("k", 100, 1), ("k", 200, 3), ("k", 300, 5), ("k", 400, 6)],
+        "key string, sv long, seq long",
+    )
+    table = spark.createDataFrame(
+        [("k", "t1", 2, False), ("k", "t2", 3, False), ("k", None, 4, True)],
+        "key string, tv string, seq long, dele boolean",
+    )
+    kwargs = dict(key="key", stream_payload=["sv"], table_payload=["tv"])
+    left = {
+        (r["sv"], r["tv"])
+        for r in stream_table_join_batch(
+            stream, table, how="left", table_tombstone="dele", **kwargs
+        ).collect()
+    }
+    # sv=100 before any table value; sv=200 at the same seq as t2 (visible);
+    # sv=300/400 after the tombstone
+    assert left == {(100, None), (200, "t2"), (300, None), (400, None)}
+    inner = {
+        (r["sv"], r["tv"])
+        for r in stream_table_join_batch(
+            stream, table, how="inner", table_tombstone="dele", **kwargs
+        ).collect()
+    }
+    assert inner == {(200, "t2")}
