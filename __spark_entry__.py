@@ -802,6 +802,25 @@ def _q_s_windowed_sum_closed(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, ws, _sink(), "append")
 
 
+def _q_s_hopping_count_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 through the streaming runtime: hopping windows (20s size,
+    10s slide) in append mode — every overlapping window emits once its
+    end passes the final watermark."""
+    ev = load_stream(spark, sf, "events")
+    wc = SW.windowed_count_stream(ev, "ts", ["event_type"], 20, grace_s=0, slide_s=10)
+    return run_available_now(spark, wc, _sink(), "append")
+
+
+def _q_s_session_count_grace(spark: SparkSession, sf: str) -> DataFrame:
+    """W4+W2: session windows WITH a 2h grace — a session closes only
+    when stream time passes last_event + gap + grace, so every session
+    reaching into the final 2h of stream time stays suppressed (a
+    clearly discriminating subset of the zero-grace result)."""
+    ev = load_stream(spark, sf, "events")
+    sc = SW.session_count_stream(ev, "ts", ["user_id"], 3600, grace_s=7200)
+    return run_available_now(spark, sc, _sink(), "append")
+
+
 def _q_s_session_count(spark: SparkSession, sf: str) -> DataFrame:
     """W4 streaming sessions in append mode: a session emits once the
     watermark (max event time, zero grace) passes its end (last+gap);
@@ -1517,6 +1536,33 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         JOIN (SELECT * FROM events WHERE event_type = 'click') r
           ON l.user_id = r.user_id
          AND r.ts BETWEEN l.ts - INTERVAL 21600 SECOND AND l.ts + INTERVAL 21600 SECOND
+    """),
+    "s_hopping_count_closed": (_q_s_hopping_count_closed, f"""
+        SELECT * FROM (
+          SELECT ws AS window_start_s, event_type, count(*) AS cnt
+          FROM (SELECT event_type,
+                       unnest([{_win_start('ts', 10)}, {_win_start('ts', 10)} - 10]) AS ws
+                FROM events)
+          GROUP BY 1, 2)
+        WHERE window_start_s + 20 <= (SELECT {_epoch_s('max(ts)')} FROM events)
+    """),
+    "s_session_count_grace": (_q_s_session_count_grace, f"""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 3600 SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), islands AS (
+          SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id, {_epoch_s('min(ts)')} AS session_start_s, count(*) AS cnt
+        FROM islands GROUP BY user_id, sid
+        HAVING max(ts) + INTERVAL 10800 SECOND <= (SELECT max(ts) FROM events)
     """),
     "s_interval_join_left": (_q_s_interval_join_left, """
         SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
