@@ -33,7 +33,7 @@ _ensure_vendor_pythonpath()
 from kafka_streams_app_spark.functions import text as T
 from kafka_streams_app_spark.operators import aggregations as agg
 from kafka_streams_app_spark.operators import dedup, iq, joins, ktable, multimodal
-from kafka_streams_app_spark.operators import similarity, stateless
+from kafka_streams_app_spark.operators import pipeline, similarity, stateless
 from kafka_streams_app_spark.sources.catalog import load_stream, load_table
 from kafka_streams_app_spark.streaming import windows as SW
 from kafka_streams_app_spark.streaming.harness import run_available_now
@@ -590,6 +590,54 @@ def _q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over a reconstructed log line (props + uid + an email +
+    a URL built from event fields — the synthetic corpus has no native
+    PII, so the entry manufactures a deterministic log-shaped string and
+    the oracle re-runs the identical 3-stage redaction on it)."""
+    ev = load_table(spark, sf, "events")
+    uid = F.col("user_id").cast("string")
+    line = F.concat(
+        F.col("props"), F.lit(" uid="), uid,
+        F.lit(" mail=u"), uid, F.lit("@example.com"),
+        F.lit(" http://ex.com/p?id="), uid,
+    )
+    out = ev.select("event_id", T.scrub_pii(line).alias("p"))
+    return out.select(
+        "event_id",
+        F.col("p.scrubbed").alias("scrubbed"),
+        F.col("p.n_email").alias("n_email"),
+        F.col("p.n_url").alias("n_url"),
+        F.col("p.n_number").alias("n_number"),
+    )
+
+
+def _q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample (down-weight en,
+    keep most de): membership is a pure function of doc_id, re-drawable
+    by the oracle from the same md5 bucket."""
+    docs = load_table(spark, sf, "documents")
+    sampled = pipeline.stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 0.2, "de": 0.8}, "doc_id",
+        default_rate=0.1,
+    )
+    return sampled.select("doc_id", "lang")
+
+
+def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous-fill packing of documents into 2048-token training
+    bins per language (shards=1 so the oracle's single window matches;
+    shards>=cores is the 100 TB layout — operators/pipeline.py)."""
+    docs = load_table(spark, sf, "documents")
+    sized = docs.select(
+        "doc_id", "lang", T.token_count("text").alias("n_tokens")
+    )
+    packed = pipeline.pack_sequences(
+        sized, "lang", "doc_id", "n_tokens", capacity=2048
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "bin_id", "bin_offset")
+
+
 def _q_extras_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Free Spark extra (SURVEY §2.3 'not in reference'): ROLLUP
     subtotals over the pricing summary dimensions."""
@@ -1077,6 +1125,50 @@ def _q_tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q4_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join (the
+    synthetic lineitem lacks commit/receipt dates, so the existence
+    predicate is a quantity threshold). The semi join shuffles only the
+    distinct right keys — no fact-fact row blowup."""
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") >= 45)
+    j = joins.semi_join(orders, li, "o_orderkey", "l_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def _q_tpch_q14_promo(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + conditional aggregate
+    (promo share of one month's revenue). The 6dp ratio uses
+    floor(x*1e6+0.5) half-up on identically-derived doubles so both
+    engines round the same way."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    disc = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(30,6)")
+    a = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc)).cast("double")
+         .alias("promo_revenue"),
+        F.sum(disc).cast("double").alias("total_revenue"),
+    )
+    return a.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.floor(F.lit(100.0) * F.col("promo_revenue")
+                 / F.col("total_revenue") * F.lit(1000000.0) + F.lit(0.5))
+         / F.lit(1000000.0)).alias("promo_pct_6dp"),
+    )
+
+
 def _q_tpch_q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q13 shape: LEFT join + two-level aggregation (per-customer
     order count, then the distribution of those counts). The outer join
@@ -1443,6 +1535,63 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM documents
     """),
     "text_winnowing": (_q_text_winnowing, _winnowing_md5_sql()),
+    "text_pii_scrub": (_q_text_pii_scrub, r"""
+        WITH lines AS (
+          SELECT event_id,
+                 props || ' uid=' || CAST(user_id AS VARCHAR)
+                       || ' mail=u' || CAST(user_id AS VARCHAR)
+                       || '@example.com'
+                       || ' http://ex.com/p?id=' || CAST(user_id AS VARCHAR)
+                   AS line
+          FROM events
+        ), s1 AS (
+          SELECT event_id,
+                 CAST(len(regexp_extract_all(line,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                   AS n_email,
+                 regexp_replace(line,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+          FROM lines
+        ), s2 AS (
+          SELECT event_id, n_email,
+                 CAST(len(regexp_extract_all(t1, 'https?://[^\s]+')) AS INT)
+                   AS n_url,
+                 regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+          FROM s1
+        )
+        SELECT event_id,
+               regexp_replace(t2, '[0-9]{2,}', '<NUM>', 'g') AS scrubbed,
+               n_email, n_url,
+               CAST(len(regexp_extract_all(t2, '[0-9]{2,}')) AS INT)
+                 AS n_number
+        FROM s2
+    """),
+    "sample_stratified": (_q_sample_stratified, """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 10000
+              < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
+                          WHEN 'de' THEN 8000 ELSE 1000 END
+    """),
+    "pack_sequences": (_q_pack_sequences, r"""
+        WITH sized AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                      x -> x <> '')) AS INT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      - n_tokens AS BIGINT) AS start
+          FROM sized
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(start / 2048) AS BIGINT) AS bin_id,
+               start % 2048 AS bin_offset
+        FROM c
+    """),
     # --- free Spark extras (beyond the reference surface) ---
     "extras_rollup": (_q_extras_rollup, """
         SELECT l_returnflag, l_linestatus,
@@ -1706,6 +1855,33 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
           AND l_shipdate < TIMESTAMP '1998-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """),
+    "tpch_q4_priority": (_q_tpch_q4_priority, """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        GROUP BY 1
+    """),
+    "tpch_q14_promo": (_q_tpch_q14_promo, """
+        WITH a AS (
+          SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(30,6)) END) AS DOUBLE)
+                   AS promo_revenue,
+                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                   AS total_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+        )
+        SELECT promo_revenue, total_revenue,
+               floor(100.0 * promo_revenue / total_revenue * 1000000.0
+                     + 0.5) / 1000000.0 AS promo_pct_6dp
+        FROM a
     """),
     "tpch_q13_custdist": (_q_tpch_q13_custdist, """
         SELECT c_count, count(*) AS custdist FROM (

@@ -129,6 +129,39 @@ def bpe_token_estimate(text: str | Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), F.lit(0)))
 
 
+# PII patterns restricted to the syntax Java regex and RE2 share (no
+# lookaround, no backrefs) so the identical pattern runs JVM-side here
+# and in any RE2-based auditor (DuckDB/Go). Ordered: emails first (an
+# address contains digits), then URLs (paths contain digits), then bare
+# digit runs >= 2 over whatever text remains.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("number", r"[0-9]{2,}", "<NUM>"),
+]
+
+
+def scrub_pii(text: str | Column) -> Column:
+    """Sequential PII redaction: struct(scrubbed, n_email, n_url,
+    n_number).
+
+    Each pattern's count is taken over the text as it stands when that
+    pattern is applied (emails are counted/redacted before their digits
+    can be double-counted as numbers). Pure regexp column expressions —
+    the scrub runs inside the scan stage at corpus scale, no shuffle,
+    no Python. Redaction is pattern-based, not a PII *detector*: recall
+    is bounded by the pattern list, which callers extend per corpus.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    fields = []
+    for name, pat, repl in PII_PATTERNS:
+        fields.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        c = F.regexp_replace(c, pat, repl)
+    return F.struct(c.alias("scrubbed"), *fields)
+
+
 def token_hashes(
     toks: Column, p: int = (1 << 31) - 1, hash_fn: str = "xxhash64"
 ) -> Column:

@@ -1,0 +1,117 @@
+"""Training-data pipeline stages: deterministic sampling and sequence
+packing (BASELINE.json north-star: large-scale LLM data preparation).
+
+Both operators are pure Column/Window plans — no Python in the hot path —
+and both are *deterministic*: re-running the pipeline over the same corpus
+reproduces the same sample / the same bins, which is what makes a 100 TB
+data build auditable and resumable.
+
+Scale design:
+- stratified_sample is embarrassingly parallel (a per-row hash test that
+  evaluates inside the parquet scan stage; the strata rates live in a
+  literal CASE expression, no join, no shuffle).
+- pack_sequences needs a per-stratum prefix sum, i.e. a sort within each
+  stratum. A naive Window.partitionBy(stratum) puts an entire stratum in
+  ONE task — at 100 TB a majority language would be a single 50 TB
+  partition. The `shards` knob splits every stratum into `shards`
+  hash-sub-strata that pack independently (bin ids are namespaced by
+  shard), restoring full parallelism: packing does not require global
+  contiguity, only that each emitted bin is <= capacity, which holds
+  per-shard. Use shards >= cluster cores at scale; shards=1 keeps the
+  single-sequence layout for small corpora and for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Number of hash buckets the sampling rates are quantized to. 10_000
+#: buckets -> rates are exact multiples of 0.01%.
+SAMPLE_BUCKETS = 10_000
+
+
+def portable_bucket(col: Column, n: int) -> Column:
+    """Deterministic bucket in [0, n): 60-bit integer derived from the
+    md5 hex prefix of the column's string form, mod n.
+
+    Engine-portable by construction — DuckDB computes the identical
+    bucket as ``CAST('0x' || substring(md5(CAST(x AS VARCHAR)),1,15) AS
+    BIGINT) % n`` — so a sample drawn by this engine can be re-drawn (or
+    audited) by any SQL engine with md5. md5 here is a *partitioner*,
+    not a security boundary.
+    """
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff its
+    id's hash bucket falls below rate * SAMPLE_BUCKETS for the row's
+    stratum.
+
+    Unlike df.sample(), membership is a pure function of (id, rates):
+    stable across runs, cluster sizes, and partitionings — the property
+    a reproducible training-data mix needs (e.g. down-weighting a
+    dominant language). Rates are quantized to 1/SAMPLE_BUCKETS.
+    """
+    bucket = portable_bucket(F.col(id_col), SAMPLE_BUCKETS)
+    thr: Column = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    strata_col: str,
+    order_col: str,
+    size_col: str,
+    capacity: int,
+    shards: int = 1,
+) -> DataFrame:
+    """Contiguous-fill sequence packing: within each stratum (ordered by
+    `order_col`) assign each row to bin ``floor(start_offset /
+    capacity)`` where start_offset is the running sum of `size_col`
+    before the row.
+
+    This is the streaming-concat packing used to build fixed-length LLM
+    training sequences from variable-length documents: bins are filled
+    in order and a document whose start offset lands in bin b belongs to
+    b (documents longer than `capacity` still get exactly one bin — the
+    consumer splits them; `bin_offset` gives the position of the row's
+    first token within its bin).
+
+    Output: input columns + `shard`, `bin_id`, `bin_offset`. Bin ids are
+    per-(stratum, shard); see the module docstring for why shards > 1 is
+    the 100 TB configuration.
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    shard = (
+        portable_bucket(F.col(order_col), shards) if shards > 1 else F.lit(0)
+    ).cast("int")
+    out = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy(strata_col, "shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(size_col).over(w) - F.col(size_col)).cast("long")
+    return (
+        out.withColumn("_start", start)
+        .withColumn("bin_id", F.floor(F.col("_start") / capacity))
+        .withColumn("bin_offset", (F.col("_start") % capacity).cast("long"))
+        .drop("_start")
+    )
