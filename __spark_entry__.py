@@ -590,6 +590,23 @@ def _q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_extras_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew tool on the contract surface: events keyed by event_type (5
+    ultra-hot keys — the pathological-skew shape) joined through
+    salted_join, which spreads each hot key over 8 sub-keys. The oracle
+    is the UNSALTED join: salting must be invisible in the result."""
+    ev = load_table(spark, sf, "events")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_cnt"))
+        .withColumnRenamed("event_type", "et")
+    )
+    j = joins.salted_join(
+        ev.select("event_id", "event_type"), dim, "event_type", "et", salt=8
+    )
+    return j.select("event_id", "event_type", "type_cnt")
+
+
 def _q_text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub over a reconstructed log line (props + uid + an email +
     a URL built from event fields — the synthetic corpus has no native
@@ -1535,6 +1552,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM documents
     """),
     "text_winnowing": (_q_text_winnowing, _winnowing_md5_sql()),
+    "extras_salted_join": (_q_extras_salted_join, """
+        WITH dim AS (
+          SELECT event_type AS et, count(*) AS type_cnt
+          FROM events GROUP BY 1
+        )
+        SELECT event_id, event_type, type_cnt
+        FROM events JOIN dim ON event_type = et
+    """),
     "text_pii_scrub": (_q_text_pii_scrub, r"""
         WITH lines AS (
           SELECT event_id,

@@ -39,6 +39,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "text_quality",
+    "text_pii_scrub",
+    "pack_sequences",
     "tpch_q1_pricing",
     "tpch_q3_top_revenue",
     "tpch_q5_local_revenue",
