@@ -163,3 +163,61 @@ def test_pack_sequences_rejects_bad_shards(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError):
         pipeline.pack_sequences(docs, "lang", "doc_id", "n_chars", CAP, shards=0)
+
+
+# ---------------------------------------------------------------------------
+# randomized property pins (seeded bulk cases, one Spark evaluation each —
+# the style of test_property_round3.py)
+# ---------------------------------------------------------------------------
+
+def test_scrub_pii_random_ascii_vs_python_re(spark):
+    """300 random printable-ASCII strings (plus planted emails/URLs/
+    numbers): the JVM regex pipeline must agree with Python re on every
+    one. Printable ASCII only — the PII patterns are ASCII classes, and
+    ASCII is where Java regex, RE2, and Python re provably coincide."""
+    import random
+    rng = random.Random(31)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789 .@:/%+-_?=&#!,;'\"()"
+    )
+    plants = ["bob@x-corp.co.uk", "https://a.b/c?d=9", "http://q.io", "12345",
+              "x@y", "@@", "http:// ", "a.b@c.d.e.fg", "99"]
+    cases = []
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        if rng.random() < 0.5:
+            pos = rng.randrange(0, len(s) + 1)
+            s = s[:pos] + rng.choice(plants) + s[pos:]
+        cases.append(s)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "id int, line string"
+    )
+    got = {
+        r["id"]: (r["p"]["scrubbed"], r["p"]["n_email"], r["p"]["n_url"],
+                  r["p"]["n_number"])
+        for r in df.select("id", T.scrub_pii("line").alias("p")).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == scrub_reference(s), f"case {i}: {s!r}"
+
+
+def test_pack_sequences_random_sizes_vs_reference(spark):
+    """Random (stratum, size) tables incl. zero-size and over-capacity
+    rows: bin assignment must equal the Python prefix-sum reference."""
+    import random
+    rng = random.Random(47)
+    rows = [
+        (i, rng.choice(["a", "b", "c"]),
+         rng.choice([0, 1, 7, 63, CAP - 1, CAP, CAP + 13, 3 * CAP]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k int, stratum string, size int")
+    packed = pipeline.pack_sequences(df, "stratum", "k", "size", CAP)
+    got = packed.select("k", "stratum", "size", "bin_id", "bin_offset").collect()
+    by_s: dict[str, list[tuple[int, int]]] = {}
+    for k, stratum, size in rows:
+        by_s.setdefault(stratum, []).append((k, size))
+    refs = {s: pack_reference(v, CAP) for s, v in by_s.items()}
+    for r in got:
+        assert (r["bin_id"], r["bin_offset"]) == refs[r["stratum"]][r["k"]], r
