@@ -1,0 +1,156 @@
+"""Scale smoke: measure how the heavy operators scale when the corpus
+grows 10x (sf0.1 -> ~sf1, the largest dataset this box holds comfortably).
+
+Usage: python tools/scale_smoke.py [multiplier]
+
+Builds a ~sf1 dataset in .scratch/ by unioning sf0.1 `multiplier` times
+with content made DISJOINT across replicas:
+- documents: ids shifted AND every token prefixed with a replica tag
+  (via tokens->transform->rejoin), so replicas share no shingles —
+  otherwise each doc would gain (multiplier-1) near-duplicates and the
+  dedup pair count would grow quadratically instead of linearly, which
+  would measure the data construction, not the engine.
+- events / lineitem / embeddings: key columns shifted per replica;
+  value distributions untouched (aggregation group counts stay fixed,
+  rows per group grow linearly — the pure scan/shuffle scaling shape).
+
+Prints one JSON line per query: seconds at sf0.1, seconds at the
+multiplied scale, and the time ratio. A scan-bound operator should show
+ratio ~= multiplier x (single-pass), sublinear where fixed overheads
+(session, Python UDF spin-up, stage scheduling) dominate at sf0.1;
+a super-multiplier ratio flags a quadratic term — the regression this
+tool exists to catch.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from kafka_streams_app_spark.engine import get_spark
+from kafka_streams_app_spark.sources.catalog import load_table
+
+from pyspark.sql import functions as F
+
+BASE = "/root/testdata/sf0.1"
+SCRATCH = Path("/root/repo/.scratch/scale_smoke")
+
+QUERIES = [
+    "t1_wordcount",          # explode + agg over documents
+    "text_pii_scrub",        # pure regex scan
+    "pack_sequences",        # per-stratum window prefix sum
+    "a2_windowed_count",     # window bucketing + agg over events
+    "tpch_q1_pricing",       # decimal scan-agg over lineitem
+    "dedup_minhash_lsh",     # the heaviest: shingle+sig+band join+verify
+]
+
+ID_SHIFT = 1_000_000_000
+
+
+def build(spark, mult: int) -> str:
+    out = SCRATCH / f"x{mult}"
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+
+    docs = load_table(spark, BASE, "documents")
+    reps = []
+    for i in range(mult):
+        tag = F.lit(f"r{i}")
+        toks = F.filter(F.split(F.col("text"), r"\W+"), lambda t: t != "")
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * ID_SHIFT)).alias("doc_id"),
+                F.array_join(
+                    F.transform(toks, lambda t: F.concat(tag, t)), " "
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    _union_all(reps).write.parquet(str(out / "documents.parquet"))
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")  # keep raw nanos ts
+    _union_all([
+        ev.select(
+            (F.col("event_id") + F.lit(i * ID_SHIFT)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        for i in range(mult)
+    ]).write.parquet(str(out / "events.parquet"))
+
+    li = load_table(spark, BASE, "lineitem")
+    _union_all([
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * ID_SHIFT))
+        for i in range(mult)
+    ]).write.parquet(str(out / "lineitem.parquet"))
+
+    em = load_table(spark, BASE, "embeddings")
+    _union_all([
+        em.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        for i in range(mult)
+    ]).write.parquet(str(out / "embeddings.parquet"))
+
+    # small dims: symlink-equivalent copy so load_table finds them
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+        shutil.copy(f"{BASE}/{t}.parquet", out / f"{t}.parquet")
+    return str(out)
+
+
+def _union_all(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def timed(fn, *args) -> float:
+    t0 = time.monotonic()
+    fn(*args).write.format("noop").mode("overwrite").save()
+    return round(time.monotonic() - t0, 3)
+
+
+def _ann_fixed_queries(spark, sf_dir):
+    """lsh_ann_topk with the query set PINNED to the base replica
+    (vec_id < ID_SHIFT): the contract entry's `vec_id % 100 == 0` set
+    grows with the corpus, which would measure queries x corpus
+    (quadratic by construction) instead of corpus scaling."""
+    from kafka_streams_app_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
+    )
+    return similarity.lsh_ann_topk(
+        emb, queries_df, "vec_id", "embedding", dim=64, k=10, plane_fn="md5"
+    )
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    big_dir = build(spark, mult)
+    queries = entry_mod.queries()
+    runners = [(n, queries[n]) for n in QUERIES]
+    runners.append(("sim_lsh_ann_topk[fixed 50-query set]", _ann_fixed_queries))
+    for name, fn in runners:
+        fn(spark, BASE).write.format("noop").mode("overwrite").save()  # warm
+        base_s = timed(fn, spark, BASE)
+        big_s = timed(fn, spark, big_dir)
+        print(json.dumps({
+            "query": name, "mult": mult, "sec_sf01": base_s,
+            "sec_big": big_s,
+            "ratio": round(big_s / base_s, 2) if base_s else None,
+        }))
+
+
+if __name__ == "__main__":
+    main()
