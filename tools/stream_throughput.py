@@ -1,0 +1,126 @@
+"""Streaming throughput smoke: events/sec through the streaming runtime
+at ~1M input events (the reference is a STREAMING app — this measures
+the rates its topology shapes sustain on this engine, single node).
+
+Usage: python tools/stream_throughput.py [multiplier]
+
+Replays the scale_smoke events dataset (sf0.1 x multiplier) through
+four topology shapes via Trigger.AvailableNow into a noop sink:
+
+- stateless_project : mapValues-style projection (T2)
+- stateless_scrub   : 3-stage regex PII scrub (the heavy stateless op)
+- windowed_count    : watermarked tumbling count, append mode (W1/W5)
+- ktable_latest_tws : transformWithStateInPandas latest-per-key
+                      changelog (S2 incremental — the custom state
+                      machine; skipped when TWS workers lack protobuf)
+
+Prints one JSON line per shape: input rows, wall seconds, rows/sec.
+The reference publishes no throughput numbers (BASELINE.md) — these
+are the engine's own recorded rates; rerun per-round to catch
+regressions in the streaming path.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_app_spark.engine import get_spark
+from kafka_streams_app_spark.functions.text import scrub_pii
+from kafka_streams_app_spark.streaming import windows as SW
+from kafka_streams_app_spark.streaming.ktable import ktable_changelog_stream
+from kafka_streams_app_spark.streaming.replay import tws_available
+
+SCRATCH = Path("/root/repo/.scratch/scale_smoke")
+
+
+def stream_events(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-source stream over a (possibly multi-file) events parquet
+    dir; same nanos->timestamp normalization as sources.catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_path).schema
+    df = spark.readStream.schema(schema).parquet(events_path)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_noop(out_df: DataFrame, output_mode: str) -> float:
+    ckpt = tempfile.mkdtemp(prefix="tput_ckpt_")
+    t0 = time.monotonic()
+    q = (
+        out_df.writeStream.format("noop")
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return wall
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="stream-throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events_path = str(SCRATCH / f"x{mult}" / "events.parquet")
+    if not Path(events_path).exists():
+        import scale_smoke
+        scale_smoke.build(spark, mult)
+    n_rows = spark.read.parquet(events_path).count()
+
+    shapes: list[tuple[str, DataFrame, str]] = []
+    ev = stream_events(spark, events_path)
+    shapes.append((
+        "stateless_project",
+        ev.select("event_id", "user_id", (F.col("value") * F.col("value")).alias("sq")),
+        "append",
+    ))
+    ev2 = stream_events(spark, events_path)
+    shapes.append((
+        "stateless_scrub",
+        ev2.select("event_id", scrub_pii(F.col("props")).alias("p")),
+        "append",
+    ))
+    ev3 = stream_events(spark, events_path)
+    shapes.append((
+        "windowed_count",
+        SW.windowed_count_stream(ev3, "ts", ["event_type"], 10, grace_s=0),
+        "append",
+    ))
+    if tws_available(spark):
+        ev4 = stream_events(spark, events_path).select(
+            "user_id", "event_id", "value", "ts"
+        )
+        shapes.append((
+            "ktable_latest_tws",
+            ktable_changelog_stream(
+                ev4, ["user_id"], "event_id", ["event_id", "value"]
+            ),
+            "append",
+        ))
+    else:
+        print(json.dumps({"shape": "ktable_latest_tws", "skipped": "no TWS protobuf"}))
+
+    for name, out_df, mode in shapes:
+        wall = run_noop(out_df, mode)
+        print(json.dumps({
+            "shape": name, "rows_in": n_rows, "sec": round(wall, 2),
+            "rows_per_sec": int(n_rows / wall),
+        }))
+
+
+if __name__ == "__main__":
+    main()
