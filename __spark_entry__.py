@@ -1186,6 +1186,42 @@ def _q_tpch_q14_promo(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: fact joined through BOTH dimension chains
+    (supplier->nation, orders->customer->nation) with a disjunctive
+    nation-pair predicate, revenue by (supp_nation, cust_nation, year).
+    Both nation dims broadcast; the only shuffle is lineitem⋈orders."""
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    supplier = load_table(spark, sf, "supplier")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+              .cast("decimal(30,6)")).cast("double").alias("revenue"),
+    )
+
+
 def _q_tpch_q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q13 shape: LEFT join + two-level aggregation (per-customer
     order count, then the distribution of those counts). The outer join
@@ -1907,6 +1943,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                floor(100.0 * promo_revenue / total_revenue * 1000000.0
                      + 0.5) / 1000000.0 AS promo_pct_6dp
         FROM a
+    """),
+    "tpch_q7_nation_volume": (_q_tpch_q7_nation_volume, """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
     """),
     "tpch_q13_custdist": (_q_tpch_q13_custdist, """
         SELECT c_count, count(*) AS custdist FROM (
