@@ -655,6 +655,16 @@ def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return packed.select("doc_id", "lang", "n_tokens", "bin_id", "bin_offset")
 
 
+def _q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM-pipeline decontamination: corpus docs sharing >=1 8-token
+    shingle with the benchmark subset (doc_id % 7 == 0), with the count
+    of distinct shared shingles. The oracle recomputes the full
+    shingle-overlap join."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return pipeline.decontaminate(docs, bench, "text", "doc_id", k=8)
+
+
 def _q_extras_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Free Spark extra (SURVEY §2.3 'not in reference'): ROLLUP
     subtotals over the pricing summary dimensions."""
@@ -1627,6 +1637,28 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                CAST(len(regexp_extract_all(t2, '[0-9]{2,}')) AS INT)
                  AS n_number
         FROM s2
+    """),
+    "decontam_overlap": (_q_decontam_overlap, r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\W+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 8
+                      THEN list_distinct([array_to_string(t[i:i+7], ' ')
+                                          FOR i IN range(1, len(t) - 6)])
+                      ELSE [] END AS s
+          FROM toks
+        ), cex AS (
+          SELECT doc_id AS cid, unnest(s) AS sg FROM sh WHERE doc_id % 7 <> 0
+        ), bsh AS (
+          SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 7 = 0
+        )
+        SELECT cid AS doc_id, count(DISTINCT sg) AS n_shared
+        FROM cex JOIN bsh USING (sg)
+        GROUP BY 1
     """),
     "sample_stratified": (_q_sample_stratified, """
         SELECT doc_id, lang FROM documents

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kafka_streams_app_spark.functions.text import shingles_of_tokens, tokens
+
 #: Number of hash buckets the sampling rates are quantized to. 10_000
 #: buckets -> rates are exact multiples of 0.01%.
 SAMPLE_BUCKETS = 10_000
@@ -71,6 +73,48 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS))
         ).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document sharing at
+    least one k-token shingle with any benchmark document, report
+    (id, n_shared) — the number of DISTINCT corpus shingles that also
+    occur anywhere in the benchmark. Callers drop or down-weight the
+    flagged docs before training; k=8 is the span where accidental
+    natural-language overlap becomes unlikely (the convention of
+    published LLM decontamination pipelines).
+
+    Plan: explode both sides' distinct shingle sets, inner-join on the
+    shingle, count distinct per corpus id. The benchmark side is tiny
+    relative to the corpus (eval sets, not training sets) — its
+    exploded shingles broadcast, so the corpus is scanned ONCE with no
+    shuffle of document text; the only aggregation key is (id, shingle)
+    pairs that actually matched. Corpus rows whose id also appears in
+    the benchmark are excluded (self-overlap is not contamination).
+    """
+    c_sh = (
+        corpus.select(F.col(id_col).alias("_cid"), tokens(text_col).alias("_t"))
+        .select("_cid", F.explode(shingles_of_tokens(F.col("_t"), k)).alias("_s"))
+    )
+    b_ids = benchmark.select(F.col(id_col).alias("_bid")).distinct()
+    b_sh = (
+        benchmark.select(F.col(id_col).alias("_bid"), tokens(text_col).alias("_t"))
+        .select(F.explode(shingles_of_tokens(F.col("_t"), k)).alias("_s"))
+        .distinct()
+    )
+    hits = (
+        c_sh.join(F.broadcast(b_ids), c_sh["_cid"] == b_ids["_bid"], "left_anti")
+        .join(F.broadcast(b_sh), "_s")
+    )
+    return hits.groupBy(F.col("_cid").alias(id_col)).agg(
+        F.count_distinct("_s").alias("n_shared")
+    )
 
 
 def pack_sequences(

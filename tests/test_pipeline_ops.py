@@ -166,6 +166,54 @@ def test_pack_sequences_rejects_bad_shards(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_planted_overlap(spark):
+    """A corpus doc embedding an 8-token benchmark span is flagged with
+    the right shared-shingle count; disjoint docs and the benchmark's
+    own rows are not."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro words {span} trailing words here"),   # contains the span
+        (2, "totally different content with no overlap at all whatsoever"),
+        (100, f"benchmark question {span} benchmark answer"),  # benchmark doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") == 100)
+    got = {r["doc_id"]: r["n_shared"] for r in
+           pipeline.decontaminate(df, bench, "text", "doc_id", k=8).collect()}
+    assert 1 in got and 2 not in got and 100 not in got
+    assert got[1] == 1  # exactly the planted 8-gram is shared
+
+
+def test_decontaminate_matches_python_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    got = {r["doc_id"]: r["n_shared"] for r in
+           pipeline.decontaminate(docs, bench, "text", "doc_id", k=8).collect()}
+
+    import re as _re
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+
+    def sh8(text: str) -> set[str]:
+        t = [w for w in _re.split(r"\W+", text.lower()) if w]
+        return {" ".join(t[i:i + 8]) for i in range(len(t) - 7)}
+
+    bench_sh = set()
+    for did, text in rows:
+        if did % 7 == 0:
+            bench_sh |= sh8(text)
+    expect = {}
+    for did, text in rows:
+        if did % 7 != 0:
+            n = len(sh8(text) & bench_sh)
+            if n:
+                expect[did] = n
+    assert got == expect and len(expect) > 0
+
+
+# ---------------------------------------------------------------------------
 # randomized property pins (seeded bulk cases, one Spark evaluation each —
 # the style of test_property_round3.py)
 # ---------------------------------------------------------------------------
