@@ -675,6 +675,17 @@ def _q_extras_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_extras_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Free Spark extra (SURVEY §2.3): CUBE over two dimensions — all
+    four grouping sets in one pass (partial-aggregated before the
+    single shuffle, like any hash aggregate)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        agg.exact_sum("o_totalprice").alias("revenue"),
+    )
+
+
 def _q_extras_topn_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Free Spark extra: ranked top-3 orders per market segment
     (Window.partitionBy().orderBy() — SURVEY §2.7 'sorts/limits/top-k')."""
@@ -1598,6 +1609,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM documents
     """),
     "text_winnowing": (_q_text_winnowing, _winnowing_md5_sql()),
+    "extras_cube": (_q_extras_cube, """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """),
     "extras_salted_join": (_q_extras_salted_join, """
         WITH dim AS (
           SELECT event_type AS et, count(*) AS type_cnt
