@@ -1,0 +1,110 @@
+"""Checkpoint recovery: a stateful streaming query stopped mid-stream
+and restarted from the SAME checkpoint must carry its state forward —
+windows spanning the restart emit counts that include pre-restart rows,
+and committed input files are not re-ingested.
+
+This is the fault-tolerance contract the engine leans on at cluster
+scale (the reference gets the same from RocksDB + changelog topics —
+SURVEY §4.1); a restarted executor/driver must not double-count or
+forget. Uses the fault-tolerant FILE sink (the memory sink used by the
+test harness deliberately refuses checkpoint recovery)."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+from datetime import datetime, timezone
+
+from kafka_streams_app_spark.streaming import windows as SW
+
+
+def _ts(s: int):
+    return datetime.fromtimestamp(1_700_000_000 + s, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+SCHEMA = "key string, ts timestamp"
+
+
+def _start(spark, staging, checkpoint, out_dir):
+    src = spark.readStream.schema(SCHEMA).parquet(staging)
+    out = SW.windowed_count_stream(src, "ts", ["key"], 10, grace_s=0)
+    return (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def _read_out(spark, out_dir):
+    if not glob.glob(f"{out_dir}/*.parquet"):
+        return {}
+    return {
+        (r["key"], r["window_start_s"]): r["cnt"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def test_windowed_count_survives_restart(spark):
+    staging = tempfile.mkdtemp(prefix="ckpt_rec_src_")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_rec_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="ckpt_rec_out_")
+    try:
+        q = _start(spark, staging, checkpoint, out_dir)
+        # batch 1: three rows in window [0,10) — watermark stays at 4,
+        # nothing emitted yet
+        spark.createDataFrame(
+            [("a", _ts(0)), ("a", _ts(2)), ("b", _ts(4))], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        assert _read_out(spark, out_dir) == {}  # window still open
+        q.stop()
+
+        # restart from the same checkpoint
+        q2 = _start(spark, staging, checkpoint, out_dir)
+        # batch 2: one more row in [0,10) + a row at 15 that closes it
+        spark.createDataFrame(
+            [("a", _ts(7)), ("a", _ts(15))], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(staging)
+        q2.processAllAvailable()
+        got = _read_out(spark, out_dir)
+        q2.stop()
+        # the closed window counts rows from BOTH sides of the restart
+        assert got[("a", 1_700_000_000)] == 3  # 0, 2, 7
+        assert got[("b", 1_700_000_000)] == 1
+    finally:
+        for d in (staging, checkpoint, out_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_restart_does_not_recount_processed_files(spark):
+    """Restarting WITHOUT new data then adding only the closer row must
+    yield the same counts — committed input files are not re-ingested
+    (exactly-once over the file source's offset log)."""
+    staging = tempfile.mkdtemp(prefix="ckpt_rec2_src_")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_rec2_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="ckpt_rec2_out_")
+    try:
+        q = _start(spark, staging, checkpoint, out_dir)
+        spark.createDataFrame(
+            [("x", _ts(1)), ("x", _ts(3))], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        q.stop()
+
+        q2 = _start(spark, staging, checkpoint, out_dir)
+        q2.processAllAvailable()  # no new files: nothing to do
+        spark.createDataFrame([("x", _ts(12))], SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        q2.processAllAvailable()
+        got = _read_out(spark, out_dir)
+        q2.stop()
+        assert got[("x", 1_700_000_000)] == 2  # not 4: files not re-read
+    finally:
+        for d in (staging, checkpoint, out_dir):
+            shutil.rmtree(d, ignore_errors=True)
