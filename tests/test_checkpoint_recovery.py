@@ -81,6 +81,67 @@ def test_windowed_count_survives_restart(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_tws_ktable_state_survives_restart(spark):
+    """The transformWithStateInPandas latest-per-key state machine
+    restarted from its checkpoint must remember pre-restart values: an
+    update to a key written before the restart emits old_present=True
+    with the OLD payload (RocksDB state restored), not a fresh insert."""
+    import pytest
+
+    from kafka_streams_app_spark.streaming.ktable import ktable_changelog_stream
+    from kafka_streams_app_spark.streaming.replay import tws_available
+
+    if not tws_available(spark):
+        pytest.skip("TWS protobuf unavailable in this session")
+
+    staging = tempfile.mkdtemp(prefix="ckpt_tws_src_")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_tws_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="ckpt_tws_out_")
+    schema = "user_id long, event_id long, value double"
+
+    def start():
+        src = spark.readStream.schema(schema).parquet(staging)
+        changelog = ktable_changelog_stream(
+            src, ["user_id"], "event_id", ["event_id", "value"]
+        )
+
+        def write_batch(df, batch_id):  # idempotent per-batch dir
+            df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+        return (
+            changelog.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    try:
+        q = start()
+        spark.createDataFrame(
+            [(1, 10, 1.5), (2, 11, 2.5)], schema
+        ).coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        q.stop()
+
+        q2 = start()
+        spark.createDataFrame([(1, 12, 9.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        q2.processAllAvailable()
+        q2.stop()
+
+        rows = spark.read.option("basePath", out_dir).parquet(out_dir).collect()
+        upd = [r for r in rows if r["user_id"] == 1 and r["new_event_id"] == 12]
+        assert len(upd) == 1
+        # state restored across restart: the old payload is the
+        # pre-restart value, not a fresh insert
+        assert upd[0]["old_present"] is True
+        assert upd[0]["old_event_id"] == 10 and upd[0]["old_value"] == 1.5
+    finally:
+        for d in (staging, checkpoint, out_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_restart_does_not_recount_processed_files(spark):
     """Restarting WITHOUT new data then adding only the closer row must
     yield the same counts — committed input files are not re-ingested
