@@ -1243,6 +1243,32 @@ def _q_tpch_q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter, top 20 — fact filter + join + agg, then a broadcast
+    join back for the customer payload columns."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf, "customer")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                  .cast("decimal(30,6)")).cast("double").alias("revenue"),
+        )
+    )
+    j = rev.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.select("c_custkey", "c_name", "c_mktsegment", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def _q_tpch_q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q13 shape: LEFT join + two-level aggregation (per-customer
     order count, then the distribution of those counts). The outer join
@@ -2007,6 +2033,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         GROUP BY 1, 2, 3
+    """),
+    "tpch_q10_returned_revenue": (_q_tpch_q10_returned_revenue, """
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1
+        )
+        SELECT c_custkey, c_name, c_mktsegment, revenue
+        FROM rev JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """),
     "tpch_q13_custdist": (_q_tpch_q13_custdist, """
         SELECT c_count, count(*) AS custdist FROM (
