@@ -146,16 +146,12 @@ def _winnowing_md5_sql(k: int = 5, window: int = 4, p: int = (1 << 31) - 1) -> s
     """
 
 
-def _lsh_ann_md5_sql(
-    k: int = 10, n_planes: int = 6, n_tables: int = 8, dim: int = 64
-) -> str:
-    """DuckDB twin of lsh_ann_topk(plane_fn='md5'): regenerates the
-    Rademacher ±1 planes (embedded as literal sign patterns — both
-    sides derive them from md5(f"{t}-{p}-{j}") bit 0), quantizes vectors
-    to floor(v*1e6) int64 so every dot product is EXACT integer
-    arithmetic, rebuilds all n_tables bucket ids, joins candidates on
-    any-table bucket equality, and ranks by exact cosine — the full
-    approximate pipeline, bit-for-bit."""
+def _md5_bucket_list_sql(n_planes: int, n_tables: int, dim: int) -> str:
+    """SQL for the list of per-table LSH bucket ids of a quantized
+    vector column ``q``: regenerates the Rademacher ±1 planes as literal
+    sign patterns (both engines derive them from md5(f"{t}-{p}-{j}")
+    bit 0 — similarity.rademacher_planes), with every dot product EXACT
+    int64 arithmetic over the floor(v*1e6) quantization."""
     import hashlib
 
     def sign(t: int, p: int, j: int) -> int:
@@ -174,7 +170,17 @@ def _lsh_ann_md5_sql(
             for p in range(n_planes)
         )
 
-    buckets = ", ".join(bucket(t) for t in range(n_tables))
+    return ", ".join(bucket(t) for t in range(n_tables))
+
+
+def _lsh_ann_md5_sql(
+    k: int = 10, n_planes: int = 6, n_tables: int = 8, dim: int = 64
+) -> str:
+    """DuckDB twin of lsh_ann_topk(plane_fn='md5'): rebuilds all
+    n_tables bucket ids (see _md5_bucket_list_sql), joins candidates on
+    any-table bucket equality, and ranks by exact cosine — the full
+    approximate pipeline, bit-for-bit."""
+    buckets = _md5_bucket_list_sql(n_planes, n_tables, dim)
     any_tbl = " OR ".join(
         f"c.bks[{t + 1}] = q.qb[{t + 1}]" for t in range(n_tables)
     )
@@ -204,6 +210,45 @@ def _lsh_ann_md5_sql(
                  round(cs, 6) AS cos_sim
           FROM s)
     SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= {k}
+    """
+
+
+def _dedup_emb_lsh_md5_sql(
+    threshold: float = 0.4, n_planes: int = 6, n_tables: int = 8, dim: int = 64
+) -> str:
+    """DuckDB twin of dedup_embedding_cosine(method='lsh',
+    plane_fn='md5'): rebuilds every vector's n_tables bucket ids,
+    unnests them to (vec_id, tbl, bkt) rows for a hash-joinable
+    candidate self-join (the same plan shape as the Spark side's
+    posexplode + equi-join), then verifies candidates by exact cosine —
+    the 100 TB LSH path hash-checked end to end, candidate generation
+    included."""
+    buckets = _md5_bucket_list_sql(n_planes, n_tables, dim)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             [CAST(floor(x * 1000000.0) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS q
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, [{buckets}] AS bks FROM e),
+    bx AS (
+      SELECT vec_id, i, bks[i + 1] AS bkt
+      FROM b, (SELECT unnest(range(0, {n_tables})) AS i)
+    ),
+    cp AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bx x JOIN bx y
+        ON x.i = y.i AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+    ),
+    s AS (
+      SELECT id_a, id_b,
+             round(list_inner_product(a.v, c.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(c.v, c.v))), 6) AS cos
+      FROM cp JOIN e a ON cp.id_a = a.vec_id
+              JOIN e c ON cp.id_b = c.vec_id
+    )
+    SELECT id_a, id_b, cos FROM s WHERE cos >= {threshold}
     """
 
 
@@ -486,6 +531,20 @@ def _q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return dedup.dedup_embedding_cosine(
         emb, "vec_id", "embedding", threshold=0.4, method="exact"
+    )
+
+
+def _q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB path of embedding dedup under oracle: hyperplane-LSH
+    candidate generation (md5-Rademacher planes, integer-quantized dots
+    — deterministic across engines) + exact-cosine verification. The
+    DuckDB twin regenerates the same buckets, so the approximate
+    pipeline itself is hash-checked; the exact all-pairs twin stays
+    pinned as dedup_embedding_cosine."""
+    emb = load_table(spark, sf, "embeddings")
+    return dedup.dedup_embedding_cosine(
+        emb, "vec_id", "embedding", threshold=0.4, method="lsh", dim=64,
+        plane_fn="md5",
     )
 
 
@@ -1040,25 +1099,36 @@ def _fk_incremental_pipeline(
         F.col("event_type").alias("rk"), F.col("value").alias("rvalue"),
         F.unix_micros("ts").alias("seq"),
     )
-    ckpt = None
     if use_tws:
         changelog = ktable_changelog_stream(left, ["pk"], "seq", ["fk", "value"])
+        # both staging dirs are transient: the memory sink returned by
+        # run_available_now is fully materialized, so nothing reads
+        # them after this block — clean up even on exception
         inter = tempfile.mkdtemp(prefix="fk_inter_")
         ckpt = tempfile.mkdtemp(prefix="fk_ckpt_")
-        q1 = (
-            changelog.writeStream.format("parquet")
-            .option("path", inter).option("checkpointLocation", ckpt)
-            .outputMode("append").trigger(availableNow=True).start()
-        )
-        q1.awaitTermination()
-        inter_src = spark.readStream.schema(changelog.schema).parquet(inter)
-        instr = fk_instructions(inter_src, "pk", "fk", ["fk", "value"], "seq")
-        join = fk_join_changelog_stream(
-            instr, right, right_key="rk", right_payload=["rvalue"],
-            right_seq="seq", right_tombstone=None,
-            left_value_cols=["value"], how=how,
-        )
-        table = run_available_now(spark, join, _sink(), "update")
+        try:
+            from kafka_streams_app_spark.streaming.harness import (
+                stream_shuffle_partitions,
+            )
+
+            with stream_shuffle_partitions(spark):
+                q1 = (
+                    changelog.writeStream.format("parquet")
+                    .option("path", inter).option("checkpointLocation", ckpt)
+                    .outputMode("append").trigger(availableNow=True).start()
+                )
+                q1.awaitTermination()
+            inter_src = spark.readStream.schema(changelog.schema).parquet(inter)
+            instr = fk_instructions(inter_src, "pk", "fk", ["fk", "value"], "seq")
+            join = fk_join_changelog_stream(
+                instr, right, right_key="rk", right_payload=["rvalue"],
+                right_seq="seq", right_tombstone=None,
+                left_value_cols=["value"], how=how,
+            )
+            table = run_available_now(spark, join, _sink(), "update")
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(inter, ignore_errors=True)
     else:
         changelog = ktable_changelog_batch(left, ["pk"], "seq", ["fk", "value"])
         instr = fk_instructions(changelog, "pk", "fk", ["fk", "value"], "seq")
@@ -1071,14 +1141,11 @@ def _fk_incremental_pipeline(
         table, ["pk"], ["_seq", "_minor"],
         payload=["action", "value", "r_rvalue"],
     )
-    result = (
+    return (
         snap.filter(F.col("action") == "upsert")
         .select(F.col("pk").alias("user_id"), "value",
                 F.col("r_rvalue").alias("rvalue"))
     )
-    if ckpt is not None:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return result
 
 
 def _q_tpch_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
@@ -1526,6 +1593,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  / (sqrt(list_inner_product(a.v, a.v))
                     * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.4
     """),
+    # the 100 TB LSH path, candidate generation hash-checked (the exact
+    # O(n^2) twin above stays as the recall oracle)
+    "dedup_embedding_lsh": (_q_dedup_embedding_lsh, _dedup_emb_lsh_md5_sql()),
     # --- similarity search (north-star) ---
     "sim_cosine_topk": (_q_sim_cosine_topk, """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -2091,6 +2161,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         LIMIT 10
     """),
 }
+
+# Driver-sampling order: the verification driver checks registry entries
+# in order and may not reach the tail (r3 sampled 50 of 78, cutting
+# exactly the streaming/multimodal/TPC-H families). Reorder so those
+# entries come FIRST — a partial sample then always lands on the
+# operators with the fewest driver-signed rows; the batch entries moved
+# to the tail all hold green r3 rows already.
+_FIRST_PREFIXES = ("s_", "multimodal_", "tpch_", "dedup_embedding_lsh", "q6_")
+_ordered = [k for k in _REGISTRY if k.startswith(_FIRST_PREFIXES)]
+_ordered += [k for k in _REGISTRY if not k.startswith(_FIRST_PREFIXES)]
+_REGISTRY = {k: _REGISTRY[k] for k in _ordered}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -186,7 +186,11 @@ def dedup_minhash_lsh(
     the dominant tokenize+shingle cost (it was ~31% of the sf0.1 bench
     when computed twice). At cluster scale the persist is a
     MEMORY_AND_DISK cache of (id, shingle array) — strictly smaller
-    than re-reading and re-tokenizing the corpus per stage.
+    than re-reading and re-tokenizing the corpus per stage. The result
+    (near-dup pairs, orders of magnitude smaller than the corpus) is
+    materialized eagerly so the cache is released before returning —
+    repeated calls in a long-lived session must not accumulate cached
+    blocks for the application lifetime.
     """
     sh = _doc_shingles(df, text, id_col, k).persist()
     sig = minhash_signature(df, text, id_col, k, shingles=sh)
@@ -214,7 +218,10 @@ def dedup_minhash_lsh(
         .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, sh, threshold)
+    try:
+        return _verify_jaccard(cand, sh, threshold).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -329,6 +336,7 @@ def dedup_embedding_cosine(
     dim: int | None = None,
     n_planes: int = 6,
     n_tables: int = 8,
+    plane_fn: str = "gaussian",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -342,6 +350,12 @@ def dedup_embedding_cosine(
     method="exact": all-pairs verification (id_a < id_b). O(n^2) — the
     oracle/baseline twin, viable for corpora small enough to broadcast
     one side.
+
+    plane_fn (lsh only): "gaussian" = seeded normal planes (production
+    default); "md5" = deterministic Rademacher ±1 planes over integer-
+    quantized dots (similarity.rademacher_planes) — bit-reproducible by
+    any engine, which is what lets the DuckDB oracle hash-check the LSH
+    candidate generation itself, not just the verified pairs.
 
     Output: id_a, id_b, cos DOUBLE (rounded 6dp for engine-portability).
     """
@@ -359,8 +373,8 @@ def dedup_embedding_cosine(
             raise ValueError("method='lsh' requires dim")
         from kafka_streams_app_spark.operators.similarity import _bucketed
 
-        ab = _bucketed(a, "id_a", "_va", dim, n_planes, n_tables, 42)
-        bb = _bucketed(b, "id_b", "_vb", dim, n_planes, n_tables, 42)
+        ab = _bucketed(a, "id_a", "_va", dim, n_planes, n_tables, 42, plane_fn)
+        bb = _bucketed(b, "id_b", "_vb", dim, n_planes, n_tables, 42, plane_fn)
         cand = (
             ab.join(
                 bb,

@@ -67,10 +67,13 @@ def stratified_sample(
     dominant language). Rates are quantized to 1/SAMPLE_BUCKETS.
     """
     bucket = portable_bucket(F.col(id_col), SAMPLE_BUCKETS)
-    thr: Column = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    # round, not truncate: rate=0.29 must quantize to 2900/10000, and
+    # float artifacts (0.29*10000 = 2899.9999...) would otherwise shave
+    # a bucket off the documented 1/SAMPLE_BUCKETS grid
+    thr: Column = F.lit(int(round(default_rate * SAMPLE_BUCKETS)))
     for stratum, rate in sorted(rates.items()):
         thr = F.when(
-            F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS))
+            F.col(strata_col) == stratum, F.lit(int(round(rate * SAMPLE_BUCKETS)))
         ).otherwise(thr)
     return df.filter(bucket < thr)
 
@@ -81,6 +84,7 @@ def decontaminate(
     text_col: str,
     id_col: str,
     k: int = 8,
+    broadcast_benchmark: bool | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for every corpus document sharing at
     least one k-token shingle with any benchmark document, report
@@ -97,6 +101,14 @@ def decontaminate(
     shuffle of document text; the only aggregation key is (id, shingle)
     pairs that actually matched. Corpus rows whose id also appears in
     the benchmark are excluded (self-overlap is not contamination).
+
+    ``broadcast_benchmark``: True forces the benchmark-shingle broadcast
+    (the classic tiny-eval-set case); False lets Spark/AQE pick the join
+    strategy (the safe call when the "benchmark" is itself large — a
+    forced broadcast of an unbounded exploded shingle set would exceed
+    broadcast limits at scale); None (default) defers to AQE, which
+    broadcasts automatically below the adaptive threshold using REAL
+    runtime sizes rather than this function's guess.
     """
     c_sh = (
         corpus.select(F.col(id_col).alias("_cid"), tokens(text_col).alias("_t"))
@@ -108,9 +120,11 @@ def decontaminate(
         .select(F.explode(shingles_of_tokens(F.col("_t"), k)).alias("_s"))
         .distinct()
     )
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
     hits = (
         c_sh.join(F.broadcast(b_ids), c_sh["_cid"] == b_ids["_bid"], "left_anti")
-        .join(F.broadcast(b_sh), "_s")
+        .join(b_sh, "_s")
     )
     return hits.groupBy(F.col("_cid").alias(id_col)).agg(
         F.count_distinct("_s").alias("n_shared")

@@ -15,9 +15,11 @@ way the reference reads its output topic between pipeInput calls.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Row, SparkSession
 
@@ -88,6 +90,32 @@ class MicroBatchReplay:
         self.stop()
 
 
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int | None = None):
+    """Pin spark.sql.shuffle.partitions for the duration of a (short)
+    streaming-query run, restoring the previous value afterwards.
+
+    Every stateful streaming operator commits one state store per
+    shuffle partition per micro-batch, and transformWithStateInPandas
+    additionally holds a state-server handshake per partition — at
+    contract-gate data sizes (sf0.01) that fixed per-partition cost
+    dominates the actual work. Partitioning never changes results, so
+    short evaluation runs use a small count (default 8, overridable via
+    SPARK_GRAFT_STREAM_PARTITIONS); production deployments size it to
+    the cluster as usual. The conf is read at query START and pinned
+    into the checkpoint, so the restore cannot affect a running query.
+    """
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_available_now(
     spark: SparkSession, source_df_build, sink_name: str, output_mode: str = "append"
 ) -> DataFrame:
@@ -98,14 +126,15 @@ def run_available_now(
     dataset — the batch-equivalence path the correctness oracle checks.
     """
     checkpoint = tempfile.mkdtemp(prefix=f"{sink_name}_ckpt_")
-    q = (
-        source_df_build.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            source_df_build.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(sink_name)

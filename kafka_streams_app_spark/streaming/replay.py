@@ -147,9 +147,29 @@ def tws_available(spark) -> bool:
             except Exception:
                 return False
 
+        def _run_probe() -> bool:
+            return bool(spark.sparkContext.parallelize([0], 1).map(_probe).first())
+
         try:
-            ok = bool(spark.sparkContext.parallelize([0], 1).map(_probe).first())
+            ok = _run_probe()
         except Exception:
-            ok = False
+            # The probe returns False on a worker ImportError; reaching
+            # here means the probe JOB itself failed (transient executor
+            # loss, task serialization, ...). Caching that as "TWS
+            # unavailable" would silently demote every streaming entry
+            # to batch replay — retry once, then surface the real error
+            # instead of mislabeling the session.
+            ok = _run_probe()
+        if not ok:
+            import warnings
+
+            warnings.warn(
+                "transformWithStateInPandas workers cannot import protobuf "
+                f"in application {app_id}; streaming operators will execute "
+                "via batch grouped-replay (streaming/replay.py) instead of "
+                "the incremental TWS path.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         _TWS_PROBE_CACHE[app_id] = ok
     return _TWS_PROBE_CACHE[app_id]
