@@ -813,6 +813,21 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_multimodal_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL media decode under oracle: per-document deterministic BMP
+    files (genuine BI_RGB 24-bit — little-endian headers, BGR order,
+    4-byte stride padding, bottom-up rows) are generated, then parsed
+    per spec by bmp_decode inside the Arrow mapInPandas pipeline. The
+    pixel values are a closed-form function of (doc_id, x, y), so the
+    DuckDB oracle recomputes the expected decode output analytically —
+    any header/stride/row-order bug on the Spark side hash-mismatches
+    (r00 is the visual top-left pixel, which lives in the LAST stored
+    row of a bottom-up BMP)."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synth_bmp_media(docs, "doc_id")
+    return multimodal.bmp_features(media)
+
+
 def _sink() -> str:
     return f"s_{uuid.uuid4().hex[:10]}"
 
@@ -1870,6 +1885,34 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                round(COALESCE(hist.c, 0) / greatest(1, d.n_bytes), 6) AS val
         FROM d CROSS JOIN dims
         LEFT JOIN hist ON hist.hid = d.media_id AND hist.hdim = dims.dim_idx
+    """),
+    # real BMP decode: pixel functions are closed-form in (id, x, y),
+    # so the oracle derives the expected decode analytically; the Spark
+    # side must parse actual BMP bytes per spec to match
+    "multimodal_bmp_decode": (_q_multimodal_bmp_decode, """
+        WITH d AS (
+          SELECT doc_id AS media_id,
+                 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT media_id, w, h,
+                 (media_id + 3 * xs.x + 7 * ys.y) % 256 AS r,
+                 (2 * media_id + 5 * xs.x + 11 * ys.y) % 256 AS g,
+                 (3 * media_id + 13 * xs.x + 17 * ys.y) % 256 AS b
+          FROM d, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+                  LATERAL (SELECT unnest(range(0, h)) AS y) ys
+        )
+        SELECT media_id,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               CAST(media_id % 256 AS INTEGER) AS r00,
+               floor(CAST(SUM(r) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_r,
+               floor(CAST(SUM(g) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_g,
+               floor(CAST(SUM(b) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_b
+        FROM px GROUP BY media_id, w, h
     """),
     # --- streaming runtime (M3/M4) evaluated to completion ---
     "s_windowed_count_closed": (_q_s_windowed_count_closed, f"""

@@ -108,3 +108,66 @@ def test_resize_stub_pads_short_payloads(spark):
     }
     assert out[1] == b"ab" + b"\x00" * 14
     assert out[2] == b"x" * 16
+
+
+# --- real BMP codec ---------------------------------------------------------
+
+
+def test_bmp_roundtrip_identity():
+    """encode -> decode recovers exact pixels for every synthetic
+    (width, height) shape, including odd widths whose rows need 4-byte
+    stride padding (w=5 -> 15-byte rows padded to 16)."""
+    for mid in range(0, 40):  # covers all 20 (w, h) combinations twice
+        w, h, rows = multimodal.synth_bmp_pixels(mid)
+        payload = multimodal.bmp_encode(w, h, rows)
+        assert payload[:2] == b"BM"
+        dw, dh, drows = multimodal.bmp_decode(payload)
+        assert (dw, dh) == (w, h)
+        assert drows == rows
+
+
+def test_bmp_decode_top_down_variant():
+    """Negative biHeight (top-down storage) is part of the BMP spec;
+    the decoder must yield the same visual rows for both storages."""
+    import struct
+
+    w, h, rows = multimodal.synth_bmp_pixels(7)
+    bottom_up = multimodal.bmp_encode(w, h, rows)
+    # rewrite as top-down: negate height, reverse stored row order
+    row_size = (3 * w + 3) & ~3
+    off = 54
+    stored = [bottom_up[off + i * row_size:off + (i + 1) * row_size] for i in range(h)]
+    top_down = bytearray(bottom_up[:off]) + b"".join(reversed(stored))
+    struct.pack_into("<i", top_down, 22, -h)
+    dw, dh, drows = multimodal.bmp_decode(bytes(top_down))
+    assert (dw, dh) == (w, h)
+    assert drows == rows
+
+
+def test_bmp_decode_rejects_non_bmp():
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.bmp_decode(b"not a bitmap at all, just bytes" + b"\x00" * 40)
+    with pytest.raises(ValueError):  # truncated pixel array
+        w, h, rows = multimodal.synth_bmp_pixels(3)
+        multimodal.bmp_decode(multimodal.bmp_encode(w, h, rows)[:-4])
+
+
+def test_bmp_features_spark(spark):
+    """End-to-end through the Arrow mapInPandas pipeline: means and the
+    orientation-sensitive r00 match a direct Python computation."""
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    media = multimodal.synth_bmp_media(docs, "doc_id")
+    got = {r["media_id"]: r for r in multimodal.bmp_features(media).collect()}
+    import math
+
+    for mid in range(12):
+        w, h, rows = multimodal.synth_bmp_pixels(mid)
+        r = got[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["r00"] == rows[0][0][0] == mid % 256
+        mean_r = math.floor(
+            sum(px[0] for row in rows for px in row) / (w * h) * 1e6 + 0.5
+        ) / 1e6
+        assert r["mean_r"] == mean_r
