@@ -469,6 +469,15 @@ def _q_j8_fk_join_inner_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_q6_key_routing(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6 — metadata/key routing as a contract entry: every key of the
+    a1 count store mapped to its owning partition via the portable md5
+    bucket (reference MetadataService.java:55-68; the murmur3/shuffle
+    twin stays pinned against spark_partition_id() in pytest)."""
+    store = _q_a1_count_per_key(spark, sf)
+    return iq.key_routing_portable(store, ["event_type"], 8)
+
+
 def _q_q1_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     store = _q_a1_count_per_key(spark, sf)
     return iq.point_lookup(store, "event_type", "click")
@@ -1563,6 +1572,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  count(*) AS cnt
           FROM events GROUP BY 1, 2)
         WHERE window_start_s BETWEEN 1704067200 AND 1704153600
+    """),
+    "q6_key_routing": (_q_q6_key_routing, """
+        SELECT event_type, count(*) AS cnt,
+               CAST('0x' || substring(md5(event_type), 1, 15) AS BIGINT) % 8
+                 AS partition_id
+        FROM events GROUP BY 1
     """),
     # --- dedup (north-star) ---
     "dedup_exact": (_q_dedup_exact, """

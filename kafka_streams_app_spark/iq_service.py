@@ -20,11 +20,17 @@ Catalyst plans: predicate pushdown and partition pruning reach the store
 scan; only the (small, human-facing) result set is collected at the
 HTTP edge, never the store.
 
-Deliberate deltas from the reference, both documented in SURVEY §2.6:
-- No remote-instance proxying (IQueriesService.java:104-109): a Spark
-  driver sees every partition of every store. /metadata answers the
-  underlying question ("which partition owns this key") via
-  HashPartitioning arithmetic instead of a host table.
+Multi-instance routing (IQueriesService.java:84-87,104-109,
+MetadataService.java:30-68): a single Spark driver sees every partition,
+so one instance is the normal deployment — but the remote-hop path
+exists and is tested. `set_topology(owned, peers)` declares which
+partitions THIS facade hosts and which base URL hosts each other
+partition; a point lookup for a key routed (portable md5 bucket) to a
+partition this instance does not own is proxied over HTTP to the owner,
+exactly the reference's remote fetch. /metadata reports the owning
+host when a topology is set.
+
+Other deliberate deltas, documented in SURVEY §2.6:
 - stdlib ThreadingHTTPServer instead of Jetty: the service is a thin
   facade; concurrency and scale live in the engine, not the web layer.
   At 100 TB the registered store would be a compacted keyed
@@ -43,6 +49,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import DataFrame
 
 from kafka_streams_app_spark.operators import iq
+from kafka_streams_app_spark.operators.pipeline import portable_bucket_py
 
 MAX_ROWS = 10_000  # edge-collect guard: an IQ response is human-facing
 
@@ -63,6 +70,19 @@ class IQService:
         self._stores: dict[str, _Store] = {}
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # multi-instance topology: None = single instance hosting all
+        # partitions (the normal Spark deployment)
+        self._owned: set[int] | None = None
+        self._peers: dict[int, str] = {}
+
+    def set_topology(self, owned: set[int], peers: dict[int, str]) -> None:
+        """Declare the partition ownership map: this instance hosts
+        `owned`; `peers` maps every other partition id to the base URL
+        (e.g. "http://127.0.0.1:7071") of its owning instance — the
+        analogue of the reference's StreamsMetadata host table
+        (MetadataService.java:30-53)."""
+        self._owned = set(owned)
+        self._peers = dict(peers)
 
     def register(
         self,
@@ -85,6 +105,9 @@ class IQService:
         parts = [p for p in path.split("/") if p]
         try:
             if len(parts) == 4 and parts[:2] == ["state", "keyvalue"]:
+                remote = self._maybe_proxy(parts[2], parts[3], path)
+                if remote is not None:
+                    return remote
                 return self._rows(self._q1(parts[2], parts[3]))
             if len(parts) == 4 and parts[:2] == ["state", "keyvalues"] and parts[3] == "all":
                 return self._rows(self._q2(parts[2]))
@@ -106,6 +129,30 @@ class IQService:
         if name not in self._stores:
             raise KeyError(name)
         return self._stores[name]
+
+    def _owner_partition(self, s: _Store, key: str) -> int:
+        return portable_bucket_py(s.key_parser(key), s.num_partitions)
+
+    def _maybe_proxy(self, name: str, key: str, path: str):
+        """The reference's remote hop (IQueriesService.java:104-109):
+        when a topology is set and the key's partition belongs to a
+        peer, forward the SAME GET path to the owning instance and
+        relay its response. Returns None when the lookup is local."""
+        if self._owned is None:
+            return None
+        owner = self._owner_partition(self._store(name), key)
+        if owner in self._owned:
+            return None
+        base = self._peers.get(owner)
+        if base is None:
+            return 503, {"error": f"no instance hosts partition {owner}"}
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(base + path, timeout=10) as resp:
+                return resp.status, json.loads(resp.read())
+        except Exception as e:  # peer down: surface, don't guess
+            return 502, {"error": f"owner {base} unreachable: {e}"}
 
     def _q1(self, name: str, key: str) -> DataFrame:
         s = self._store(name)
@@ -142,12 +189,17 @@ class IQService:
             )
             .collect()[0]
         )
-        return {
+        out = {
             "store": name,
             "key": row[s.key_col],
             "partition_id": row["partition_id"],
             "num_partitions": s.num_partitions,
         }
+        if self._owned is not None:
+            owner = self._owner_partition(s, key)
+            out["owner_partition"] = owner
+            out["host"] = "local" if owner in self._owned else self._peers.get(owner)
+        return out
 
     @staticmethod
     def _rows(df: DataFrame) -> tuple[int, object]:

@@ -68,3 +68,25 @@ def key_routing(df: DataFrame, keys: list[str], num_partitions: int) -> DataFram
         F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_partitions))
         .alias("partition_id"),
     )
+
+
+def key_routing_portable(
+    df: DataFrame, keys: list[str], num_partitions: int
+) -> DataFrame:
+    """Q6, engine-portable flavor: ownership via the md5 bucket
+    (pipeline.portable_bucket) instead of murmur3, so "which instance
+    owns this key" is replayable by ANY engine — the property the
+    reference's MetadataService needs when instances coordinate over a
+    shared convention (MetadataService.java:55-68), and what lets the
+    DuckDB oracle hash-check the routing table. The murmur3 variant
+    above stays as the Spark-shuffle-native twin (pinned against
+    spark_partition_id() in tests); the two-instance IQ facade test
+    routes with THIS one. Keeps all input columns and appends
+    partition_id.
+    """
+    from kafka_streams_app_spark.operators.pipeline import portable_bucket
+
+    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    return df.select(
+        "*", portable_bucket(key, num_partitions).alias("partition_id")
+    )

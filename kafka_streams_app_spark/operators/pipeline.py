@@ -50,6 +50,15 @@ def portable_bucket(col: Column, n: int) -> Column:
     return F.pmod(h, F.lit(n))
 
 
+def portable_bucket_py(value, n: int) -> int:
+    """Driver/instance-side twin of portable_bucket (pinned equal in
+    tests/test_iq_service.py): a facade deciding whether it owns a key
+    must not launch a Spark job to hash one value."""
+    import hashlib
+
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16) % n
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

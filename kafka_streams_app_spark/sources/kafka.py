@@ -71,8 +71,12 @@ def read_topic_batch(
 def _project(
     raw: DataFrame, value_schema: StructType | DataType | str, key_type: str
 ) -> DataFrame:
-    """Apply the 'serde': typed key cast + JSON-struct or primitive value."""
-    key = F.col("key").cast(key_type).alias("key")
+    """Apply the 'serde': typed key cast + JSON-struct or primitive value.
+
+    Kafka wire columns are BINARY; numeric casts must go through string
+    (BINARY->BIGINT is not a valid direct cast in Spark) — this mirrors
+    the reference's string-serde-then-parse convention."""
+    key = F.col("key").cast("string").cast(key_type).alias("key")
     if isinstance(value_schema, StructType) or (
         isinstance(value_schema, str) and value_schema.strip().startswith("struct")
     ):
