@@ -114,8 +114,18 @@ def main() -> None:
     else:
         print(json.dumps({"shape": "ktable_latest_tws", "skipped": "no TWS protobuf"}))
 
-    for name, out_df, mode in shapes:
-        wall = run_noop(out_df, mode)
+    # best-of-3, interleaved — same methodology as bench.py: this host
+    # shows intermittent multi-second contention spikes that dominate
+    # single-shot streaming-query timings (observed 85k..160k rows/s
+    # for the SAME TWS config across consecutive runs); the interleaved
+    # minimum reflects the engine's actual rate.
+    best: dict[str, float] = {}
+    for _ in range(3):
+        for name, out_df, mode in shapes:
+            wall = run_noop(out_df, mode)
+            best[name] = min(best.get(name, float("inf")), wall)
+    for name, _, _ in shapes:
+        wall = best[name]
         print(json.dumps({
             "shape": name, "rows_in": n_rows, "sec": round(wall, 2),
             "rows_per_sec": int(n_rows / wall),
