@@ -6,33 +6,55 @@ The reference declares per-topic types at use-site via serdes
 This engine is schema-fixed: every table/stream has a catalog entry, which
 strictly generalizes use-site serdes and lets Catalyst prune/push down.
 
-Normalizations applied on load:
-- ``events.ts`` arrives as INT64 TIMESTAMP(NANOS) parquet; with
-  ``spark.sql.legacy.parquet.nanosAsLong`` it reads as long ns and is
-  converted to a micro-precision timestamp (truncation, matching how the
-  DuckDB oracle floors ns when extracting epochs).
-- TIMESTAMP_NTZ columns (o_orderdate, l_shipdate) are cast to session-TZ
-  timestamps (session TZ is pinned to UTC by the engine).
+Timestamp normalization is **dtype-adaptive**: the catalog declares WHICH
+columns are event-time, but dispatches on the dtype Spark actually loaded
+rather than assuming a physical parquet encoding (the data generator has
+shipped the same column as both INT64 TIMESTAMP(NANOS) and timestamp[us]
+across refreshes):
+
+- long (INT64 nanos read via ``spark.sql.legacy.parquet.nanosAsLong``) ->
+  ``timestamp_micros(c div 1000)`` — integer div keeps full precision and
+  the ns->us truncation matches how the DuckDB oracle floors ns epochs.
+- TIMESTAMP_NTZ / TIMESTAMP -> ``cast("timestamp")`` to the session TZ
+  (pinned to UTC by the engine), epoch-microsecond-identical to the oracle.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
 
-# table -> (ns-long timestamp cols, ntz timestamp cols)
-TABLES: dict[str, tuple[list[str], list[str]]] = {
-    "region": ([], []),
-    "nation": ([], []),
-    "customer": ([], []),
-    "supplier": ([], []),
-    "part": ([], []),
-    "orders": ([], ["o_orderdate"]),
-    "lineitem": ([], ["l_shipdate"]),
-    "events": (["ts"], []),
-    "documents": ([], []),
-    "embeddings": ([], []),
+# table -> columns carrying event time (any physical encoding)
+TABLES: dict[str, list[str]] = {
+    "region": [],
+    "nation": [],
+    "customer": [],
+    "supplier": [],
+    "part": [],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+    "documents": [],
+    "embeddings": [],
 }
+
+
+def _normalize_ts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Normalize each declared event-time column to a session-TZ timestamp,
+    dispatching on the dtype the reader actually produced."""
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
+            # integer div keeps full precision (float div would lose low
+            # bits of the ~1.7e18 ns value); truncation matches the oracle.
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif isinstance(dt, TimestampType):
+            pass  # already session-TZ timestamp
+        else:
+            # TIMESTAMP_NTZ, DATE, string, ... -> session-TZ timestamp
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -40,18 +62,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLES)}")
     # Defensive: the verification driver builds its own session without our
-    # builder confs; these are runtime-settable.
+    # builder confs; these are runtime-settable. nanosAsLong is a no-op on
+    # non-nanos data, so it stays set for backward compatibility.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    ns_cols, ntz_cols = TABLES[name]
-    for c in ns_cols:
-        # integer div keeps full precision (float div would lose low bits
-        # of the ~1.7e18 ns value); truncation ns->us matches the oracle.
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    for c in ntz_cols:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    return _normalize_ts(df, TABLES[name])
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -77,9 +93,4 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    ns_cols, ntz_cols = TABLES[name]
-    for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    for c in ntz_cols:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    return _normalize_ts(df, TABLES[name])

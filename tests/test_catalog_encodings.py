@@ -1,0 +1,92 @@
+"""Pin the catalog loader against BOTH physical timestamp encodings.
+
+The driver's data generator has shipped ``events.ts`` as INT64
+TIMESTAMP(NANOS) (rounds 1-3) and as timestamp[us] (round 4+). The r4
+regeneration took out 33/50 correctness rows because the loader hard-coded
+the nanos encoding. These tests synthesize tiny parquet twins of the same
+logical data in both encodings and assert `load_table` AND `load_stream`
+normalize them identically — so a future generator change cannot silently
+zero out a round again. Runs without /root/testdata.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_streams_app_spark.sources.catalog import load_stream, load_table
+
+# logical event times, expressed in epoch nanoseconds (UTC)
+_EPOCH_NS = [1_700_000_000_123_456_789, 1_700_000_060_000_000_001, 1_700_000_120_999_999_999]
+_EXPECT_US = [ns // 1000 for ns in _EPOCH_NS]
+
+
+def _write_events(tmpdir, encoding: str) -> str:
+    """Write a minimal events-shaped table under tmpdir/<enc>/events.parquet."""
+    n = len(_EPOCH_NS)
+    if encoding == "ns":
+        ts = pa.array(_EPOCH_NS, type=pa.timestamp("ns"))
+    elif encoding == "us":
+        ts = pa.array(_EXPECT_US, type=pa.timestamp("us"))
+    else:
+        raise ValueError(encoding)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([7] * n, type=pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.5] * n, type=pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    d = tmpdir / encoding
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def twin_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("enc_twins")
+    return {enc: _write_events(base, enc) for enc in ("ns", "us")}
+
+
+def _epoch_us(df):
+    import pyspark.sql.functions as F
+
+    rows = df.select("event_id", F.unix_micros("ts").alias("us")).collect()
+    return {r["event_id"]: r["us"] for r in rows}
+
+
+@pytest.mark.parametrize("encoding", ["ns", "us"])
+def test_load_table_normalizes(spark, twin_dirs, encoding):
+    df = load_table(spark, twin_dirs[encoding], "events")
+    assert str(df.schema["ts"].dataType) == "TimestampType()"
+    got = _epoch_us(df)
+    assert got == {i: us for i, us in enumerate(_EXPECT_US)}
+
+
+def test_both_encodings_identical_batch(spark, twin_dirs):
+    a = _epoch_us(load_table(spark, twin_dirs["ns"], "events"))
+    b = _epoch_us(load_table(spark, twin_dirs["us"], "events"))
+    assert a == b
+
+
+@pytest.mark.parametrize("encoding", ["ns", "us"])
+def test_load_stream_normalizes(spark, twin_dirs, encoding, tmp_path):
+    df = load_stream(spark, twin_dirs[encoding], "events")
+    assert df.isStreaming
+    assert str(df.schema["ts"].dataType) == "TimestampType()"
+    sink = f"enc_sink_{encoding}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = _epoch_us(spark.table(sink))
+    assert got == {i: us for i, us in enumerate(_EXPECT_US)}
