@@ -42,6 +42,55 @@ def _require_rocksdb(spark) -> None:
     )
 
 
+def _changelog_for_key(
+    key: tuple,
+    seqs: list,
+    pay: list[list],
+    tombs: list[bool] | None,
+    cur: tuple | None,
+    keys: list[str],
+    payload: list[str],
+    seq_col: str,
+    out_columns: list[str],
+) -> tuple[pd.DataFrame | None, tuple | None]:
+    """Latest-per-key state transition for ONE logical key's in-order
+    records: returns (changelog frame or None, new state or None).
+    Shared by the per-key and bucketed processors — identical output."""
+    if tombs is None or not any(tombs):
+        # Fast path (every record an upsert — the overwhelmingly
+        # common shape): each row's old payload is the previous
+        # row's new payload, i.e. a shift-by-one with the carried
+        # state in slot 0. Column-wise list slicing instead of a
+        # per-row Python loop — measured ~3x on the throughput
+        # smoke (tools/stream_throughput.py, ktable_latest_tws).
+        n = len(seqs)
+        cols: dict[str, list] = {}
+        for i, k in enumerate(keys):
+            cols[k] = [key[i]] * n
+        cols["action"] = ["upsert"] * n
+        cols["old_present"] = [cur is not None] + [True] * (n - 1)
+        for j, c in enumerate(payload):
+            cols[f"old_{c}"] = [cur[j] if cur is not None else None] + pay[j][:-1]
+            cols[f"new_{c}"] = pay[j]
+        cols[seq_col] = seqs
+        return pd.DataFrame(cols, columns=out_columns), tuple(p[-1] for p in pay)
+    nulls = (None,) * len(payload)
+    out: list[tuple] = []
+    for i, seq in enumerate(seqs):
+        old_present = cur is not None
+        old = cur if old_present else nulls
+        if tombs[i]:
+            if old_present:  # delete of absent key: suppressed
+                out.append(key + ("delete", True) + old + nulls + (seq,))
+                cur = None
+        else:
+            new = tuple(p[i] for p in pay)
+            out.append(key + ("upsert", old_present) + old + new + (seq,))
+            cur = new
+    frame = pd.DataFrame(out, columns=out_columns) if out else None
+    return frame, cur
+
+
 class _LatestPerKey(StatefulProcessor):
     def __init__(
         self,
@@ -71,45 +120,147 @@ class _LatestPerKey(StatefulProcessor):
             [bool(t) for t in pdf[self.tombstone_col].tolist()]
             if self.tombstone_col else None
         )
-        if tombs is None or not any(tombs):
-            # Fast path (every record an upsert — the overwhelmingly
-            # common shape): each row's old payload is the previous
-            # row's new payload, i.e. a shift-by-one with the carried
-            # state in slot 0. Column-wise list slicing instead of a
-            # per-row Python loop — measured ~3x on the throughput
-            # smoke (tools/stream_throughput.py, ktable_latest_tws).
-            n = len(seqs)
-            cols: dict[str, list] = {}
-            for i, k in enumerate(self.keys):
-                cols[k] = [key[i]] * n
-            cols["action"] = ["upsert"] * n
-            cols["old_present"] = [cur is not None] + [True] * (n - 1)
-            for j, c in enumerate(self.payload):
-                cols[f"old_{c}"] = [cur[j] if cur is not None else None] + pay[j][:-1]
-                cols[f"new_{c}"] = pay[j]
-            cols[self.seq_col] = seqs
-            self.state.update(tuple(p[-1] for p in pay))
-            yield pd.DataFrame(cols, columns=self.out_columns)
-            return
-        nulls = (None,) * len(self.payload)
-        out: list[tuple] = []
-        for i, seq in enumerate(seqs):
-            old_present = cur is not None
-            old = cur if old_present else nulls
-            if tombs[i]:
-                if old_present:  # delete of absent key: suppressed
-                    out.append(key + ("delete", True) + old + nulls + (seq,))
-                    cur = None
-            else:
-                new = tuple(p[i] for p in pay)
-                out.append(key + ("upsert", old_present) + old + new + (seq,))
-                cur = new
-        if cur is None:
+        frame, new_cur = _changelog_for_key(
+            key, seqs, pay, tombs, cur,
+            self.keys, self.payload, self.seq_col, self.out_columns,
+        )
+        if new_cur is None:
             self.state.clear()
         else:
-            self.state.update(cur)
-        if out:
-            yield pd.DataFrame(out, columns=self.out_columns)
+            self.state.update(new_cur)
+        if frame is not None:
+            yield frame
+
+    def close(self) -> None:
+        pass
+
+
+class _LatestPerKeyBucketed(StatefulProcessor):
+    """Latest-per-key over a BUCKETED key space: the TWS grouping key is
+    pmod(xxhash64(logical keys), n_buckets), and the per-logical-key
+    state lives in a MapState keyed by the logical key.
+
+    Why: transformWithStateInPandas pays a fixed framework cost PER
+    GROUPING KEY per micro-batch (Arrow slice + python-worker dispatch;
+    measured ~85% of ktable wall with a no-op processor — SCALE.md).
+    Grouping by bucket divides that per-key term by (keys/buckets) while
+    keeping identical semantics: records are globally seq-sorted within
+    the bucket, then applied per logical key in order via the same
+    _changelog_for_key transition the per-key processor uses. State
+    remains hash-partitioned across executors (by bucket), RocksDB holds
+    one map entry per logical key, and no bucket ever materializes more
+    than its micro-batch slice plus one map lookup per distinct key.
+
+    Bucket count is a deploy dial: enough buckets to spread across
+    executors and bound per-group batch size (>= 2-4x total cores);
+    few enough that the per-group framework cost stays amortized.
+    """
+
+    def __init__(
+        self,
+        keys: list[str],
+        seq_col: str,
+        payload: list[str],
+        tombstone_col: str | None,
+        key_schema: StructType,
+        state_schema: StructType,
+        out_columns: list[str],
+    ) -> None:
+        self.keys = keys
+        self.seq_col = seq_col
+        self.payload = payload
+        self.tombstone_col = tombstone_col
+        self.key_schema = key_schema
+        self.state_schema = state_schema
+        self.out_columns = out_columns
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getMapState("latest", self.key_schema, self.state_schema)
+
+    @staticmethod
+    def _pykey(row_vals) -> tuple:
+        # numpy scalars -> python scalars: the state-server protobuf
+        # serializer expects plain python types in key/value tuples.
+        return tuple(v.item() if hasattr(v, "item") else v for v in row_vals)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        pdf = (
+            pd.concat(list(rows))
+            .sort_values(self.seq_col, kind="stable")
+            .reset_index(drop=True)
+        )
+        if self.tombstone_col is not None and bool(pdf[self.tombstone_col].any()):
+            yield from self._slow_path(pdf)
+            return
+        # Vectorized all-upsert path: within the seq-sorted bucket frame,
+        # each row's old payload is the PREVIOUS row of the same logical
+        # key — a per-key shift(1) — and only each key's first row needs
+        # a state lookup (its carry-in), only each key's last row a state
+        # write. All per-row work is pandas C; Python touches only the
+        # ~distinct-keys-per-bucket boundary rows.
+        n = len(pdf)
+        first_mask = ~pdf.duplicated(self.keys)
+        last_mask = ~pdf.duplicated(self.keys, keep="last")
+        first_pos = first_mask.to_numpy().nonzero()[0]
+        gb = pdf.groupby(self.keys, sort=False, dropna=False)
+        # per-column extraction (NOT a .to_numpy() block: numeric
+        # mixed-dtype frames upcast to float64, corrupting long keys)
+        key_cols = [pdf[k] for k in self.keys]
+        curs = [
+            self.state.getValue(self._pykey([c.iat[i] for c in key_cols]))
+            for i in first_pos
+        ]
+        cols: dict[str, object] = {k: pdf[k] for k in self.keys}
+        cols["action"] = ["upsert"] * n
+        old_present = pd.Series(True, index=pdf.index)
+        old_present.iloc[first_pos] = [c is not None for c in curs]
+        cols["old_present"] = old_present
+        for j, c in enumerate(self.payload):
+            old = gb[c].shift(1)
+            if pd.api.types.is_integer_dtype(pdf[c].dtype):
+                old = old.astype("Int64")  # keep null-able without float coercion
+            elif pd.api.types.is_bool_dtype(pdf[c].dtype):
+                old = old.astype("boolean")
+            old.iloc[first_pos] = [
+                cur[j] if cur is not None else None for cur in curs
+            ]
+            cols[f"old_{c}"] = old
+            cols[f"new_{c}"] = pdf[c]
+        cols[self.seq_col] = pdf[self.seq_col]
+        pay_cols = [pdf[c] for c in self.payload]
+        for i in last_mask.to_numpy().nonzero()[0]:
+            self.state.updateValue(
+                self._pykey([c.iat[i] for c in key_cols]),
+                self._pykey([c.iat[i] for c in pay_cols]),
+            )
+        yield pd.DataFrame(cols, columns=self.out_columns)
+
+    def _slow_path(self, pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        frames: list[pd.DataFrame] = []
+        # groupby preserves within-group row order, so each logical key
+        # still sees its records in global seq order.
+        for ukey, grp in pdf.groupby(self.keys, sort=False, dropna=False):
+            if not isinstance(ukey, tuple):
+                ukey = (ukey,)
+            ukey = self._pykey(ukey)
+            cur = self.state.getValue(ukey)
+            cur = tuple(cur) if cur is not None else None
+            seqs = grp[self.seq_col].tolist()
+            pay = [grp[c].tolist() for c in self.payload]
+            tombs = [bool(t) for t in grp[self.tombstone_col].tolist()]
+            frame, new_cur = _changelog_for_key(
+                ukey, seqs, pay, tombs, cur,
+                self.keys, self.payload, self.seq_col, self.out_columns,
+            )
+            if new_cur is None:
+                if cur is not None:
+                    self.state.removeKey(ukey)
+            else:
+                self.state.updateValue(ukey, new_cur)
+            if frame is not None:
+                frames.append(frame)
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     def close(self) -> None:
         pass
@@ -151,6 +302,7 @@ def ktable_changelog_stream(
     seq_col: str,
     payload: list[str],
     tombstone_col: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Incremental latest-per-key view over a streaming changelog.
 
@@ -162,7 +314,14 @@ def ktable_changelog_stream(
     consumers distinguish a first insert from an update whose old
     payload happens to be all-null), old_<payload>..., new_<payload>...,
     and the originating seq (for downstream ordering, e.g. the FK join).
+
+    n_buckets: when set, group the stateful operator by
+    pmod(xxhash64(keys), n_buckets) instead of the logical keys —
+    identical output, ~(keys/buckets)x less per-key TWS framework
+    overhead (see _LatestPerKeyBucketed). Pick >= 2-4x total cores.
     """
+    from pyspark.sql import functions as F
+
     _require_rocksdb(df.sparkSession)
     # project to exactly the consumed columns BEFORE the keyed shuffle:
     # every extra column rides the exchange AND the JVM->Arrow->pandas
@@ -171,8 +330,30 @@ def ktable_changelog_stream(
         keys + [seq_col] + payload + ([tombstone_col] if tombstone_col else [])
     ))
     df = df.select(*needed)
-    proc, out_schema = _ktable_plan(df, keys, seq_col, payload, tombstone_col)
-    return df.groupBy(*keys).transformWithStateInPandas(
+    if n_buckets is None:
+        proc, out_schema = _ktable_plan(df, keys, seq_col, payload, tombstone_col)
+        return df.groupBy(*keys).transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    _, out_schema = _ktable_plan(df, keys, seq_col, payload, tombstone_col)
+    in_schema = df.schema
+    key_schema = StructType(
+        [StructField(k, in_schema[k].dataType, True) for k in keys]
+    )
+    state_schema = StructType(
+        [StructField(c, in_schema[c].dataType, True) for c in payload]
+    )
+    proc = _LatestPerKeyBucketed(
+        keys, seq_col, payload, tombstone_col,
+        key_schema, state_schema, [f.name for f in out_schema.fields],
+    )
+    bucketed = df.withColumn(
+        "_kt_bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    )
+    return bucketed.groupBy("_kt_bucket").transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=out_schema,
         outputMode="Update",

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_app_spark.engine import get_spark
 from kafka_streams_app_spark.functions.text import scrub_pii
+from kafka_streams_app_spark.sources.catalog import _normalize_ts
 from kafka_streams_app_spark.streaming import windows as SW
 from kafka_streams_app_spark.streaming.ktable import ktable_changelog_stream
 from kafka_streams_app_spark.streaming.replay import tws_available
@@ -46,12 +47,12 @@ SCRATCH = Path("/root/repo/.scratch/scale_smoke")
 
 def stream_events(spark: SparkSession, events_path: str) -> DataFrame:
     """File-source stream over a (possibly multi-file) events parquet
-    dir; same nanos->timestamp normalization as sources.catalog."""
+    dir; same dtype-adaptive ts normalization as sources.catalog."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(events_path).schema
     df = spark.readStream.schema(schema).parquet(events_path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _normalize_ts(df, ["ts"])
 
 
 def run_noop(out_df: DataFrame, output_mode: str) -> float:
@@ -101,13 +102,27 @@ def main() -> None:
         "append",
     ))
     if tws_available(spark):
+        # headline row: bucketed MapState layout (128 buckets = 4x cores
+        # here), the production-recommended mode — see SCALE.md and
+        # streaming/ktable.py:_LatestPerKeyBucketed.
         ev4 = stream_events(spark, events_path).select(
             "user_id", "event_id", "value", "ts"
         )
         shapes.append((
             "ktable_latest_tws",
             ktable_changelog_stream(
-                ev4, ["user_id"], "event_id", ["event_id", "value"]
+                ev4, ["user_id"], "event_id", ["event_id", "value"],
+                n_buckets=128,
+            ),
+            "append",
+        ))
+        ev5 = stream_events(spark, events_path).select(
+            "user_id", "event_id", "value", "ts"
+        )
+        shapes.append((
+            "ktable_latest_tws_perkey",
+            ktable_changelog_stream(
+                ev5, ["user_id"], "event_id", ["event_id", "value"]
             ),
             "append",
         ))
