@@ -173,44 +173,73 @@ def dedup_ngram_jaccard(
     )
 
 
+_shingle_sig_udf_cache: dict[int, object] = {}
+
+
+def _shingle_sig_udf(k: int):
+    """Arrow-batched text -> struct(sh: shingles, sig: minhash signature)
+    in ONE Python crossing.
+
+    The shingle set and its 128-permutation signature are consumed by
+    different downstream stages (Jaccard verification / LSH banding),
+    but computing them separately costs two Arrow round trips with the
+    (large) shingle arrays crossing twice plus a JVM hash pass between
+    them. Fused: shingles come from the same ASCII tokenizer as
+    _shingle_udf; each shingle hashes via zlib.crc32 (deterministic C,
+    uniform over the 2^31-1 modulus) and the signature is one numpy
+    broadcast min over (n_shingles x 128) — int64 products stay below
+    2^62, so the arithmetic never wraps. The hash choice only shapes
+    CANDIDATE generation (recall (1-s^2)^64 ~ 1 at the threshold for
+    any uniform hash); the emitted pairs are exact-Jaccard verified, so
+    output is hash-agnostic (oracle = brute force, unchanged).
+    """
+    if k not in _shingle_sig_udf_cache:
+        from zlib import crc32
+
+        a_vec, b_vec = _A, _B
+
+        @pandas_udf("struct<sh: array<string>, sig: array<long>>")
+        def _ss(texts: pd.Series) -> pd.DataFrame:
+            a = np.asarray(a_vec, dtype=np.int64)
+            b = np.asarray(b_vec, dtype=np.int64)
+            shs, sigs = [], []
+            for s in texts:
+                toks = [t for t in _SPLIT_ASCII.split(s.lower()) if t]
+                if len(toks) < k:
+                    shs.append([])
+                    sigs.append(None)
+                    continue
+                seen: set[str] = set()
+                res = []
+                for i in range(len(toks) - k + 1):
+                    g = " ".join(toks[i : i + k])
+                    if g not in seen:
+                        seen.add(g)
+                        res.append(g)
+                shs.append(res)
+                hv = np.fromiter(
+                    (crc32(g.encode()) % MERSENNE for g in res),
+                    dtype=np.int64, count=len(res),
+                )[:, None]                                       # (n, 1)
+                sigs.append(np.min((hv * a + b) % MERSENNE, axis=0))  # (128,)
+            return pd.DataFrame({"sh": shs, "sig": sigs})
+
+        _shingle_sig_udf_cache[k] = _ss
+    return _shingle_sig_udf_cache[k]
+
+
 def minhash_signature(
     df: DataFrame, text: str, id_col: str, k: int = 3,
-    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, sig array<bigint>[MINHASH_PERMS]) via (a*h+b) mod p over
-    xxhash64(shingle).
-
-    ``shingles``: optionally a precomputed _doc_shingles frame — lets a
-    caller that also needs the shingle sets (LSH verification) tokenize
-    the corpus once instead of twice.
-
-    Shingle hashing stays JVM-side (xxhash64 over the shingle array);
-    the 128-permutation min-plane runs as an Arrow-batched pandas UDF:
-    one numpy broadcast (n_shingles x 128) min per document. This is
-    the sanctioned Python escape hatch — Spark's higher-order functions
-    evaluate lambdas interpreted per element (measured ~25x more CPU
-    than numpy for the same 60M-op fold at sf0.1), and a 128-column min
-    aggregate overflows whole-stage codegen. Values are identical to
-    the pure-JVM formulation: int64 products stay below 2^62, so numpy
-    int64 arithmetic never wraps.
-
-    No shuffle: signatures are computed where the shingles are.
-    """
-    a_vec, b_vec = _A, _B
-
-    @pandas_udf("array<long>")
-    def _sig(hash_arrays: "pd.Series") -> "pd.Series":
-        a = np.asarray(a_vec, dtype=np.int64)
-        b = np.asarray(b_vec, dtype=np.int64)
-        out = []
-        for h in hash_arrays:
-            hv = np.asarray(h, dtype=np.int64)[:, None]          # (n, 1)
-            out.append(np.min((hv * a + b) % MERSENNE, axis=0))  # (128,)
-        return pd.Series(out)
-
-    sh = shingles if shingles is not None else _doc_shingles(df, text, id_col, k)
-    hashes = F.transform(F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
-    return sh.select("_id", _sig(hashes).alias("sig"))
+    crc32(shingle) — the signature half of _shingle_sig_udf."""
+    ss = _shingle_sig_udf(k)
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), ss(F.col(text)).alias("_ss"))
+        .filter(F.size("_ss.sh") > 0)
+        .select("_id", F.col("_ss.sig").alias("sig"))
+    )
 
 
 def dedup_minhash_lsh(
@@ -223,19 +252,27 @@ def dedup_minhash_lsh(
     force dedup_ngram_jaccard result (recall ~1 at the threshold by the
     band construction), at O(candidates) instead of O(n^2 shingle-pairs).
 
-    The shingle frame is computed ONCE and persisted: both the
-    signature stage and the Jaccard verification consume it, halving
-    the dominant tokenize+shingle cost (it was ~31% of the sf0.1 bench
-    when computed twice). At cluster scale the persist is a
-    MEMORY_AND_DISK cache of (id, shingle array) — strictly smaller
-    than re-reading and re-tokenizing the corpus per stage. The result
-    (near-dup pairs, orders of magnitude smaller than the corpus) is
-    materialized eagerly so the cache is released before returning —
-    repeated calls in a long-lived session must not accumulate cached
-    blocks for the application lifetime.
+    Shingles AND signatures are computed in one Arrow crossing
+    (_shingle_sig_udf) and persisted together: the banding stage reads
+    sig, the Jaccard verification reads sh, and the corpus is tokenized
+    exactly once. At cluster scale the persist is a MEMORY_AND_DISK
+    cache of (id, shingles, sig) — strictly smaller than re-reading and
+    re-tokenizing the corpus per stage. The result (near-dup pairs,
+    orders of magnitude smaller than the corpus) is materialized
+    eagerly so the cache is released before returning — repeated calls
+    in a long-lived session must not accumulate cached blocks for the
+    application lifetime.
     """
-    sh = _doc_shingles(df, text, id_col, k).persist()
-    sig = minhash_signature(df, text, id_col, k, shingles=sh)
+    ss = _shingle_sig_udf(k)
+    sh_sig = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), ss(F.col(text)).alias("_ss"))
+        .filter(F.size("_ss.sh") > 0)
+        .select("_id", F.col("_ss.sh").alias("_sh"), F.col("_ss.sig").alias("sig"))
+        .persist()
+    )
+    sh = sh_sig.select("_id", "_sh")
+    sig = sh_sig.select("_id", "sig")
     n_bands = MINHASH_PERMS // LSH_ROWS
     bands = sig.select(
         "_id",
@@ -263,7 +300,7 @@ def dedup_minhash_lsh(
     try:
         return _verify_jaccard(cand, sh, threshold).localCheckpoint(eager=True)
     finally:
-        sh.unpersist()
+        sh_sig.unpersist()
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -22,16 +22,29 @@ from kafka_streams_app_spark.operators import (
 from kafka_streams_app_spark.sources.catalog import load_table
 
 
+# Per-table fixtures (NOT one bundle): if one table's load breaks —
+# e.g. a testdata regeneration changing a physical encoding, as in
+# round 4 — only the tests consuming THAT table error; the rest keep
+# reporting signal.
+
+
 @pytest.fixture(scope="module")
-def empty(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(0)
-    ev = load_table(spark, sf_dir, "events").limit(0)
-    emb = load_table(spark, sf_dir, "embeddings").limit(0)
-    return docs, ev, emb
+def empty_docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").limit(0)
 
 
-def test_text_functions_on_empty(spark, empty):
-    docs, _, _ = empty
+@pytest.fixture(scope="module")
+def empty_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").limit(0)
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").limit(0)
+
+
+def test_text_functions_on_empty(spark, empty_docs):
+    docs = empty_docs
     out = docs.select(
         "doc_id",
         T.token_count("text").alias("n"),
@@ -44,8 +57,8 @@ def test_text_functions_on_empty(spark, empty):
     assert {"n", "lang_pred", "q", "p", "fp"} <= set(out.columns)
 
 
-def test_dedup_family_on_empty(spark, empty):
-    docs, _, emb = empty
+def test_dedup_family_on_empty(spark, empty_docs, empty_emb):
+    docs, emb = empty_docs, empty_emb
     assert dedup.dedup_exact(docs, "text", "doc_id").count() == 0
     assert dedup.dedup_ngram_jaccard(docs, "text", "doc_id").count() == 0
     assert dedup.dedup_minhash_lsh(docs, "text", "doc_id").count() == 0
@@ -55,8 +68,8 @@ def test_dedup_family_on_empty(spark, empty):
     ).count() == 0
 
 
-def test_similarity_on_empty_corpus_and_queries(spark, empty, sf_dir):
-    _, _, emb_empty = empty
+def test_similarity_on_empty_corpus_and_queries(spark, empty_emb, sf_dir):
+    emb_empty = empty_emb
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     # empty corpus, real queries -> no neighbors
@@ -72,8 +85,8 @@ def test_similarity_on_empty_corpus_and_queries(spark, empty, sf_dir):
     ).count() == 0
 
 
-def test_joins_and_aggs_on_empty(spark, empty, sf_dir):
-    _, ev_empty, _ = empty
+def test_joins_and_aggs_on_empty(spark, empty_events, sf_dir):
+    ev_empty = empty_events
     ev = load_table(spark, sf_dir, "events")
     l = ev_empty.select(
         F.col("user_id").alias("l_uid"), F.col("ts").alias("l_ts")
@@ -92,8 +105,8 @@ def test_joins_and_aggs_on_empty(spark, empty, sf_dir):
     ).count() == 0
 
 
-def test_pipeline_ops_on_empty(spark, empty):
-    docs, _, _ = empty
+def test_pipeline_ops_on_empty(spark, empty_docs):
+    docs = empty_docs
     assert pipeline.stratified_sample(
         docs, "lang", {"en": 0.5}, "doc_id", 0.1
     ).count() == 0
