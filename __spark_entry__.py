@@ -723,6 +723,36 @@ def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return packed.select("doc_id", "lang", "n_tokens", "bin_id", "bin_offset")
 
 
+def _q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split: the label is a
+    pure function of (seed, doc_id) — the oracle re-derives it from the
+    same md5 bucket arithmetic (operators/pipeline.py:hash_split)."""
+    docs = load_table(spark, sf, "documents")
+    out = pipeline.hash_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed="s1"
+    )
+    return out.select("doc_id", "split")
+
+
+def _q_shuffle_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training-order shuffle: shuffle_pos is a
+    dense 0-based permutation, a pure function of (seed, ids), built
+    with the two-phase bucket construction so no single task ever sorts
+    the corpus (operators/pipeline.py:shuffle_deterministic)."""
+    docs = load_table(spark, sf, "documents")
+    return pipeline.shuffle_deterministic(docs, "doc_id", seed="epoch0").select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+def _q_corpus_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 3-gram document frequencies — the corpus-analysis
+    primitive behind boilerplate detection and hot-shingle caps
+    (operators/pipeline.py:corpus_ngram_topk)."""
+    docs = load_table(spark, sf, "documents")
+    return pipeline.corpus_ngram_topk(docs, "text", n=3, k=50)
+
+
 def _q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """LLM-pipeline decontamination: corpus docs sharing >=1 8-token
     shingle with the benchmark subset (doc_id % 7 == 0), with the count
@@ -1827,6 +1857,40 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                CAST(floor(start / 2048) AS BIGINT) AS bin_id,
                start % 2048 AS bin_offset
         FROM c
+    """),
+    "pipeline_hash_split": (_q_hash_split, """
+        SELECT doc_id,
+               CASE WHEN b < 1000 THEN 'test'
+                    WHEN b < 9000 THEN 'train'
+                    WHEN b < 10000 THEN 'valid' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)),
+                                        1, 15) AS BIGINT) % 10000 AS b
+          FROM documents
+        )
+    """),
+    "pipeline_shuffle_det": (_q_shuffle_deterministic, """
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5('epoch0' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents
+        ), b AS (
+          SELECT doc_id, k,
+                 CAST('0x' || substring(k, 1, 15) AS BIGINT) % 4096 AS bk
+          FROM keyed
+        )
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bk, k, doc_id) - 1
+                    AS BIGINT) AS shuffle_pos
+        FROM b
+    """),
+    "corpus_ngram_topk": (_q_corpus_ngram_topk, "WITH " + _SHINGLES + """
+        SELECT sg AS gram, count(*) AS doc_freq
+        FROM (SELECT doc_id, unnest(s) AS sg FROM sh WHERE len(s) > 0)
+        GROUP BY sg
+        ORDER BY doc_freq DESC, gram
+        LIMIT 50
     """),
     # --- free Spark extras (beyond the reference surface) ---
     "extras_rollup": (_q_extras_rollup, """

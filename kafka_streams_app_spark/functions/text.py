@@ -1,15 +1,23 @@
 """Text-analysis column functions (BASELINE.json north-star: text analysis).
 
-All pure Column expressions (JVM-side, codegen'd) — no Python UDFs, so
-these run at scan speed over 100 TB of documents. Tokenization matches
-the reference's word-split convention (lower + \\W+ —
+Pure Column expressions (JVM-side, codegen'd) wherever the expression
+tree evaluates per ROW — these run at scan speed over 100 TB of
+documents. The one exception is shingling, whose per-SHINGLE
+higher-order-function evaluation is interpreted and measured ~8x slower
+than the Arrow-batched shingles_udf below (see its docstring); both
+forms are value-identical. Tokenization matches the reference's
+word-split convention (lower + \\W+ —
 /root/reference/src/main/java/com/ayoubom/kafka/WordCount.java:54).
 """
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 WORD_SPLIT_RE = r"\W+"
 
@@ -110,6 +118,54 @@ def shingles(text: str | Column, k: int = 3) -> Column:
     first and use shingles_of_tokens (see its docstring).
     """
     return shingles_of_tokens(tokens(text), k)
+
+
+# Python twin of the \W+ tokenizer: re.ASCII pins Python's \W to the
+# ASCII-only semantics Java regex (Spark) and RE2 (DuckDB) use, so the
+# three engines produce byte-identical tokens.
+SPLIT_ASCII_RE = re.compile(r"\W+", re.ASCII)
+
+
+def shingle_list(s: str, k: int) -> list[str]:
+    """Plain-Python distinct k-token shingles, first-occurrence order —
+    value-identical to shingles() (pinned in the dedup oracle checks)."""
+    toks = [t for t in SPLIT_ASCII_RE.split(s.lower()) if t]
+    if len(toks) < k:
+        return []
+    seen: set[str] = set()
+    res: list[str] = []
+    for i in range(len(toks) - k + 1):
+        g = " ".join(toks[i : i + k])
+        if g not in seen:
+            seen.add(g)
+            res.append(g)
+    return res
+
+
+_shingles_udf_cache: dict[int, object] = {}
+
+
+def shingles_udf(k: int):
+    """Arrow-batched text -> distinct k-token shingles UDF.
+
+    This is deliberately NOT the pure-column shingles_of_tokens form for
+    hot full-corpus paths: Spark's higher-order functions
+    (transform/filter lambdas) evaluate interpreted per element, and
+    Catalyst's CollapseProject re-inlines a "materialize tokens first"
+    projection back into every lambda reference, so the HOF chain
+    re-splits the text per shingle. Measured at sf0.1 (5000 docs): 5.1s
+    HOF vs 0.6s warm for this UDF — ~8x — with byte-identical output.
+    Per 128MB scan split this is one Python worker crossing of (text) in
+    and (shingles) out — the sanctioned Arrow escape hatch.
+    """
+    if k not in _shingles_udf_cache:
+
+        @pandas_udf("array<string>")
+        def _sh(texts: pd.Series) -> pd.Series:
+            return pd.Series([shingle_list(s, k) for s in texts])
+
+        _shingles_udf_cache[k] = _sh
+    return _shingles_udf_cache[k]
 
 
 # BPE-ish token pieces: common English contractions, space-prefixed word

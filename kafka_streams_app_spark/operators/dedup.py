@@ -14,8 +14,6 @@ Four tiers, each a distributed plan with no driver-side loops:
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -23,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from kafka_streams_app_spark.engine import ensure_parallelism
-from kafka_streams_app_spark.functions.text import tokens
+from kafka_streams_app_spark.functions.text import shingle_list, shingles_udf, tokens
 
 # MinHash parameters: 128 perms = 64 bands x 2 rows. For Jaccard s, the
 # probability a pair shares no band is (1-s^2)^64 — at s=0.8 that is
@@ -50,55 +48,14 @@ def dedup_exact(df: DataFrame, content: str, id_col: str) -> DataFrame:
     )
 
 
-_SPLIT_ASCII = re.compile(r"\W+", re.ASCII)
-_shingle_udf_cache: dict[int, object] = {}
-
-
-def _shingle_udf(k: int):
-    """Arrow-batched text -> distinct k-token shingles UDF.
-
-    This is deliberately NOT the pure-column shingles_of_tokens form:
-    Spark's higher-order functions (transform/filter lambdas) evaluate
-    interpreted per element, and Catalyst's CollapseProject re-inlines a
-    "materialize tokens first" projection back into every lambda
-    reference, so the HOF chain re-splits the text per shingle. Measured
-    at sf0.1 (5000 docs): 5.1s HOF vs 0.6s warm for this UDF — ~8x —
-    with byte-identical output (re.ASCII pins Python \\W to the
-    ASCII-only semantics Java regex and DuckDB's RE2 use, verified
-    0 mismatching rows). Per 128MB scan split this is one Python worker
-    crossing of (id, text) in and (id, shingles) out — the sanctioned
-    Arrow escape hatch, same policy as the minhash signature fold.
-    """
-    if k not in _shingle_udf_cache:
-
-        @pandas_udf("array<string>")
-        def _sh(texts: pd.Series) -> pd.Series:
-            out = []
-            for s in texts:
-                toks = [t for t in _SPLIT_ASCII.split(s.lower()) if t]
-                if len(toks) < k:
-                    out.append([])
-                    continue
-                seen: set[str] = set()
-                res = []
-                for i in range(len(toks) - k + 1):
-                    g = " ".join(toks[i : i + k])
-                    if g not in seen:
-                        seen.add(g)
-                        res.append(g)
-                out.append(res)
-            return pd.Series(out)
-
-        _shingle_udf_cache[k] = _sh
-    return _shingle_udf_cache[k]
-
-
 def _doc_shingles(df: DataFrame, text: str, id_col: str, k: int) -> DataFrame:
+    # Arrow-batched shingles (functions/text.py:shingles_udf — see its
+    # docstring for the ~8x measurement vs the interpreted HOF form).
     # ensure_parallelism: a single-file scan must not serialize the
     # compute-heavy signature/banding chain on one core.
     return (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("_id"), _shingle_udf(k)(F.col(text)).alias("_sh"))
+        .select(F.col(id_col).alias("_id"), shingles_udf(k)(F.col(text)).alias("_sh"))
         .filter(F.size("_sh") > 0)
     )
 
@@ -204,18 +161,11 @@ def _shingle_sig_udf(k: int):
             b = np.asarray(b_vec, dtype=np.int64)
             shs, sigs = [], []
             for s in texts:
-                toks = [t for t in _SPLIT_ASCII.split(s.lower()) if t]
-                if len(toks) < k:
+                res = shingle_list(s, k)
+                if not res:
                     shs.append([])
                     sigs.append(None)
                     continue
-                seen: set[str] = set()
-                res = []
-                for i in range(len(toks) - k + 1):
-                    g = " ".join(toks[i : i + k])
-                    if g not in seen:
-                        seen.add(g)
-                        res.append(g)
                 shs.append(res)
                 hv = np.fromiter(
                     (crc32(g.encode()) % MERSENNE for g in res),

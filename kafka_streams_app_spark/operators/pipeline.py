@@ -29,7 +29,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kafka_streams_app_spark.functions.text import shingles_of_tokens, tokens
+from kafka_streams_app_spark.engine import ensure_parallelism
+from kafka_streams_app_spark.functions.text import (
+    shingles_of_tokens,
+    shingles_udf,
+    tokens,
+)
 
 #: Number of hash buckets the sampling rates are quantized to. 10_000
 #: buckets -> rates are exact multiples of 0.01%.
@@ -137,6 +142,120 @@ def decontaminate(
     )
     return hits.groupBy(F.col("_cid").alias(id_col)).agg(
         F.count_distinct("_s").alias("n_shared")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic train/valid/test split: adds a `split` column whose
+    value is a pure function of (seed, id, weights).
+
+    Buckets from portable_bucket(seed || id) are carved into contiguous
+    ranges in SORTED split-name order (so the assignment is independent
+    of Mapping iteration order); weights are quantized to
+    1/SAMPLE_BUCKETS and must sum to <= 1 — rows whose bucket falls past
+    the last range get NULL (callers with partial weights use that as
+    "rest"). Embarrassingly parallel: one hash + CASE per row inside the
+    scan stage, no shuffle, stable across runs/cluster sizes — the
+    property an auditable 100 TB corpus split needs (no reshuffle ever
+    moves a document across splits).
+    """
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    bucket = portable_bucket(
+        F.concat(F.lit(str(seed)), F.col(id_col).cast("string")), SAMPLE_BUCKETS
+    )
+    expr: Column = F.lit(None).cast("string")
+    cum = 0
+    bounds: list[tuple[str, int]] = []
+    for name, w in sorted(weights.items()):
+        cum += int(round(w * SAMPLE_BUCKETS))
+        bounds.append((name, cum))
+    for name, upper in reversed(bounds):
+        expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+#: Bucket count for the two-phase deterministic shuffle below.
+SHUFFLE_BUCKETS = 4096
+
+
+def shuffle_deterministic(
+    df: DataFrame, id_col: str, seed: str = "", n_buckets: int = SHUFFLE_BUCKETS
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: adds
+    `shuffle_pos` (0-based, dense, a permutation of row positions) that
+    is a pure function of (seed, ids).
+
+    Position = rank under (bucket, key, id) where key = md5(seed || id)
+    and bucket = portable_bucket(key-derived). A global
+    row_number() OVER (ORDER BY key) would put the entire corpus through
+    ONE task; instead the standard two-phase construction: per-bucket
+    ranks run parallel across buckets (Window.partitionBy(bucket)), and
+    each bucket's global offset comes from a bucket-count prefix sum —
+    n_buckets rows, a trivially small single-partition window —
+    broadcast-joined back. No driver collect; scales to any corpus the
+    cluster's shuffle can hash-partition. The ordering key includes id
+    as tiebreak, so positions are unique even under md5 collisions.
+    """
+    key = F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
+    bucket = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+    tagged = df.withColumn("_sk", key).withColumn("_sb", bucket)
+    in_bucket = Window.partitionBy("_sb").orderBy("_sk", id_col)
+    offsets = (
+        tagged.groupBy("_sb").agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_sb").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_sb", "_off")
+    )
+    return (
+        tagged.withColumn("_r", F.row_number().over(in_bucket))
+        .join(F.broadcast(offsets), "_sb")
+        .withColumn("shuffle_pos", (F.col("_off") + F.col("_r") - 1).cast("long"))
+        .drop("_sk", "_sb", "_r", "_off")
+    )
+
+
+def corpus_ngram_topk(
+    df: DataFrame, text_col: str, n: int = 3, k: int = 100
+) -> DataFrame:
+    """Top-k n-grams by DOCUMENT frequency (number of documents
+    containing the gram — shingle sets are per-doc distinct), the
+    corpus-analysis primitive behind contamination screens, boilerplate
+    detection, and hot-shingle caps (dedup_ngram_jaccard's max_df).
+
+    Plan: Arrow-batched shingling -> explode -> hash-agg count ->
+    TakeOrderedAndProject top-k (count desc, gram asc for a
+    deterministic total order). The aggregation combines map-side, so
+    the shuffle carries one (gram, partial count) per distinct gram per
+    partition; top-k never materializes a global sort.
+    """
+    grams = (
+        ensure_parallelism(df)
+        .select(shingles_udf(n)(F.col(text_col)).alias("_sh"))
+        .select(F.explode("_sh").alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(k)
     )
 
 

@@ -269,3 +269,87 @@ def test_pack_sequences_random_sizes_vs_reference(spark):
     refs = {s: pack_reference(v, CAP) for s, v in by_s.items()}
     for r in got:
         assert (r["bin_id"], r["bin_offset"]) == refs[r["stratum"]][r["k"]], r
+
+
+def test_hash_split_deterministic_partition(spark, sf_dir):
+    """hash_split labels every row, is stable across calls, respects
+    sorted-name bucket order, and approximates the requested weights."""
+    from kafka_streams_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = pipeline.hash_split(docs, "doc_id", w, seed="s1")
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = docs.count()
+    assert None not in counts and sum(counts.values()) == total
+    assert abs(counts["train"] / total - 0.8) < 0.06
+    # determinism: second run identical row-for-row
+    b = pipeline.hash_split(docs, "doc_id", w, seed="s1")
+    assert a.select("doc_id", "split").subtract(
+        b.select("doc_id", "split")).count() == 0
+    # different seed -> different (not byte-identical) assignment
+    c = pipeline.hash_split(docs, "doc_id", w, seed="s2")
+    assert a.select("doc_id", "split").subtract(
+        c.select("doc_id", "split")).count() > 0
+
+
+def test_hash_split_partial_weights_null_rest(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = pipeline.hash_split(df, "k", {"bench": 0.05})
+    n_bench = out.filter(F.col("split") == "bench").count()
+    n_null = out.filter(F.col("split").isNull()).count()
+    assert n_bench + n_null == 1000 and 20 <= n_bench <= 90
+
+
+def test_hash_split_rejects_overweight(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        pipeline.hash_split(df, "k", {"a": 0.7, "b": 0.4})
+
+
+def test_shuffle_deterministic_is_permutation(spark, sf_dir):
+    """shuffle_pos is a dense 0..n-1 permutation, stable across runs,
+    seed-sensitive, and uncorrelated with input order."""
+    from kafka_streams_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    a = pipeline.shuffle_deterministic(docs, "doc_id", seed="e0")
+    pos = [r["shuffle_pos"] for r in a.select("shuffle_pos").collect()]
+    assert sorted(pos) == list(range(n))
+    b = pipeline.shuffle_deterministic(docs, "doc_id", seed="e0")
+    assert a.select("doc_id", "shuffle_pos").subtract(
+        b.select("doc_id", "shuffle_pos")).count() == 0
+    c = pipeline.shuffle_deterministic(docs, "doc_id", seed="e1")
+    moved = a.select("doc_id", "shuffle_pos").subtract(
+        c.select("doc_id", "shuffle_pos")).count()
+    assert moved > n // 2  # a different epoch reorders almost everything
+
+
+def test_shuffle_deterministic_bucket_count_invariant(spark):
+    """The emitted permutation ORDER depends on n_buckets (documented),
+    but any bucket count yields a dense permutation of the same rows."""
+    df = spark.range(500).withColumnRenamed("id", "k")
+    for nb in (7, 4096):
+        out = pipeline.shuffle_deterministic(df, "k", seed="x", n_buckets=nb)
+        pos = [r["shuffle_pos"] for r in out.select("shuffle_pos").collect()]
+        assert sorted(pos) == list(range(500))
+
+
+def test_corpus_ngram_topk_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from kafka_streams_app_spark.functions.text import shingle_list
+    from kafka_streams_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    ref = Counter()
+    for t in texts:
+        for g in shingle_list(t, 3):
+            ref[g] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r["gram"], r["doc_freq"])
+           for r in pipeline.corpus_ngram_topk(docs, "text", n=3, k=25).collect()]
+    assert got == want
