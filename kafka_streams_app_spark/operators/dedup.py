@@ -130,49 +130,76 @@ def dedup_ngram_jaccard(
     )
 
 
+def _sig_from_shingles(res: list[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """128-permutation minhash signature of one shingle set: (a*h+b)
+    mod p over crc32(shingle). crc32 is deterministic C, uniform over
+    the 2^31-1 modulus; int64 products stay below 2^62, so the numpy
+    arithmetic never wraps. The hash choice only shapes CANDIDATE
+    generation (recall (1-s^2)^64 ~ 1 at the threshold for any uniform
+    hash); emitted pairs are exact-Jaccard verified downstream, so
+    operator output is hash-agnostic (oracle = brute force)."""
+    from zlib import crc32
+
+    hv = np.fromiter(
+        (crc32(g.encode()) % MERSENNE for g in res),
+        dtype=np.int64, count=len(res),
+    )[:, None]                                  # (n, 1)
+    return np.min((hv * a + b) % MERSENNE, axis=0)  # (128,)
+
+
+def _band_hashes(sig: np.ndarray) -> np.ndarray:
+    """64 single-long band keys from a 128-long signature: band b's key
+    mixes (sig[2b], sig[2b+1], b) through a splitmix64 finalizer. The
+    pair value sig[2b]*2^31 + sig[2b+1] < 2^62 is collision-free per
+    band; the band index is folded in so one flat int64 column replaces
+    the (band, hash) pair — the banding shuffle carries HALF the bytes
+    and the candidate self-join keys on a single long. A cross-band
+    64-bit collision (~buckets^2/2^64, ~5e-9 here) merely merges two
+    buckets; candidates are Jaccard-verified, so correctness is
+    unaffected."""
+    u = sig.astype(np.uint64)
+    v = (u[0::LSH_ROWS] << np.uint64(31)) | u[1::LSH_ROWS]
+    v = v ^ (np.arange(len(v), dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    # splitmix64 finalizer
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    v = v ^ (v >> np.uint64(31))
+    return v.view(np.int64)
+
+
 _shingle_sig_udf_cache: dict[int, object] = {}
 
 
 def _shingle_sig_udf(k: int):
-    """Arrow-batched text -> struct(sh: shingles, sig: minhash signature)
+    """Arrow-batched text -> struct(sh: shingles, bh: LSH band keys)
     in ONE Python crossing.
 
-    The shingle set and its 128-permutation signature are consumed by
-    different downstream stages (Jaccard verification / LSH banding),
+    The shingle set and the banded minhash signature are consumed by
+    different downstream stages (Jaccard verification / LSH bucketing),
     but computing them separately costs two Arrow round trips with the
     (large) shingle arrays crossing twice plus a JVM hash pass between
     them. Fused: shingles come from the same ASCII tokenizer as
-    _shingle_udf; each shingle hashes via zlib.crc32 (deterministic C,
-    uniform over the 2^31-1 modulus) and the signature is one numpy
-    broadcast min over (n_shingles x 128) — int64 products stay below
-    2^62, so the arithmetic never wraps. The hash choice only shapes
-    CANDIDATE generation (recall (1-s^2)^64 ~ 1 at the threshold for
-    any uniform hash); the emitted pairs are exact-Jaccard verified, so
-    output is hash-agnostic (oracle = brute force, unchanged).
+    shingles_udf; the signature (_sig_from_shingles) is folded straight
+    into 64 single-long band keys (_band_hashes), so only 64 longs per
+    doc leave Python instead of 128 + a JVM band projection.
     """
     if k not in _shingle_sig_udf_cache:
-        from zlib import crc32
-
         a_vec, b_vec = _A, _B
 
-        @pandas_udf("struct<sh: array<string>, sig: array<long>>")
+        @pandas_udf("struct<sh: array<string>, bh: array<long>>")
         def _ss(texts: pd.Series) -> pd.DataFrame:
             a = np.asarray(a_vec, dtype=np.int64)
             b = np.asarray(b_vec, dtype=np.int64)
-            shs, sigs = [], []
+            shs, bhs = [], []
             for s in texts:
                 res = shingle_list(s, k)
                 if not res:
                     shs.append([])
-                    sigs.append(None)
+                    bhs.append(None)
                     continue
                 shs.append(res)
-                hv = np.fromiter(
-                    (crc32(g.encode()) % MERSENNE for g in res),
-                    dtype=np.int64, count=len(res),
-                )[:, None]                                       # (n, 1)
-                sigs.append(np.min((hv * a + b) % MERSENNE, axis=0))  # (128,)
-            return pd.DataFrame({"sh": shs, "sig": sigs})
+                bhs.append(_band_hashes(_sig_from_shingles(res, a, b)))
+            return pd.DataFrame({"sh": shs, "bh": bhs})
 
         _shingle_sig_udf_cache[k] = _ss
     return _shingle_sig_udf_cache[k]
@@ -181,14 +208,24 @@ def _shingle_sig_udf(k: int):
 def minhash_signature(
     df: DataFrame, text: str, id_col: str, k: int = 3,
 ) -> DataFrame:
-    """(_id, sig array<bigint>[MINHASH_PERMS]) via (a*h+b) mod p over
-    crc32(shingle) — the signature half of _shingle_sig_udf."""
-    ss = _shingle_sig_udf(k)
+    """(_id, sig array<bigint>[MINHASH_PERMS]) — the standalone
+    signature API (_sig_from_shingles over the shared tokenizer);
+    dedup_minhash_lsh uses the fused band-key form instead."""
+    a_vec, b_vec = _A, _B
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        a = np.asarray(a_vec, dtype=np.int64)
+        b = np.asarray(b_vec, dtype=np.int64)
+        return pd.Series([
+            _sig_from_shingles(res, a, b) if (res := shingle_list(s, k)) else None
+            for s in texts
+        ])
+
     return (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("_id"), ss(F.col(text)).alias("_ss"))
-        .filter(F.size("_ss.sh") > 0)
-        .select("_id", F.col("_ss.sig").alias("sig"))
+        .select(F.col(id_col).alias("_id"), _sig(F.col(text)).alias("sig"))
+        .filter(F.col("sig").isNotNull())
     )
 
 
@@ -202,47 +239,32 @@ def dedup_minhash_lsh(
     force dedup_ngram_jaccard result (recall ~1 at the threshold by the
     band construction), at O(candidates) instead of O(n^2 shingle-pairs).
 
-    Shingles AND signatures are computed in one Arrow crossing
-    (_shingle_sig_udf) and persisted together: the banding stage reads
-    sig, the Jaccard verification reads sh, and the corpus is tokenized
+    Shingles AND band keys are computed in one Arrow crossing
+    (_shingle_sig_udf) and persisted together: the bucketing stage reads
+    bh, the Jaccard verification reads sh, and the corpus is tokenized
     exactly once. At cluster scale the persist is a MEMORY_AND_DISK
-    cache of (id, shingles, sig) — strictly smaller than re-reading and
-    re-tokenizing the corpus per stage. The result (near-dup pairs,
-    orders of magnitude smaller than the corpus) is materialized
-    eagerly so the cache is released before returning — repeated calls
-    in a long-lived session must not accumulate cached blocks for the
-    application lifetime.
+    cache of (id, shingles, band keys) — strictly smaller than
+    re-reading and re-tokenizing the corpus per stage. The result
+    (near-dup pairs, orders of magnitude smaller than the corpus) is
+    materialized eagerly so the cache is released before returning —
+    repeated calls in a long-lived session must not accumulate cached
+    blocks for the application lifetime.
     """
     ss = _shingle_sig_udf(k)
     sh_sig = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("_id"), ss(F.col(text)).alias("_ss"))
         .filter(F.size("_ss.sh") > 0)
-        .select("_id", F.col("_ss.sh").alias("_sh"), F.col("_ss.sig").alias("sig"))
+        .select("_id", F.col("_ss.sh").alias("_sh"), F.col("_ss.bh").alias("_bh"))
         .persist()
     )
     sh = sh_sig.select("_id", "_sh")
-    sig = sh_sig.select("_id", "sig")
-    n_bands = MINHASH_PERMS // LSH_ROWS
-    bands = sig.select(
-        "_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]).alias("bh"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bk"),
-    ).select("_id", "bk.band", "bk.bh")
+    bands = sh_sig.select("_id", F.explode("_bh").alias("bh"))
     cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x._id") < F.col("y._id")),
+            (F.col("x.bh") == F.col("y.bh")) & (F.col("x._id") < F.col("y._id")),
         )
         .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
         .distinct()
