@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 import uuid
 
-from kafka_streams_app_spark.engine import _ensure_vendor_pythonpath, configure_session
+from kafka_streams_app_spark.engine import (
+    _ensure_vendor_pythonpath,
+    configure_session,
+    ensure_parallelism,
+)
 
 # Inject the _vendor protobuf shim into PYTHONPATH at IMPORT time — i.e.
 # before any externally-owned SparkSession launches its JVM — so
@@ -648,13 +652,9 @@ def _q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     is recomputed by the DuckDB oracle; the xxhash64 production default
     is pinned vs a Python reference in tests/test_text_functions.py."""
     docs = load_table(spark, sf, "documents")
-    tok = docs.select("doc_id", T.tokens("text").alias("_t"))
-    hashed = tok.select(
-        "doc_id", T.token_hashes(F.col("_t"), hash_fn="md5").alias("_h")
-    )
-    return hashed.select(
+    return ensure_parallelism(docs).select(
         "doc_id",
-        F.size(T.winnowing_of_hashes(F.col("_h"))).alias("n_fingerprints"),
+        T.winnowing_count_udf()(F.col("text")).alias("n_fingerprints"),
     )
 
 

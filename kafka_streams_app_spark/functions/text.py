@@ -242,6 +242,58 @@ def token_hashes(
     return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
 
 
+def winnowing_count_md5(
+    s: str, k: int = 5, window: int = 4, p: int = (1 << 31) - 1
+) -> int:
+    """Plain-Python twin of
+    size(winnowing_of_hashes(token_hashes(tokens(s), hash_fn='md5'))) —
+    value-identical by construction (pinned in tests/test_text_functions).
+    """
+    import hashlib
+
+    import numpy as np
+
+    toks = [t for t in SPLIT_ASCII_RE.split(s.lower()) if t]
+    n_grams = len(toks) - (k - 1)
+    if n_grams < window:
+        return 0
+    h = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % p for t in toks),
+        dtype=np.int64, count=len(toks),
+    )
+    # base-31 polynomial over k-grams: acc stays < 32 * 2^31 = 2^36
+    acc = np.zeros(n_grams, dtype=np.int64)
+    for j in range(k):
+        acc = (acc * 31 + h[j : j + n_grams]) % p
+    m = acc[: n_grams - window + 1].copy()
+    for j in range(1, window):
+        np.minimum(m, acc[j : j + n_grams - window + 1], out=m)
+    return len(set(m.tolist()))
+
+
+_winnowing_count_udf_cache: dict[tuple, object] = {}
+
+
+def winnowing_count_udf(k: int = 5, window: int = 4, p: int = (1 << 31) - 1):
+    """Arrow-batched text -> fingerprint COUNT (md5 token hashes).
+
+    The Column form nests transform(aggregate(slice(...))) — interpreted
+    per GRAM, the deepest HOF chain in the repo (measured ~3x slower
+    than this UDF at sf0.1). Use the Column form when the fingerprint
+    SET itself is needed; this when only the count is (the contract
+    query's shape).
+    """
+    key = (k, window, p)
+    if key not in _winnowing_count_udf_cache:
+
+        @pandas_udf("int")
+        def _wc(texts: pd.Series) -> pd.Series:
+            return pd.Series([winnowing_count_md5(s, k, window, p) for s in texts])
+
+        _winnowing_count_udf_cache[key] = _wc
+    return _winnowing_count_udf_cache[key]
+
+
 def winnowing_of_hashes(
     tok_h: Column, k: int = 5, window: int = 4, p: int = (1 << 31) - 1
 ) -> Column:

@@ -30,11 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafka_streams_app_spark.engine import ensure_parallelism
-from kafka_streams_app_spark.functions.text import (
-    shingles_of_tokens,
-    shingles_udf,
-    tokens,
-)
+from kafka_streams_app_spark.functions.text import shingles_udf
 
 #: Number of hash buckets the sampling rates are quantized to. 10_000
 #: buckets -> rates are exact multiples of 0.01%.
@@ -124,14 +120,20 @@ def decontaminate(
     broadcasts automatically below the adaptive threshold using REAL
     runtime sizes rather than this function's guess.
     """
+    # Arrow-batched shingling on the corpus (hot) side — see
+    # functions/text.py:shingles_udf for the ~8x vs interpreted HOFs.
     c_sh = (
-        corpus.select(F.col(id_col).alias("_cid"), tokens(text_col).alias("_t"))
-        .select("_cid", F.explode(shingles_of_tokens(F.col("_t"), k)).alias("_s"))
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("_cid"),
+            shingles_udf(k)(F.col(text_col)).alias("_sh"),
+        )
+        .select("_cid", F.explode("_sh").alias("_s"))
     )
     b_ids = benchmark.select(F.col(id_col).alias("_bid")).distinct()
     b_sh = (
-        benchmark.select(F.col(id_col).alias("_bid"), tokens(text_col).alias("_t"))
-        .select(F.explode(shingles_of_tokens(F.col("_t"), k)).alias("_s"))
+        benchmark.select(shingles_udf(k)(F.col(text_col)).alias("_sh"))
+        .select(F.explode("_sh").alias("_s"))
         .distinct()
     )
     if broadcast_benchmark:

@@ -171,3 +171,25 @@ def test_bmp_features_spark(spark):
             sum(px[0] for row in rows for px in row) / (w * h) * 1e6 + 0.5
         ) / 1e6
         assert r["mean_r"] == mean_r
+
+
+def test_winnowing_count_udf_equals_column_form(spark, sf_dir):
+    """The Arrow-batched count twin must equal
+    size(winnowing_of_hashes(token_hashes(tokens, md5))) row-for-row."""
+    from kafka_streams_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    col_form = (
+        docs.select("doc_id", T.tokens("text").alias("_t"))
+        .select("doc_id", T.token_hashes(F.col("_t"), hash_fn="md5").alias("_h"))
+        .select(
+            "doc_id",
+            F.size(T.winnowing_of_hashes(F.col("_h"))).alias("n"),
+        )
+    )
+    udf_form = docs.select(
+        "doc_id", T.winnowing_count_udf()(F.col("text")).alias("n")
+    )
+    a = {r["doc_id"]: r["n"] for r in col_form.collect()}
+    b = {r["doc_id"]: r["n"] for r in udf_form.collect()}
+    assert a == b
