@@ -1061,6 +1061,39 @@ def _q_s_ktable_latest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s_ktable_latest_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 incremental via the BUCKETED MapState layout
+    (streaming/ktable.py:_LatestPerKeyBucketed, n_buckets=16): the TWS
+    operator groups by a hash bucket of the key and keeps per-key state
+    in a MapState — ~(keys/buckets)x less per-key framework overhead,
+    measured 1.67x on the 1M-event throughput smoke (SCALE.md). Same
+    changelog contract, same oracle as s_ktable_latest."""
+    if tws_available(spark):
+        ev = load_stream(spark, sf, "events").select(
+            "user_id", "event_id", "value", "ts"
+        )
+        changelog = ktable_changelog_stream(
+            ev, ["user_id"], "ts", ["event_id", "value"], n_buckets=16
+        )
+        table = run_available_now(spark, changelog, _sink(), "update")
+    else:
+        # bucket layout is TWS-internal; the grouped-replay fallback
+        # runs the per-key state machine — identical changelog output.
+        ev = load_table(spark, sf, "events").select(
+            "user_id", "event_id", "value", "ts"
+        )
+        table = ktable_changelog_batch(ev, ["user_id"], "ts", ["event_id", "value"])
+    snap = ktable.latest_per_key(
+        table.filter(F.col("action") == "upsert"), ["user_id"], ["ts"],
+        payload=["new_event_id", "new_value"],
+    )
+    return snap.select(
+        "user_id",
+        F.col("new_event_id").alias("event_id"),
+        F.col("new_value").alias("value"),
+    )
+
+
 def _q_s_pk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """J5 INCREMENTAL: KTable⋈KTable PK join as a stateful changelog
     operator over the raw view/click event changelogs; the end state
@@ -2117,6 +2150,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1
     """),
+    "s_ktable_latest_bucketed": (_q_s_ktable_latest_bucketed, """
+        SELECT user_id, event_id, value FROM (
+          SELECT user_id, event_id, value, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """),
     "s_pk_join_incremental": (_q_s_pk_join_incremental, """
         WITH v AS (
           SELECT user_id, event_id AS v_event_id FROM (
@@ -2293,12 +2332,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # tpch_* family moved to the tail — it holds green rows in BOTH r3 and
 # r4 files, so re-sampling it buys nothing. With this order the front 50
 # also covers t/a/w/j core operators and the three headline dedups.
+# (q3_range_scan intentionally demoted: it already holds a green r3 row
+# and is unchanged since; its sampled slot goes to s_ktable_latest_bucketed
+# so the new MapState mode gets a driver-signed row while
+# dedup_minhash_lsh — rewritten this round — keeps the 50th slot.)
 _FIRST_PREFIXES = (
     "s_", "multimodal_", "dedup_embedding_lsh",
-    "q1_", "q2_", "q3_", "q4_", "q5_", "q6_",
+    "q1_", "q2_", "q4_", "q5_", "q6_",
 )
+_DEMOTED = {"q3_range_scan"}
 _ordered = [k for k in _REGISTRY if k.startswith(_FIRST_PREFIXES)]
-_ordered += [k for k in _REGISTRY if not k.startswith(_FIRST_PREFIXES)]
+_ordered += [
+    k for k in _REGISTRY
+    if not k.startswith(_FIRST_PREFIXES) and k not in _DEMOTED
+]
+_ordered += sorted(_DEMOTED)
 _REGISTRY = {k: _REGISTRY[k] for k in _ordered}
 
 
