@@ -42,13 +42,31 @@ TABLES: dict[str, list[str]] = {
 
 def _normalize_ts(df: DataFrame, cols: list[str]) -> DataFrame:
     """Normalize each declared event-time column to a session-TZ timestamp,
-    dispatching on the dtype the reader actually produced."""
+    dispatching on the dtype the reader actually produced.
+
+    Integer columns additionally infer the epoch UNIT from magnitude —
+    the windows are distinct for any plausible event time (epoch
+    seconds ~2e9, millis ~2e12, micros ~2e15, nanos ~2e18; each band
+    covers 1973..5138 AD in its unit), so a generator switching from
+    TIMESTAMP(NANOS) to raw epoch-millis longs cannot silently produce
+    values off by 1000x. Pure scan-stage CASE arithmetic; integer div
+    keeps full precision (float div would lose low bits of an ~1.7e18
+    ns value) and ns->us truncation matches how the oracle floors."""
     for c in cols:
         dt = df.schema[c].dataType
         if isinstance(dt, LongType):
-            # integer div keeps full precision (float div would lose low
-            # bits of the ~1.7e18 ns value); truncation matches the oracle.
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"CASE WHEN abs({c}) >= 100000000000000000"      # >= 1e17: nanos
+                    f" THEN timestamp_micros({c} div 1000)"
+                    f" WHEN abs({c}) >= 100000000000000"             # >= 1e14: micros
+                    f" THEN timestamp_micros({c})"
+                    f" WHEN abs({c}) >= 100000000000"                # >= 1e11: millis
+                    f" THEN timestamp_millis({c})"
+                    f" ELSE timestamp_seconds({c}) END"
+                ),
+            )
         elif isinstance(dt, TimestampType):
             pass  # already session-TZ timestamp
         else:

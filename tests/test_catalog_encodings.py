@@ -29,6 +29,12 @@ def _write_events(tmpdir, encoding: str) -> str:
         ts = pa.array(_EPOCH_NS, type=pa.timestamp("ns"))
     elif encoding == "us":
         ts = pa.array(_EXPECT_US, type=pa.timestamp("us"))
+    elif encoding == "long_us":
+        ts = pa.array(_EXPECT_US, type=pa.int64())
+    elif encoding == "long_ms":
+        ts = pa.array([us // 1000 for us in _EXPECT_US], type=pa.int64())
+    elif encoding == "long_s":
+        ts = pa.array([us // 1_000_000 for us in _EXPECT_US], type=pa.int64())
     else:
         raise ValueError(encoding)
     tbl = pa.table(
@@ -50,7 +56,10 @@ def _write_events(tmpdir, encoding: str) -> str:
 @pytest.fixture(scope="module")
 def twin_dirs(tmp_path_factory):
     base = tmp_path_factory.mktemp("enc_twins")
-    return {enc: _write_events(base, enc) for enc in ("ns", "us")}
+    return {
+        enc: _write_events(base, enc)
+        for enc in ("ns", "us", "long_us", "long_ms", "long_s")
+    }
 
 
 def _epoch_us(df):
@@ -60,12 +69,23 @@ def _epoch_us(df):
     return {r["event_id"]: r["us"] for r in rows}
 
 
-@pytest.mark.parametrize("encoding", ["ns", "us"])
+# expected epoch-us per encoding: coarser physical units legitimately
+# truncate (the loader must infer the UNIT correctly, not invent digits)
+_EXPECT_BY_ENC = {
+    "ns": _EXPECT_US,
+    "us": _EXPECT_US,
+    "long_us": _EXPECT_US,
+    "long_ms": [us // 1000 * 1000 for us in _EXPECT_US],
+    "long_s": [us // 1_000_000 * 1_000_000 for us in _EXPECT_US],
+}
+
+
+@pytest.mark.parametrize("encoding", ["ns", "us", "long_us", "long_ms", "long_s"])
 def test_load_table_normalizes(spark, twin_dirs, encoding):
     df = load_table(spark, twin_dirs[encoding], "events")
     assert str(df.schema["ts"].dataType) == "TimestampType()"
     got = _epoch_us(df)
-    assert got == {i: us for i, us in enumerate(_EXPECT_US)}
+    assert got == {i: us for i, us in enumerate(_EXPECT_BY_ENC[encoding])}
 
 
 def test_both_encodings_identical_batch(spark, twin_dirs):
