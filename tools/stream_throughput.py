@@ -40,6 +40,7 @@ from kafka_streams_app_spark.functions.text import scrub_pii
 from kafka_streams_app_spark.sources.catalog import _normalize_ts
 from kafka_streams_app_spark.streaming import windows as SW
 from kafka_streams_app_spark.streaming.ktable import ktable_changelog_stream
+from kafka_streams_app_spark.streaming.pk_join import pk_join_stream
 from kafka_streams_app_spark.streaming.replay import tws_available
 
 SCRATCH = Path("/root/repo/.scratch/scale_smoke")
@@ -125,6 +126,28 @@ def main() -> None:
                 ev5, ["user_id"], "event_id", ["event_id", "value"]
             ),
             "append",
+        ))
+        # J5 incremental: two-sided PK-join state machine (the heavier
+        # TWS topology — union-tagged changelogs, per-key (left,right)
+        # state). Same view/click split as the s_pk_join_incremental
+        # contract entry; rows_in counts the full event stream scanned.
+        ev6 = stream_events(spark, events_path)
+        pk_left = ev6.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("v_event_id"),
+            F.unix_micros("ts").alias("seq"),
+        )
+        pk_right = ev6.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("c_event_id"),
+            F.unix_micros("ts").alias("seq"),
+        )
+        shapes.append((
+            "pk_join_tws",
+            pk_join_stream(
+                pk_left, pk_right, key="user_id",
+                left_payload=["v_event_id"], right_payload=["c_event_id"],
+                how="inner",
+            ),
+            "update",
         ))
     else:
         print(json.dumps({"shape": "ktable_latest_tws", "skipped": "no TWS protobuf"}))
