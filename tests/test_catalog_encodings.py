@@ -110,3 +110,42 @@ def test_load_stream_normalizes(spark, twin_dirs, encoding, tmp_path):
     q.awaitTermination(60)
     got = _epoch_us(spark.table(sink))
     assert got == {i: us for i, us in enumerate(_EXPECT_US)}
+
+
+def test_long_epoch_unit_inference_property(spark, tmp_path):
+    """Random epochs across all four integer bands (s/ms/us/ns) must
+    normalize to the value their band implies — a generator switching
+    units can shift magnitude by 1000x but never silently corrupt."""
+    import random
+
+    rng = random.Random(93)
+    # epochs between 1990 and 2200 in each unit
+    secs = [rng.randint(631_152_000, 7_258_118_400) for _ in range(30)]
+    cases = []  # (long value, expected epoch us)
+    for s in secs[:8]:
+        cases.append((s, s * 1_000_000))
+    for s in secs[8:15]:
+        ms = s * 1000 + rng.randint(0, 999)
+        cases.append((ms, ms * 1000))
+    for s in secs[15:22]:
+        us = s * 1_000_000 + rng.randint(0, 999_999)
+        cases.append((us, us))
+    for s in secs[22:]:
+        ns = s * 1_000_000_000 + rng.randint(0, 999_999_999)
+        cases.append((ns, ns // 1000))
+    n = len(cases)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array([v for v, _ in cases], type=pa.int64()),
+            "user_id": pa.array([1] * n, type=pa.int64()),
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array([0.0] * n, type=pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    d = tmp_path / "prop"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    got = _epoch_us(load_table(spark, str(d), "events"))
+    assert got == {i: exp for i, (_, exp) in enumerate(cases)}

@@ -24,7 +24,12 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
-DEFAULT = ["s_ktable_latest", "s_pk_join_incremental", "s_fk_join_incremental"]
+DEFAULT = [
+    "s_ktable_latest",
+    "s_ktable_latest_bucketed",
+    "s_pk_join_incremental",
+    "s_fk_join_incremental",
+]
 
 
 def norm_cell(v):
