@@ -128,7 +128,14 @@ SPLIT_ASCII_RE = re.compile(r"\W+", re.ASCII)
 
 def shingle_list(s: str, k: int) -> list[str]:
     """Plain-Python distinct k-token shingles, first-occurrence order —
-    value-identical to shingles() (pinned in the dedup oracle checks)."""
+    value-identical to shingles() (pinned in the dedup oracle checks).
+
+    Null-safe: non-string input (None / NaN from a null text cell) maps
+    to [] — matching the pure-Column form, where split(NULL) propagates
+    null and the row is filtered, instead of raising inside the Arrow
+    batch and failing the whole query."""
+    if not isinstance(s, str):
+        return []
     toks = [t for t in SPLIT_ASCII_RE.split(s.lower()) if t]
     if len(toks) < k:
         return []
@@ -253,6 +260,8 @@ def winnowing_count_md5(
 
     import numpy as np
 
+    if not isinstance(s, str):  # null text cell: no tokens, no fingerprints
+        return 0
     toks = [t for t in SPLIT_ASCII_RE.split(s.lower()) if t]
     n_grams = len(toks) - (k - 1)
     if n_grams < window:

@@ -173,11 +173,14 @@ def hash_split(
         F.concat(F.lit(str(seed)), F.col(id_col).cast("string")), SAMPLE_BUCKETS
     )
     expr: Column = F.lit(None).cast("string")
-    cum = 0
+    # round the CUMULATIVE sum at each boundary (not each weight) so
+    # quantization error never accumulates: weights {1/3, 1/3, 1/3}
+    # must cover all SAMPLE_BUCKETS buckets, not leave bucket 9999 NULL
+    cum_w = 0.0
     bounds: list[tuple[str, int]] = []
     for name, w in sorted(weights.items()):
-        cum += int(round(w * SAMPLE_BUCKETS))
-        bounds.append((name, cum))
+        cum_w += w
+        bounds.append((name, int(round(cum_w * SAMPLE_BUCKETS))))
     for name, upper in reversed(bounds):
         expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)

@@ -180,7 +180,9 @@ class _FKJoinProcessor(StatefulProcessor):
         else:
             self.right.clear()
         if out:
-            yield pd.DataFrame(out, columns=self.out_columns)
+            # dtype=object: pandas would infer mixed None/int64 columns
+            # as float64, rounding values above 2^53 (see ktable.py)
+            yield pd.DataFrame(out, columns=self.out_columns, dtype=object)
 
     def close(self) -> None:
         pass

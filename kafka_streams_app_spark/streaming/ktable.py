@@ -32,7 +32,18 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
 
 
 def _require_rocksdb(spark) -> None:
@@ -70,7 +81,12 @@ def _changelog_for_key(
         cols["action"] = ["upsert"] * n
         cols["old_present"] = [cur is not None] + [True] * (n - 1)
         for j, c in enumerate(payload):
-            cols[f"old_{c}"] = [cur[j] if cur is not None else None] + pay[j][:-1]
+            # dtype=object: pandas would infer a [None, int...] list as
+            # float64 (NaN-fill), silently rounding int64 payloads above
+            # 2^53; object columns reach Arrow losslessly
+            cols[f"old_{c}"] = pd.Series(
+                [cur[j] if cur is not None else None] + pay[j][:-1], dtype=object
+            )
             cols[f"new_{c}"] = pay[j]
         cols[seq_col] = seqs
         return pd.DataFrame(cols, columns=out_columns), tuple(p[-1] for p in pay)
@@ -87,7 +103,11 @@ def _changelog_for_key(
             new = tuple(p[i] for p in pay)
             out.append(key + ("upsert", old_present) + old + new + (seq,))
             cur = new
-    frame = pd.DataFrame(out, columns=out_columns) if out else None
+    # dtype=object: see fast path — mixed None/int64 columns must not
+    # pass through float64 inference
+    frame = (
+        pd.DataFrame(out, columns=out_columns, dtype=object) if out else None
+    )
     return frame, cur
 
 
@@ -181,10 +201,46 @@ class _LatestPerKeyBucketed(StatefulProcessor):
     def _pykey(row_vals) -> tuple:
         # numpy scalars -> python scalars: the state-server protobuf
         # serializer expects plain python types in key/value tuples.
-        return tuple(v.item() if hasattr(v, "item") else v for v in row_vals)
+        # Null cells (pd.NA from nullable extension dtypes, NaN/NaT from
+        # legacy upcasts) map to None — never a float NaN key that would
+        # defeat MapState lookups.
+        out = []
+        for v in row_vals:
+            if v is None or v is pd.NA or v is pd.NaT:
+                out.append(None)
+            elif isinstance(v, float) and v != v:
+                out.append(None)
+            elif hasattr(v, "item"):
+                out.append(v.item())
+            else:
+                out.append(v)
+        return tuple(out)
+
+    def _normalize_pdf(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Pin integral/bool key+payload columns to pandas NULLABLE
+        extension dtypes before any shift/groupby/state access.
+
+        Two silent-corruption paths this closes (ADVICE r5): (a) a null
+        in an int64 column makes pandas deliver float64, so _pykey would
+        hand float (or NaN) key tuples to a LongType MapState schema;
+        (b) groupby().shift(1) on plain int64 upcasts through float64
+        (NaN fill), corrupting payload values above 2^53. With Int64 /
+        boolean extension dtypes neither path ever touches float64.
+        """
+        for name, f in zip(
+            self.keys + self.payload,
+            list(self.key_schema.fields) + list(self.state_schema.fields),
+        ):
+            if pd.api.types.is_extension_array_dtype(pdf[name].dtype):
+                continue
+            if isinstance(f.dataType, _INTEGRAL_TYPES):
+                pdf[name] = pdf[name].astype("Int64")
+            elif isinstance(f.dataType, BooleanType):
+                pdf[name] = pdf[name].astype("boolean")
+        return pdf
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        pdf = (
+        pdf = self._normalize_pdf(
             pd.concat(list(rows))
             .sort_values(self.seq_col, kind="stable")
             .reset_index(drop=True)
@@ -216,14 +272,16 @@ class _LatestPerKeyBucketed(StatefulProcessor):
         old_present.iloc[first_pos] = [c is not None for c in curs]
         cols["old_present"] = old_present
         for j, c in enumerate(self.payload):
+            # _normalize_pdf pinned integral/bool payloads to extension
+            # dtypes, so this shift fills pd.NA natively — int64 values
+            # never round-trip through float64 (exact above 2^53)
             old = gb[c].shift(1)
-            if pd.api.types.is_integer_dtype(pdf[c].dtype):
-                old = old.astype("Int64")  # keep null-able without float coercion
-            elif pd.api.types.is_bool_dtype(pdf[c].dtype):
-                old = old.astype("boolean")
-            old.iloc[first_pos] = [
-                cur[j] if cur is not None else None for cur in curs
-            ]
+            fill = [cur[j] if cur is not None else None for cur in curs]
+            if pd.api.types.is_float_dtype(old.dtype):
+                # float64 columns want NaN, not None (pandas deprecates
+                # object fills into float blocks)
+                fill = [float("nan") if v is None else v for v in fill]
+            old.iloc[first_pos] = fill
             cols[f"old_{c}"] = old
             cols[f"new_{c}"] = pdf[c]
         cols[self.seq_col] = pdf[self.seq_col]
@@ -256,7 +314,9 @@ class _LatestPerKeyBucketed(StatefulProcessor):
                 if cur is not None:
                     self.state.removeKey(ukey)
             else:
-                self.state.updateValue(ukey, new_cur)
+                # _pykey also for the VALUE tuple: normalized Int64
+                # payload cells surface as pd.NA / np scalars here
+                self.state.updateValue(ukey, self._pykey(new_cur))
             if frame is not None:
                 frames.append(frame)
         if frames:
@@ -329,7 +389,13 @@ def ktable_changelog_stream(
     needed = list(dict.fromkeys(
         keys + [seq_col] + payload + ([tombstone_col] if tombstone_col else [])
     ))
-    df = df.select(*needed)
+    # Kafka Streams drops records with a null key for all KTable
+    # operations ("records with null key are ignored") — mirror that.
+    # This also keeps the TWS grouping exact: pyspark's worker-side
+    # group splitting reads keys from the pandas-converted batch, and a
+    # single null in an int64 key column upcasts the whole column to
+    # float64, corrupting every key above 2^53 in that batch.
+    df = df.select(*needed).na.drop(subset=keys)
     if n_buckets is None:
         proc, out_schema = _ktable_plan(df, keys, seq_col, payload, tombstone_col)
         return df.groupBy(*keys).transformWithStateInPandas(
@@ -373,5 +439,6 @@ def ktable_changelog_batch(
     identical changelog rows. See streaming/replay.py for when/why."""
     from kafka_streams_app_spark.streaming.replay import grouped_replay
 
+    df = df.na.drop(subset=keys)  # Kafka null-key drop, as in the stream path
     proc, out_schema = _ktable_plan(df, keys, seq_col, payload, tombstone_col)
     return grouped_replay(df, keys, proc, out_schema)

@@ -107,7 +107,9 @@ class _PKJoinProcessor(StatefulProcessor):
             else:
                 state.clear()
         if out:
-            yield pd.DataFrame(out, columns=self.out_columns)
+            # dtype=object: pandas would infer mixed None/int64 columns
+            # as float64, rounding values above 2^53 (see ktable.py)
+            yield pd.DataFrame(out, columns=self.out_columns, dtype=object)
 
     def close(self) -> None:
         pass
@@ -131,6 +133,10 @@ def _pk_join_plan(
 
     def tag(df: DataFrame, side: str, payload: list[str], other: list[str],
             other_schema, tombstone: str | None) -> DataFrame:
+        # Kafka Streams ignores null-key records in table-table joins;
+        # dropping them here also keeps the TWS group-key batch int64-
+        # exact (see ktable.py null-key note)
+        df = df.na.drop(subset=[key])
         return df.select(
             F.col(key),
             F.lit(side).alias("side"),

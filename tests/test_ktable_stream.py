@@ -97,3 +97,58 @@ def test_ktable_upserts_across_batches_mixed_keys(spark, n_buckets):
             ("k2", "upsert", True, "b", "q", "d", "q", 3),
             ("k3", "upsert", False, None, None, "e", "r", 4),
         }
+
+
+BIG = (1 << 62) + 12345  # above 2^53: corrupted by any float64 round-trip
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_ktable_int64_payload_precision(spark, n_buckets):
+    """int64 payloads above 2^53 must round-trip exactly through the
+    changelog old/new columns AND through state carry across batches.
+    The bucketed mode's groupby().shift(1) previously upcast int64
+    through float64 (ADVICE r5), silently corrupting such values."""
+    with MicroBatchReplay(
+        spark, "key bigint, big bigint, is_delete boolean, seq bigint",
+        lambda src: ktable_changelog_stream(
+            src, ["key"], "seq", ["big"], "is_delete", n_buckets=n_buckets,
+        ),
+        "update",
+    ) as r:
+        r.pipe([(1, BIG, False, 0), (1, BIG + 1, False, 1)])
+        assert [tuple(x) for x in r.drain()] == [
+            (1, "upsert", False, None, BIG, 0),
+            (1, "upsert", True, BIG, BIG + 1, 1),
+        ]
+        # carry-in from state (protobuf round-trip), exact
+        r.pipe([(1, BIG + 2, False, 2)])
+        assert [tuple(x) for x in r.drain()] == [
+            (1, "upsert", True, BIG + 1, BIG + 2, 2),
+        ]
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_ktable_null_key_records_dropped(spark, n_buckets):
+    """Kafka Streams ignores records with a null key for all KTable
+    operations — and dropping them is also what keeps TWS group keys
+    exact: pyspark's worker-side group split reads keys from the
+    pandas-converted batch, where one null in an int64 key column
+    upcasts the whole column to float64, corrupting every key in the
+    batch above 2^53 (observed: BIG grouped under BIG&~511). Both
+    modes must drop the null-key row and keep BIG exact."""
+    with MicroBatchReplay(
+        spark, "key bigint, v string, is_delete boolean, seq bigint",
+        lambda src: ktable_changelog_stream(
+            src, ["key"], "seq", ["v"], "is_delete", n_buckets=n_buckets,
+        ),
+        "update",
+    ) as r:
+        r.pipe([(BIG, "a", False, 0), (None, "n1", False, 1)])
+        assert [tuple(x) for x in r.drain()] == [
+            (BIG, "upsert", False, None, "a", 0),
+        ]
+        # second batch: BIG must hit its carried state, null still dropped
+        r.pipe([(BIG, "b", False, 2), (None, "n2", False, 3)])
+        assert [tuple(x) for x in r.drain()] == [
+            (BIG, "upsert", True, "a", "b", 2),
+        ]

@@ -353,3 +353,19 @@ def test_corpus_ngram_topk_matches_python(spark, sf_dir):
     got = [(r["gram"], r["doc_freq"])
            for r in pipeline.corpus_ngram_topk(docs, "text", n=3, k=25).collect()]
     assert got == want
+
+
+def test_hash_split_full_weights_cover_last_bucket(spark):
+    """Weights {1/3, 1/3, 1/3} sum to 1.0, so EVERY bucket must get a
+    label. Per-weight rounding (3333+3333+3333 = 9999) left the last
+    bucket NULL (ADVICE r5); the cumulative-sum rounding fix pins a key
+    that lands exactly in bucket SAMPLE_BUCKETS-1 to the last split."""
+    last = next(
+        k for k in range(10**6)
+        if pipeline.portable_bucket_py(k, pipeline.SAMPLE_BUCKETS)
+        == pipeline.SAMPLE_BUCKETS - 1
+    )
+    df = spark.createDataFrame([(last,), (0,)], "k long")
+    out = pipeline.hash_split(df, "k", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    got = {r["k"]: r["split"] for r in out.collect()}
+    assert got[last] == "c" and all(v is not None for v in got.values())

@@ -193,3 +193,29 @@ def test_winnowing_count_udf_equals_column_form(spark, sf_dir):
     a = {r["doc_id"]: r["n"] for r in col_form.collect()}
     b = {r["doc_id"]: r["n"] for r in udf_form.collect()}
     assert a == b
+
+
+def test_null_text_is_skipped_not_crashed():
+    """A null text cell must behave like the pure-Column forms (null
+    propagates, row filtered), not raise inside the Arrow batch: a
+    single null doc previously failed whole queries (ADVICE r5)."""
+    from kafka_streams_app_spark.functions.text import (
+        shingle_list,
+        winnowing_count_md5,
+    )
+
+    assert shingle_list(None, 3) == []
+    assert shingle_list(float("nan"), 3) == []  # pandas null form
+    assert winnowing_count_md5(None) == 0
+
+
+def test_null_text_through_shingles_udf(spark):
+    from kafka_streams_app_spark.functions.text import shingles_udf
+
+    df = spark.createDataFrame(
+        [("a", "one two three four"), ("b", None)], "doc_id string, text string"
+    )
+    rows = {r["doc_id"]: r["sh"] for r in
+            df.select("doc_id", shingles_udf(3)(F.col("text")).alias("sh"))
+            .collect()}
+    assert rows["b"] == [] and len(rows["a"]) == 2
