@@ -1131,6 +1131,42 @@ def _q_s_pk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return snap.select("user_id", "v_event_id", "c_event_id")
 
 
+def _q_s_pk_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 INCREMENTAL via the BUCKETED MapState layout
+    (streaming/pk_join.py:_PKJoinProcessorBucketed, n_buckets=16): the
+    TWS operator groups by a hash bucket of the key and keeps per-key
+    (left, right) state in two MapStates — same trade the bucketed
+    ktable measured at 1.67x on the throughput smoke. Identical join
+    changelog, same oracle as s_pk_join_incremental. The grouped-replay
+    fallback runs the SAME bucketed processor through applyInPandas."""
+    from kafka_streams_app_spark.streaming.pk_join import pk_join_batch, pk_join_stream
+
+    use_tws = tws_available(spark)
+    ev = (load_stream if use_tws else load_table)(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_event_id"),
+        F.unix_micros("ts").alias("seq"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_event_id"),
+        F.unix_micros("ts").alias("seq"),
+    )
+    kwargs = dict(
+        key="user_id", left_payload=["v_event_id"],
+        right_payload=["c_event_id"], how="inner", n_buckets=16,
+    )
+    if use_tws:
+        join = pk_join_stream(left, right, **kwargs)
+        table = run_available_now(spark, join, _sink(), "update")
+    else:
+        table = pk_join_batch(left, right, **kwargs)
+    snap = ktable.latest_per_key(
+        table.filter(F.col("action") == "upsert"), ["user_id"], ["_seq"],
+        payload=["v_event_id", "c_event_id"],
+    )
+    return snap.select("user_id", "v_event_id", "c_event_id")
+
+
 def _q_s_fk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """J7/J8 INCREMENTAL (M4): the full two-stage FK-join pipeline over
     the events stream — left KTable = latest event per user (FK = its
@@ -1160,9 +1196,22 @@ def _q_s_fk_join_left_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s_fk_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """J7/J8 INCREMENTAL via the BUCKETED MapState layout
+    (streaming/fk_join.py:_FKJoinProcessorBucketed, n_buckets=16): both
+    pipeline stages group by a hash bucket (stage 1: of the pk, stage 2:
+    of the fk) and keep per-key state in MapStates — the production-
+    recommended mode. Identical join changelog, same oracle as
+    s_fk_join_incremental. The grouped-replay fallback runs the SAME
+    bucketed stage-2 processor through applyInPandas (stage 1 falls back
+    to the per-key batch replay — bucket layout is state-internal)."""
+    return _fk_incremental_pipeline(spark, sf, how="inner", n_buckets=16)
+
+
 def _fk_incremental_pipeline(
     spark: SparkSession, sf: str, how: str,
     right_types: tuple[str, ...] | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     import shutil
     import tempfile
@@ -1187,7 +1236,9 @@ def _fk_incremental_pipeline(
         F.unix_micros("ts").alias("seq"),
     )
     if use_tws:
-        changelog = ktable_changelog_stream(left, ["pk"], "seq", ["fk", "value"])
+        changelog = ktable_changelog_stream(
+            left, ["pk"], "seq", ["fk", "value"], n_buckets=n_buckets
+        )
         # both staging dirs are transient: the memory sink returned by
         # run_available_now is fully materialized, so nothing reads
         # them after this block — clean up even on exception
@@ -1210,7 +1261,7 @@ def _fk_incremental_pipeline(
             join = fk_join_changelog_stream(
                 instr, right, right_key="rk", right_payload=["rvalue"],
                 right_seq="seq", right_tombstone=None,
-                left_value_cols=["value"], how=how,
+                left_value_cols=["value"], how=how, n_buckets=n_buckets,
             )
             table = run_available_now(spark, join, _sink(), "update")
         finally:
@@ -1222,7 +1273,7 @@ def _fk_incremental_pipeline(
         table = fk_join_changelog_batch(
             instr, right, right_key="rk", right_payload=["rvalue"],
             right_seq="seq", right_tombstone=None,
-            left_value_cols=["value"], how=how,
+            left_value_cols=["value"], how=how, n_buckets=n_buckets,
         )
     snap = ktable.latest_per_key(
         table, ["pk"], ["_seq", "_minor"],
@@ -2170,6 +2221,35 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         )
         SELECT v.user_id, v_event_id, c_event_id FROM v JOIN c ON v.user_id = c.user_id
     """),
+    "s_pk_join_bucketed": (_q_s_pk_join_bucketed, """
+        WITH v AS (
+          SELECT user_id, event_id AS v_event_id FROM (
+            SELECT user_id, event_id, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1
+        ), c AS (
+          SELECT user_id, event_id AS c_event_id FROM (
+            SELECT user_id, event_id, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'click') WHERE rn = 1
+        )
+        SELECT v.user_id, v_event_id, c_event_id FROM v JOIN c ON v.user_id = c.user_id
+    """),
+    "s_fk_join_bucketed": (_q_s_fk_join_bucketed, """
+        WITH l AS (
+          SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        ), r AS (
+          SELECT event_type, value AS rvalue FROM (
+            SELECT event_type, value, row_number() OVER (
+              PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        )
+        SELECT l.user_id, l.value, r.rvalue
+        FROM l JOIN r ON l.event_type = r.event_type
+    """),
     "s_fk_join_incremental": (_q_s_fk_join_incremental, """
         WITH l AS (
           SELECT user_id, event_type, value FROM (
@@ -2337,7 +2417,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    text_winnowing + decontam_overlap.
 # 2. Entries whose code paths changed this round (ktable/pk/fk
 #    processors: s_ktable*, s_pk*, s_fk*, j5-j8; shingle null guards:
-#    dedup_minhash_lsh / dedup_ngram_jaccard).
+#    dedup_minhash_lsh / dedup_ngram_jaccard), plus the NEW bucketed
+#    join entries (s_pk_join_bucketed / s_fk_join_bucketed — never
+#    sampled, so the lint pins them here).
 # 3. Stale-evidence rotation (green only in r3, two testdata
 #    regenerations ago): dedup_simhash/clusters/embedding_cosine,
 #    sim_*, sample_stratified, text_*, extras_*, pack_sequences.
@@ -2351,7 +2433,8 @@ _FRONT = [
     "pipeline_hash_split", "pipeline_shuffle_det", "corpus_ngram_topk",
     "text_winnowing", "decontam_overlap",
     "s_ktable_latest", "s_ktable_latest_bucketed",
-    "s_pk_join_incremental", "s_fk_join_incremental",
+    "s_pk_join_incremental", "s_pk_join_bucketed",
+    "s_fk_join_incremental", "s_fk_join_bucketed",
     "s_fk_join_left_incremental",
     "j5_table_join_inner", "j6_table_join_left_tombstone",
     "j7_fk_join_left", "j8_fk_join_inner_agg",
@@ -2368,7 +2451,6 @@ _FRONT = [
     "dedup_embedding_lsh",
     "q1_point_lookup", "q2_full_scan", "q4_window_fetch",
     "q5_window_fetch_all", "q6_key_routing",
-    "t1_wordcount", "a2_windowed_count",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -42,6 +42,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import StringType, StructField, StructType
 
+from kafka_streams_app_spark.streaming._pdnorm import (
+    is_shielded,
+    normalize_nullable,
+    pykey,
+    pynative,
+    shield_long,
+)
 from kafka_streams_app_spark.streaming.harness import MicroBatchReplay
 from kafka_streams_app_spark.streaming.ktable import (
     _require_rocksdb,
@@ -96,6 +103,105 @@ def fk_instructions(
     return left_view.select(F.explode(arr).alias("i")).select("i.*")
 
 
+class _SubsView:
+    """Current subscription view for ONE fk during a batch: a pre-batch
+    snapshot (or a point-lookup fallback when no snapshot was taken)
+    overlaid with this batch's mutations.
+
+    Why an overlay: state writes made earlier in a batch are not
+    guaranteed visible to MapState.iterator()/containsKey() within the
+    same batch, so a same-batch sub followed by a right update would
+    miss the fan-out without it. The caller mirrors `touched` to the
+    real state after the transition.
+    """
+
+    def __init__(self, snapshot: dict | None, contains_fn=None) -> None:
+        self._snap = snapshot        # pre-batch {pk: left payload}
+        self._contains = contains_fn  # pre-batch point membership
+        self.touched: dict = {}       # pk -> payload | None (= removed)
+
+    def set(self, pk, pay: tuple) -> None:
+        self.touched[pk] = pay
+
+    def remove(self, pk) -> None:
+        self.touched[pk] = None
+
+    def contains(self, pk) -> bool:
+        if pk in self.touched:
+            return self.touched[pk] is not None
+        if self._snap is not None:
+            return pk in self._snap
+        return bool(self._contains(pk))
+
+    def items(self):
+        """Full current view — fan-out on right-side records. Only legal
+        when a snapshot was taken (the bucketed processor guarantees one
+        for every fk with right-side records in the batch)."""
+        cur = dict(self._snap)
+        for pk, pay in self.touched.items():
+            if pay is None:
+                cur.pop(pk, None)
+            else:
+                cur[pk] = pay
+        return cur.items()
+
+
+def _fk_apply(
+    records: list[dict],
+    r_present: bool,
+    r_val: tuple,
+    subs: _SubsView,
+    left_cols: list[str],
+    right_cols: list[str],
+    left_join: bool,
+) -> tuple[list[tuple], bool, tuple]:
+    """FK-join state transition for ONE fk's in-order records. Returns
+    (output rows, new right state); subscription mutations accumulate
+    in `subs.touched`. Shared by the per-fk and bucketed processors —
+    identical emissions by construction."""
+    r_nulls = (None,) * len(right_cols)
+    l_nulls = (None,) * len(left_cols)
+    out: list[tuple] = []
+
+    for rec in records:
+        kind, pk = rec["kind"], pynative(rec["pk"])
+        om = (pynative(rec["seq"]), pynative(rec["minor"]))  # order tag
+        if kind == KIND_RIGHT:
+            if pynative(rec["right_is_delete"]):
+                if r_present:
+                    r_present, r_val = False, ()
+                    for spk, spay in subs.items():
+                        out.append(
+                            ((spk, "upsert") + spay + r_nulls if left_join
+                             else (spk, "delete") + l_nulls + r_nulls) + om
+                        )
+            else:
+                r_present = True
+                r_val = pykey(rec[c] for c in right_cols)
+                for spk, spay in subs.items():
+                    out.append((spk, "upsert") + spay + r_val + om)
+        elif kind == KIND_SUB:
+            pay = pykey(rec[c] for c in left_cols)
+            subs.set(pk, pay)
+            if left_join:
+                out.append(
+                    (pk, "upsert") + pay + (r_val if r_present else r_nulls) + om
+                )
+            elif r_present:
+                out.append((pk, "upsert") + pay + r_val + om)
+        else:  # unsub_move / unsub_delete
+            if subs.contains(pk):
+                subs.remove(pk)
+                if left_join:
+                    if kind == KIND_UNSUB_DELETE:
+                        out.append((pk, "delete") + l_nulls + r_nulls + om)
+                    # unsub_move: the paired sub's upsert supersedes
+                elif r_present:
+                    # a join row existed for this pk iff right present
+                    out.append((pk, "delete") + l_nulls + r_nulls + om)
+    return out, r_present, r_val
+
+
 class _FKJoinProcessor(StatefulProcessor):
     """Per-FK-group state: current right value + {pk -> left payload}."""
 
@@ -116,65 +222,43 @@ class _FKJoinProcessor(StatefulProcessor):
         self.out_columns = out_columns
         self.how = how
         self.pk_schema = pk_schema
+        # LongType columns are decimal-shielded (arrive object-exact);
+        # pin the remaining integral/bool columns to extension dtypes
+        # right_cols are the r_-prefixed union column names; the state
+        # schema fields are positional twins with the original names
+        self._norm_fields = [
+            (c, dt)
+            for c, dt in [("pk", pk_schema["pk"].dataType)]
+            + [(c, sub_schema[c].dataType) for c in left_cols]
+            + [(c, f.dataType) for c, f in zip(right_cols, right_schema.fields)]
+            if not is_shielded(dt)
+        ]
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.right = handle.getValueState("right", self.right_schema)
         self.subs = handle.getMapState("subs", self.pk_schema, self.sub_schema)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(rows)).sort_values(["seq", "minor"], kind="stable")
+        # normalize BEFORE touching cells: instruction rows carry nulls
+        # in the r_* columns and right rows in the left columns BY
+        # CONSTRUCTION, so int64 payloads would otherwise arrive float64
+        # and round above 2^53 (see _pdnorm.py)
+        pdf = normalize_nullable(
+            pd.concat(list(rows)).sort_values(["seq", "minor"], kind="stable"),
+            self._norm_fields,
+        )
         r_present = self.right.exists()
         r_val: tuple = tuple(self.right.get()) if r_present else ()
-        r_nulls = (None,) * len(self.right_cols)
-        l_nulls = (None,) * len(self.left_cols)
-        left_join = self.how == "left"
-        # Work on a LOCAL snapshot of the subscription map: state writes
-        # made earlier in this batch are not guaranteed visible to
-        # MapState.iterator() within the same batch, so a same-batch
-        # sub followed by a right update would miss the fan-out without
-        # this overlay. State mutations are mirrored to RocksDB below.
-        subs_now: dict = {k[0]: tuple(v) for k, v in self.subs.iterator()}
-        out: list[tuple] = []
-
-        def right_or_null() -> tuple:
-            return r_val if r_present else r_nulls
-
-        for rec in pdf.to_dict("records"):
-            kind, pk = rec["kind"], rec["pk"]
-            om = (rec["seq"], rec["minor"])  # emission order tag
-            if kind == KIND_RIGHT:
-                if rec["right_is_delete"]:
-                    if r_present:
-                        r_present, r_val = False, ()
-                        for spk, spay in subs_now.items():
-                            out.append(
-                                ((spk, "upsert") + spay + r_nulls if left_join
-                                 else (spk, "delete") + l_nulls + r_nulls) + om
-                            )
-                else:
-                    r_present = True
-                    r_val = tuple(rec[c] for c in self.right_cols)
-                    for spk, spay in subs_now.items():
-                        out.append((spk, "upsert") + spay + r_val + om)
-            elif kind == KIND_SUB:
-                pay = tuple(rec[c] for c in self.left_cols)
-                subs_now[pk] = pay
+        subs = _SubsView({k[0]: tuple(v) for k, v in self.subs.iterator()})
+        out, r_present, r_val = _fk_apply(
+            pdf.to_dict("records"), r_present, r_val, subs,
+            self.left_cols, self.right_cols, self.how == "left",
+        )
+        for pk, pay in subs.touched.items():
+            if pay is None:
+                self.subs.removeKey((pk,))
+            else:
                 self.subs.updateValue((pk,), pay)
-                if left_join:
-                    out.append((pk, "upsert") + pay + right_or_null() + om)
-                elif r_present:
-                    out.append((pk, "upsert") + pay + r_val + om)
-            else:  # unsub_move / unsub_delete
-                if pk in subs_now:
-                    del subs_now[pk]
-                    self.subs.removeKey((pk,))
-                    if left_join:
-                        if kind == KIND_UNSUB_DELETE:
-                            out.append((pk, "delete") + l_nulls + r_nulls + om)
-                        # unsub_move: the paired sub's upsert supersedes
-                    elif r_present:
-                        # a join row existed for this pk iff right present
-                        out.append((pk, "delete") + l_nulls + r_nulls + om)
         if r_present:
             self.right.update(r_val)
         else:
@@ -182,6 +266,113 @@ class _FKJoinProcessor(StatefulProcessor):
         if out:
             # dtype=object: pandas would infer mixed None/int64 columns
             # as float64, rounding values above 2^53 (see ktable.py)
+            yield pd.DataFrame(out, columns=self.out_columns, dtype=object)
+
+    def close(self) -> None:
+        pass
+
+
+class _FKJoinProcessorBucketed(StatefulProcessor):
+    """FK join over a BUCKETED fk space: the TWS grouping key is
+    pmod(xxhash64(fk), n_buckets); per-fk state lives in two MapStates —
+    right values keyed by (fk,), subscriptions keyed by (fk, pk).
+
+    Same trade as ktable._LatestPerKeyBucketed: TWS pays a fixed
+    framework cost per grouping key per micro-batch, so bucketing
+    divides it by (fks/buckets) while the per-fk transition stays
+    identical (_fk_apply).
+
+    Fan-out on a right-side record needs every subscription of that fk;
+    MapState has no prefix scan, so the processor takes ONE pass over
+    the bucket's subscription map per batch, keeping only fks that have
+    right-side records in the batch (sub/unsub-only batches skip the
+    scan entirely — membership checks are point lookups). Cost:
+    O(subscriptions in bucket) per batch WITH right traffic, vs the
+    per-fk mode's O(subs of that fk). Size n_buckets so a bucket's
+    subscription state stays scannable (>= 2-4x cores, more under very
+    large left tables); under fan-out-heavy skew the per-fk mode
+    remains the better layout.
+    """
+
+    def __init__(
+        self,
+        left_cols: list[str],
+        right_cols: list[str],
+        sub_schema: StructType,
+        right_schema: StructType,
+        out_columns: list[str],
+        how: str,
+        fk_schema: StructType,
+        fkpk_schema: StructType,
+    ) -> None:
+        self.left_cols = left_cols
+        self.right_cols = right_cols
+        self.sub_schema = sub_schema
+        self.right_schema = right_schema
+        self.out_columns = out_columns
+        self.how = how
+        self.fk_schema = fk_schema
+        self.fkpk_schema = fkpk_schema
+        # LongType columns are decimal-shielded (arrive object-exact);
+        # pin the remaining integral/bool columns to extension dtypes
+        # right_cols are the r_-prefixed union column names; the state
+        # schema fields are positional twins with the original names
+        self._norm_fields = [
+            (c, dt)
+            for c, dt in [("fk", fk_schema["fk"].dataType),
+                          ("pk", fkpk_schema["pk"].dataType)]
+            + [(c, sub_schema[c].dataType) for c in left_cols]
+            + [(c, f.dataType) for c, f in zip(right_cols, right_schema.fields)]
+            if not is_shielded(dt)
+        ]
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.right = handle.getMapState("right", self.fk_schema, self.right_schema)
+        self.subs = handle.getMapState("subs", self.fkpk_schema, self.sub_schema)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        pdf = normalize_nullable(
+            pd.concat(list(rows)).sort_values(["seq", "minor"], kind="stable"),
+            self._norm_fields,
+        )
+        # one subscription-map pass, only when the batch carries right-
+        # side records, filtered to exactly those fks (fan-out inputs)
+        fks_right = {
+            pynative(v)
+            for v in pdf.loc[pdf["kind"] == KIND_RIGHT, "fk"].unique()
+        }
+        snapshots: dict = {fk: {} for fk in fks_right}
+        if fks_right:
+            for k, v in self.subs.iterator():
+                fk, pk = k[0], k[1]
+                if fk in snapshots:
+                    snapshots[fk][pk] = tuple(v)
+        out: list[tuple] = []
+        left_join = self.how == "left"
+        # groupby preserves within-group row order: per-fk seq order
+        for ufk, grp in pdf.groupby("fk", sort=False, dropna=False):
+            ufk = pynative(ufk)
+            r_val0 = self.right.getValue((ufk,))
+            subs = _SubsView(
+                snapshots.get(ufk),
+                lambda pk, _fk=ufk: self.subs.containsKey((_fk, pk)),
+            )
+            rows_out, r_present, r_val = _fk_apply(
+                grp.to_dict("records"),
+                r_val0 is not None, tuple(r_val0) if r_val0 is not None else (),
+                subs, self.left_cols, self.right_cols, left_join,
+            )
+            out.extend(rows_out)
+            for pk, pay in subs.touched.items():
+                if pay is None:
+                    self.subs.removeKey((ufk, pk))
+                else:
+                    self.subs.updateValue((ufk, pk), pay)
+            if r_present:
+                self.right.updateValue((ufk,), pykey(r_val))
+            elif r_val0 is not None:
+                self.right.removeKey((ufk,))
+        if out:
             yield pd.DataFrame(out, columns=self.out_columns, dtype=object)
 
     def close(self) -> None:
@@ -198,25 +389,42 @@ def _fk_join_plan(
     right_tombstone: str | None,
     left_value_cols: list[str],
     how: str,
-) -> tuple[DataFrame, _FKJoinProcessor, StructType]:
+    n_buckets: int | None = None,
+) -> tuple[DataFrame, StatefulProcessor, StructType, list[str]]:
     """Shared union-tag input + processor + output schema for the
-    stream (TWS) and batch (grouped replay) paths."""
+    stream (TWS) and batch (grouped replay) paths. Returns the tagged
+    union, the processor, the output schema, and the grouping columns
+    (fk, or the derived bucket column when n_buckets is set)."""
     r_schema = right_raw.schema
+    # instruction rows are null in the r_* columns and right rows in
+    # the pk/left columns BY CONSTRUCTION (and unsub/null-FK rows can
+    # carry a null fk), so every LongType among them rides the Arrow
+    # crossing as decimal(20,0) — see _pdnorm.shield_long
+    fk_type = instructions.schema["fk"].dataType
+    pk_type_in = instructions.schema["pk"].dataType
     tagged_right = right_raw.select(
-        F.col(right_key).alias("fk"),
+        shield_long(F.col(right_key), fk_type).alias("fk"),
         F.lit(KIND_RIGHT).alias("kind"),
-        F.lit(None).cast(instructions.schema["pk"].dataType).alias("pk"),
-        *[F.lit(None).cast(instructions.schema[c].dataType).alias(c)
+        shield_long(F.lit(None).cast(pk_type_in), pk_type_in).alias("pk"),
+        *[shield_long(F.lit(None).cast(instructions.schema[c].dataType),
+                      instructions.schema[c].dataType).alias(c)
           for c in left_value_cols],
         F.col(right_seq).alias("seq"),
         F.lit(2).alias("minor"),
-        *[F.col(c).alias(f"r_{c}") for c in right_payload],
+        *[shield_long(F.col(c), r_schema[c].dataType).alias(f"r_{c}")
+          for c in right_payload],
         (F.col(right_tombstone) if right_tombstone else F.lit(False))
         .alias("right_is_delete"),
     )
     tagged_left = instructions.select(
-        "fk", "kind", "pk", *left_value_cols, "seq", "minor",
-        *[F.lit(None).cast(r_schema[c].dataType).alias(f"r_{c}")
+        shield_long(F.col("fk"), fk_type).alias("fk"),
+        "kind",
+        shield_long(F.col("pk"), pk_type_in).alias("pk"),
+        *[shield_long(F.col(c), instructions.schema[c].dataType).alias(c)
+          for c in left_value_cols],
+        "seq", "minor",
+        *[shield_long(F.lit(None).cast(r_schema[c].dataType),
+                      r_schema[c].dataType).alias(f"r_{c}")
           for c in right_payload],
         F.lit(False).alias("right_is_delete"),
     )
@@ -242,16 +450,25 @@ def _fk_join_plan(
         + [StructField("_seq", instructions.schema["seq"].dataType, True),
            StructField("_minor", instructions.schema["minor"].dataType, True)]
     )
-    proc = _FKJoinProcessor(
-        left_value_cols,
-        [f"r_{c}" for c in right_payload],
-        sub_schema,
-        right_state_schema,
-        [f.name for f in out_schema.fields],
-        how,
-        StructType([StructField("pk", pk_type)]),
+    out_columns = [f.name for f in out_schema.fields]
+    r_cols = [f"r_{c}" for c in right_payload]
+    if n_buckets is None:
+        proc: StatefulProcessor = _FKJoinProcessor(
+            left_value_cols, r_cols, sub_schema, right_state_schema,
+            out_columns, how, StructType([StructField("pk", pk_type)]),
+        )
+        return unioned, proc, out_schema, ["fk"]
+    fk_type = instructions.schema["fk"].dataType
+    proc = _FKJoinProcessorBucketed(
+        left_value_cols, r_cols, sub_schema, right_state_schema,
+        out_columns, how,
+        StructType([StructField("fk", fk_type)]),
+        StructType([StructField("fk", fk_type), StructField("pk", pk_type)]),
     )
-    return unioned, proc, out_schema
+    unioned = unioned.withColumn(
+        "_fkj_bucket", F.pmod(F.xxhash64("fk"), F.lit(n_buckets)).cast("int")
+    )
+    return unioned, proc, out_schema, ["_fkj_bucket"]
 
 
 def fk_join_changelog_stream(
@@ -264,19 +481,25 @@ def fk_join_changelog_stream(
     right_tombstone: str | None,
     left_value_cols: list[str],
     how: str = "inner",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Query-2 builder: union(instructions, tagged right changelog)
     -> groupBy(fk) -> stateful join processor -> join changelog
     (pk, action, left value cols, right payload cols).
+
+    n_buckets: when set, group the stateful operator by
+    pmod(xxhash64(fk), n_buckets) instead of the fk — identical output,
+    ~(fks/buckets)x less per-fk TWS framework overhead
+    (see _FKJoinProcessorBucketed for the fan-out scan trade).
     """
     _require_rocksdb(instructions.sparkSession)
-    unioned, proc, out_schema = _fk_join_plan(
+    unioned, proc, out_schema, group_cols = _fk_join_plan(
         instructions, right_raw, right_key=right_key,
         right_payload=right_payload, right_seq=right_seq,
         right_tombstone=right_tombstone, left_value_cols=left_value_cols,
-        how=how,
+        how=how, n_buckets=n_buckets,
     )
-    return unioned.groupBy("fk").transformWithStateInPandas(
+    return unioned.groupBy(*group_cols).transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=out_schema,
         outputMode="Update",
@@ -294,6 +517,7 @@ def fk_join_changelog_batch(
     right_tombstone: str | None,
     left_value_cols: list[str],
     how: str = "inner",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Same FK-join state machine over BATCH changelog frames via
     grouped replay (applyInPandas; no TWS/protobuf dependency). The
@@ -301,13 +525,13 @@ def fk_join_changelog_batch(
     only the state backend (in-task memory vs RocksDB) differs."""
     from kafka_streams_app_spark.streaming.replay import grouped_replay
 
-    unioned, proc, out_schema = _fk_join_plan(
+    unioned, proc, out_schema, group_cols = _fk_join_plan(
         instructions, right_raw, right_key=right_key,
         right_payload=right_payload, right_seq=right_seq,
         right_tombstone=right_tombstone, left_value_cols=left_value_cols,
-        how=how,
+        how=how, n_buckets=n_buckets,
     )
-    return grouped_replay(unioned, ["fk"], proc, out_schema)
+    return grouped_replay(unioned, group_cols, proc, out_schema)
 
 
 class FKJoinReplay:
@@ -337,6 +561,7 @@ class FKJoinReplay:
         right_payload: list[str],
         right_tombstone: str,
         how: str = "inner",
+        n_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         name = f"fkjoin_{uuid.uuid4().hex[:12]}"
@@ -355,7 +580,8 @@ class FKJoinReplay:
             .parquet(self._left_staging)
         )
         left_view = ktable_changelog_stream(
-            left_src, [pk], "seq", left_payload, left_tombstone
+            left_src, [pk], "seq", left_payload, left_tombstone,
+            n_buckets=n_buckets,
         )
         self.q1 = (
             left_view.writeStream.format("parquet")
@@ -385,6 +611,7 @@ class FKJoinReplay:
                 right_tombstone=right_tombstone,
                 left_value_cols=left_value_cols,
                 how=how,
+                n_buckets=n_buckets,
             )
 
         self._right = MicroBatchReplay(spark, right_schema, build, "update")

@@ -34,16 +34,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import (
     BooleanType,
-    ByteType,
-    IntegerType,
-    LongType,
-    ShortType,
     StringType,
     StructField,
     StructType,
 )
 
-_INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
+from kafka_streams_app_spark.streaming._pdnorm import (
+    is_shielded,
+    normalize_nullable,
+    pykey,
+    shield_long,
+)
 
 
 def _require_rocksdb(spark) -> None:
@@ -127,12 +128,20 @@ class _LatestPerKey(StatefulProcessor):
         self.tombstone_col = tombstone_col
         self.state_schema = state_schema
         self.out_columns = out_columns
+        self._norm_fields = [
+            (c, f.dataType) for c, f in zip(payload, state_schema.fields)
+        ]
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.state = handle.getValueState("latest", self.state_schema)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(rows)).sort_values(self.seq_col, kind="stable")
+        # pin nullable integral payloads (raises loudly when an
+        # UNshielded int64 already lost precision — see _pdnorm.py)
+        pdf = normalize_nullable(
+            pd.concat(list(rows)).sort_values(self.seq_col, kind="stable"),
+            self._norm_fields,
+        )
         cur: tuple | None = tuple(self.state.get()) if self.state.exists() else None
         seqs = pdf[self.seq_col].tolist()
         pay = [pdf[c].tolist() for c in self.payload]
@@ -147,7 +156,9 @@ class _LatestPerKey(StatefulProcessor):
         if new_cur is None:
             self.state.clear()
         else:
-            self.state.update(new_cur)
+            # pykey: shielded payloads surface as Decimal (and extension
+            # dtypes as pd.NA/np scalars) — state wants plain python
+            self.state.update(pykey(new_cur))
         if frame is not None:
             yield frame
 
@@ -199,45 +210,20 @@ class _LatestPerKeyBucketed(StatefulProcessor):
 
     @staticmethod
     def _pykey(row_vals) -> tuple:
-        # numpy scalars -> python scalars: the state-server protobuf
-        # serializer expects plain python types in key/value tuples.
-        # Null cells (pd.NA from nullable extension dtypes, NaN/NaT from
-        # legacy upcasts) map to None — never a float NaN key that would
-        # defeat MapState lookups.
-        out = []
-        for v in row_vals:
-            if v is None or v is pd.NA or v is pd.NaT:
-                out.append(None)
-            elif isinstance(v, float) and v != v:
-                out.append(None)
-            elif hasattr(v, "item"):
-                out.append(v.item())
-            else:
-                out.append(v)
-        return tuple(out)
+        return pykey(row_vals)
 
     def _normalize_pdf(self, pdf: pd.DataFrame) -> pd.DataFrame:
         """Pin integral/bool key+payload columns to pandas NULLABLE
-        extension dtypes before any shift/groupby/state access.
-
-        Two silent-corruption paths this closes (ADVICE r5): (a) a null
-        in an int64 column makes pandas deliver float64, so _pykey would
-        hand float (or NaN) key tuples to a LongType MapState schema;
-        (b) groupby().shift(1) on plain int64 upcasts through float64
-        (NaN fill), corrupting payload values above 2^53. With Int64 /
-        boolean extension dtypes neither path ever touches float64.
-        """
-        for name, f in zip(
-            self.keys + self.payload,
-            list(self.key_schema.fields) + list(self.state_schema.fields),
-        ):
-            if pd.api.types.is_extension_array_dtype(pdf[name].dtype):
-                continue
-            if isinstance(f.dataType, _INTEGRAL_TYPES):
-                pdf[name] = pdf[name].astype("Int64")
-            elif isinstance(f.dataType, BooleanType):
-                pdf[name] = pdf[name].astype("boolean")
-        return pdf
+        extension dtypes before any shift/groupby/state access — closes
+        the float64 corruption paths documented in _pdnorm.py (ADVICE
+        r5)."""
+        return normalize_nullable(
+            pdf,
+            [(name, f.dataType) for name, f in zip(
+                self.keys + self.payload,
+                list(self.key_schema.fields) + list(self.state_schema.fields),
+            )],
+        )
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         pdf = self._normalize_pdf(
@@ -356,6 +342,23 @@ def _ktable_plan(
     return proc, out_schema
 
 
+def _shield_payload(df: DataFrame, payload: list[str]) -> DataFrame:
+    """exact_longs: LongType payload columns ride the Arrow crossing as
+    decimal(20,0) so null-mixed batches can't round values above 2^53
+    (see _pdnorm.shield_long). State/output schemas keep LongType —
+    output cells come back as exact ints."""
+    from pyspark.sql import functions as F
+
+    sch = df.schema
+    return df.select(
+        *[
+            shield_long(F.col(c), sch[c].dataType).alias(c)
+            if c in payload and is_shielded(sch[c].dataType) else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def ktable_changelog_stream(
     df: DataFrame,
     keys: list[str],
@@ -363,6 +366,7 @@ def ktable_changelog_stream(
     payload: list[str],
     tombstone_col: str | None = None,
     n_buckets: int | None = None,
+    exact_longs: bool = False,
 ) -> DataFrame:
     """Incremental latest-per-key view over a streaming changelog.
 
@@ -379,6 +383,13 @@ def ktable_changelog_stream(
     pmod(xxhash64(keys), n_buckets) instead of the logical keys —
     identical output, ~(keys/buckets)x less per-key TWS framework
     overhead (see _LatestPerKeyBucketed). Pick >= 2-4x total cores.
+
+    exact_longs: when True, LongType payload columns ride the Arrow
+    crossing as decimal(20,0) so a null-mixed micro-batch cannot round
+    values above 2^53 (see _pdnorm.shield_long; the PK/FK joins shield
+    unconditionally because their union mixes nulls by construction).
+    Off by default — the crossing is cheaper and the normalize step
+    RAISES if an unshielded batch would actually have lost precision.
     """
     from pyspark.sql import functions as F
 
@@ -398,6 +409,8 @@ def ktable_changelog_stream(
     df = df.select(*needed).na.drop(subset=keys)
     if n_buckets is None:
         proc, out_schema = _ktable_plan(df, keys, seq_col, payload, tombstone_col)
+        if exact_longs:  # AFTER the plan: schemas keep LongType
+            df = _shield_payload(df, payload)
         return df.groupBy(*keys).transformWithStateInPandas(
             statefulProcessor=proc,
             outputStructType=out_schema,
@@ -416,6 +429,8 @@ def ktable_changelog_stream(
         keys, seq_col, payload, tombstone_col,
         key_schema, state_schema, [f.name for f in out_schema.fields],
     )
+    if exact_longs:  # AFTER the schemas: state/output keep LongType
+        df = _shield_payload(df, payload)
     bucketed = df.withColumn(
         "_kt_bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     )
@@ -433,6 +448,7 @@ def ktable_changelog_batch(
     seq_col: str,
     payload: list[str],
     tombstone_col: str | None = None,
+    exact_longs: bool = False,
 ) -> DataFrame:
     """Same state machine over a BATCH changelog frame via grouped
     replay (applyInPandas; no TWS/protobuf dependency) — emits the
@@ -441,4 +457,6 @@ def ktable_changelog_batch(
 
     df = df.na.drop(subset=keys)  # Kafka null-key drop, as in the stream path
     proc, out_schema = _ktable_plan(df, keys, seq_col, payload, tombstone_col)
+    if exact_longs:  # AFTER the plan: schemas keep LongType
+        df = _shield_payload(df, payload)
     return grouped_replay(df, keys, proc, out_schema)

@@ -14,6 +14,8 @@ merchant-rank shape).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 from kafka_streams_app_spark.streaming.fk_join import FKJoinReplay
@@ -22,18 +24,20 @@ LEFT = "pk string, fk string, name string, is_delete boolean, seq long"
 RIGHT = "rk string, rank int, is_delete boolean, seq long"
 
 
-def make(spark, how: str) -> FKJoinReplay:
+def make(spark, how: str, n_buckets: int | None = None) -> FKJoinReplay:
     return FKJoinReplay(
         spark, LEFT, RIGHT,
         pk="pk", fk="fk", left_payload=["fk", "name"], left_tombstone="is_delete",
         right_key="rk", right_payload=["rank"], right_tombstone="is_delete",
-        how=how,
+        how=how, n_buckets=n_buckets,
     )
 
 
-@pytest.fixture(scope="module")
-def left_pipeline(spark):
-    with make(spark, "left") as p:
+# params: per-fk layout (None) and bucketed MapState layout (4) — the
+# join changelog contract must be identical through both
+@pytest.fixture(scope="module", params=[None, 4], ids=["perfk", "bucketed"])
+def left_pipeline(request, spark):
+    with make(spark, "left", request.param) as p:
         yield p
 
 
@@ -63,9 +67,9 @@ def test_left_join_lifecycle(spark, left_pipeline):
     assert p.drain() == []
 
 
-@pytest.fixture(scope="module")
-def inner_pipeline(spark):
-    with make(spark, "inner") as p:
+@pytest.fixture(scope="module", params=[None, 4], ids=["perfk", "bucketed"])
+def inner_pipeline(request, spark):
+    with make(spark, "inner", request.param) as p:
         yield p
 
 
@@ -113,10 +117,13 @@ def test_inner_join_lifecycle(spark, inner_pipeline):
     assert p.drain() == [("pk4", "upsert", "pk4", 9)]
 
 
-def test_inner_right_delete_retracts_all_subscribers(spark):
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_inner_right_delete_retracts_all_subscribers(spark, n_buckets):
     """Right-side tombstone retracts every subscribed pk exactly once;
-    re-insert re-emits (N:1 fan-out through the subscription store)."""
-    with make(spark, "inner") as p:
+    re-insert re-emits (N:1 fan-out through the subscription store).
+    In the bucketed layout this exercises the per-batch subscription-
+    map scan (fks with right-side records) AND the same-batch overlay."""
+    with make(spark, "inner", n_buckets) as p:
         p.pipe_right([("m1", 7, False)])
         p.pipe_left([("a", "m1", "a", False)])
         p.pipe_left([("b", "m1", "b", False)])
@@ -131,10 +138,11 @@ def test_inner_right_delete_retracts_all_subscribers(spark):
         ]
 
 
-def test_right_update_fans_out_left_mode(spark):
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_right_update_fans_out_left_mode(spark, n_buckets):
     """Left mode: right value update re-emits all subscribers; right
     delete downgrades them to (pk, null) instead of deleting."""
-    with make(spark, "left") as p:
+    with make(spark, "left", n_buckets) as p:
         p.pipe_left([("x", "m", "x", False)])
         assert p.drain() == [("x", "upsert", "x", None)]
         p.pipe_right([("m", 1, False)])
@@ -143,3 +151,49 @@ def test_right_update_fans_out_left_mode(spark):
         assert p.drain() == [("x", "upsert", "x", 2)]
         p.pipe_right([("m", None, True)])
         assert p.drain() == [("x", "upsert", "x", None)]
+
+
+BIG = (1 << 62) + 12345  # corrupted by any float64 round-trip
+LEFT_BIG = "pk string, fk string, big long, is_delete boolean, seq long"
+RIGHT_BIG = "rk string, rrank long, is_delete boolean, seq long"
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_fk_join_int64_payload_precision(spark, n_buckets):
+    """The query-2 union ALWAYS carries nulls in the other side's
+    columns, so int64 payloads reach pandas nullable; without the
+    extension-dtype pin they arrive float64 and values above 2^53
+    silently round (same class as the r5 bucketed-ktable ADVICE bug)."""
+    with FKJoinReplay(
+        spark, LEFT_BIG, RIGHT_BIG,
+        pk="pk", fk="fk", left_payload=["fk", "big"],
+        left_tombstone="is_delete", right_key="rk", right_payload=["rrank"],
+        right_tombstone="is_delete", how="inner", n_buckets=n_buckets,
+    ) as p:
+        p.pipe_left([("p1", "m", BIG, False)])
+        p.pipe_right([("m", BIG + 7, False)])
+        assert p.drain() == [("p1", "upsert", BIG, BIG + 7)]
+        # carried subscription + right state round-trip exactly too
+        p.pipe_right([("m", BIG + 8, False)])
+        assert p.drain() == [("p1", "upsert", BIG, BIG + 8)]
+
+
+def test_intermediate_dir_bounded(spark):
+    """The stage-1/stage-2 parquet hop (Kafka's subscription-response
+    topic analogue) must stay BOUNDED across micro-batches — growth is
+    one changelog file set per batch, the sink's file log exists for a
+    retention sweep to consult (SCALE.md "retention story"), and stop()
+    removes the directory outright."""
+    with make(spark, "left") as p:
+        inter = Path(p._dirs[0])
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        for i in range(3):
+            p.pipe_left([(f"pk{i}", "m", f"n{i}", False)])
+        data_files = list(inter.rglob("*.parquet"))
+        # linear in batches (one task's worth of files per non-empty
+        # batch), never in table size
+        assert 1 <= len(data_files) <= 3 * n_parts
+        # the streaming sink's file log — what a TTL/retention sweep
+        # consults before deleting aged files
+        assert (inter / "_spark_metadata").exists()
+    assert not inter.exists()  # stop() reclaims the hop eagerly

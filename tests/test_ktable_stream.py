@@ -128,6 +128,50 @@ def test_ktable_int64_payload_precision(spark, n_buckets):
 
 
 @pytest.mark.parametrize("n_buckets", [None, 4])
+def test_ktable_exact_longs_null_mixed_batch(spark, n_buckets):
+    """A NULL-MIXED int64 payload batch crosses Arrow as float64 (no
+    nullable hook in pyspark's serializer), corrupting values >= 2^53
+    before any python-side repair. exact_longs=True shields the column
+    as decimal(20,0) and must round-trip BIG exactly; without it the
+    normalize step raises rather than emit silently-wrong rows."""
+    with MicroBatchReplay(
+        spark, "key bigint, big bigint, is_delete boolean, seq bigint",
+        lambda src: ktable_changelog_stream(
+            src, ["key"], "seq", ["big"], "is_delete", n_buckets=n_buckets,
+            exact_longs=True,
+        ),
+        "update",
+    ) as r:
+        # one batch: a null payload row + BIG rows => null-mixed column
+        r.pipe([(1, BIG, False, 0), (2, None, False, 1), (1, BIG + 1, False, 2)])
+        assert sorted(tuple(x) for x in r.drain()) == [
+            (1, "upsert", False, None, BIG, 0),
+            (1, "upsert", True, BIG, BIG + 1, 2),
+            (2, "upsert", False, None, None, 1),
+        ]
+        # state carry stays exact across batches
+        r.pipe([(1, None, False, 3)])
+        assert [tuple(x) for x in r.drain()] == [
+            (1, "upsert", True, BIG + 1, None, 3),
+        ]
+
+
+def test_ktable_unshielded_null_mixed_batch_raises(spark):
+    """Without exact_longs, a null-mixed batch whose int64 values sit
+    above 2^53 must FAIL LOUDLY (the values were already rounded by the
+    Arrow crossing) instead of emitting corrupted rows."""
+    from kafka_streams_app_spark.streaming.ktable import ktable_changelog_batch
+
+    df = spark.createDataFrame(
+        [(1, BIG, False, 0), (1, None, False, 1)],
+        "key bigint, big bigint, is_delete boolean, seq bigint",
+    )
+    out = ktable_changelog_batch(df, ["key"], "seq", ["big"], "is_delete")
+    with pytest.raises(Exception, match="2\\^53|corrupted"):
+        out.collect()
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
 def test_ktable_null_key_records_dropped(spark, n_buckets):
     """Kafka Streams ignores records with a null key for all KTable
     operations — and dropping them is also what keeps TWS group keys

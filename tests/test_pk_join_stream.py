@@ -16,7 +16,7 @@ SCHEMA = ("key string, side string, merchant string, name string, rank int, "
           "is_delete boolean, seq long")
 
 
-def build(how: str):
+def build(how: str, n_buckets: int | None = None):
     def _build(src):
         left = src.filter(F.col("side") == "l").select(
             "key", "merchant", "name", "is_delete", "seq"
@@ -28,6 +28,7 @@ def build(how: str):
             left, right,
             key="key", left_payload=["merchant", "name"], right_payload=["rank"],
             left_tombstone="is_delete", right_tombstone="is_delete", how=how,
+            n_buckets=n_buckets,
         )
     return _build
 
@@ -40,9 +41,11 @@ def r_row(key, rank, seq, delete=False):
     return (key, "r", None, None, rank, delete, seq)
 
 
-def test_ktable_ktable_left_join_incremental(spark):
-    """TopologiesTest.scala:219-239 piped batch-by-batch."""
-    with MicroBatchReplay(spark, SCHEMA, build("left"), "update") as p:
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_ktable_ktable_left_join_incremental(spark, n_buckets):
+    """TopologiesTest.scala:219-239 piped batch-by-batch; same
+    emissions through the per-key and bucketed MapState layouts."""
+    with MicroBatchReplay(spark, SCHEMA, build("left", n_buckets), "update") as p:
         p.pipe([r_row("key1", 3, 0)])
         assert p.drain() == []                       # left absent: nothing
         p.pipe([l_row("key1", "fk1", "pk1", 1)])
@@ -59,8 +62,9 @@ def test_ktable_ktable_left_join_incremental(spark):
         assert p.drain() == []                       # delete of absent: no-op
 
 
-def test_ktable_ktable_inner_join_incremental(spark):
-    with MicroBatchReplay(spark, SCHEMA, build("inner"), "update") as p:
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_ktable_ktable_inner_join_incremental(spark, n_buckets):
+    with MicroBatchReplay(spark, SCHEMA, build("inner", n_buckets), "update") as p:
         p.pipe([l_row("k", "m", "p", 0)])
         assert p.drain() == []                       # inner: no right yet
         p.pipe([r_row("k", 7, 1)])
@@ -70,3 +74,39 @@ def test_ktable_ktable_inner_join_incremental(spark):
             ("k", "delete", None, None, None)]       # exactly ONE retraction
         p.pipe([l_row("k", None, None, 3, delete=True)])
         assert p.drain() == []                       # join row already gone
+
+
+BIG_SCHEMA = "key string, side string, big long, rank long, is_delete boolean, seq long"
+BIG = (1 << 62) + 12345  # corrupted by any float64 round-trip
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_pk_join_int64_payload_precision(spark, n_buckets):
+    """The union-tagged input ALWAYS carries nulls in the other side's
+    columns, so an int64 payload column reaches pandas nullable; without
+    the extension-dtype pin it arrives float64 and values above 2^53
+    silently round (same class as the r5 bucketed-ktable ADVICE bug,
+    latent in the per-key path too)."""
+    def _build(src):
+        left = src.filter(F.col("side") == "l").select(
+            "key", "big", "is_delete", "seq")
+        right = src.filter(F.col("side") == "r").select(
+            "key", "rank", "is_delete", "seq")
+        return pk_join_stream(
+            left, right, key="key", left_payload=["big"],
+            right_payload=["rank"], left_tombstone="is_delete",
+            right_tombstone="is_delete", how="inner", n_buckets=n_buckets,
+        )
+
+    with MicroBatchReplay(spark, BIG_SCHEMA, _build, "update") as p:
+        # one batch, both sides: forces null-mixed int64 columns
+        p.pipe([
+            ("k1", "l", BIG, None, False, 1),
+            ("k1", "r", None, BIG + 7, False, 2),
+        ])
+        assert [tuple(x)[:-1] for x in p.drain()] == [
+            ("k1", "upsert", BIG, BIG + 7)]
+        # carried state round-trips exactly too
+        p.pipe([("k1", "r", None, BIG + 8, False, 3)])
+        assert [tuple(x)[:-1] for x in p.drain()] == [
+            ("k1", "upsert", BIG, BIG + 8)]

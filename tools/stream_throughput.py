@@ -72,13 +72,19 @@ def run_noop(out_df: DataFrame, output_mode: str) -> float:
     return wall
 
 
-def run_fk_pipeline(spark: SparkSession, events_path: str) -> float:
+def run_fk_pipeline(
+    spark: SparkSession, events_path: str, n_buckets: int | None = None
+) -> float:
     """J7/J8 incremental FK join, FULL two-stage pipeline wall time:
     stage 1 streams the left KTable changelog to an intermediate parquet
     dir (Kafka's subscription-response hop), stage 2 runs the
     groupBy(fk) join processor to a noop sink. Mirrors the
     s_fk_join_incremental contract shape (left = latest event per user,
-    FK = event_type; right = latest event per type)."""
+    FK = event_type; right = latest event per type).
+
+    n_buckets: run BOTH stages in the bucketed MapState layout
+    (ktable._LatestPerKeyBucketed / fk_join._FKJoinProcessorBucketed) —
+    the production-recommended mode."""
     import shutil
     import tempfile
 
@@ -103,7 +109,9 @@ def run_fk_pipeline(spark: SparkSession, events_path: str) -> float:
         fk_expr.alias("rk"), F.col("value").alias("rvalue"),
         F.unix_micros("ts").alias("seq"),
     )
-    changelog = ktable_changelog_stream(left, ["pk"], "seq", ["fk", "value"])
+    changelog = ktable_changelog_stream(
+        left, ["pk"], "seq", ["fk", "value"], n_buckets=n_buckets
+    )
     inter = tempfile.mkdtemp(prefix="tput_fk_inter_")
     ckpt = tempfile.mkdtemp(prefix="tput_fk_ckpt_")
     t0 = time.monotonic()
@@ -119,7 +127,7 @@ def run_fk_pipeline(spark: SparkSession, events_path: str) -> float:
         join = fk_join_changelog_stream(
             instr, right, right_key="rk", right_payload=["rvalue"],
             right_seq="seq", right_tombstone=None,
-            left_value_cols=["value"], how="inner",
+            left_value_cols=["value"], how="inner", n_buckets=n_buckets,
         )
         run_noop(join, "update")
         return time.monotonic() - t0
@@ -205,6 +213,16 @@ def main() -> None:
             ),
             "update",
         ))
+        # bucketed MapState layout of the same topology (128 = 4x cores)
+        shapes.append((
+            "pk_join_tws_bucketed",
+            pk_join_stream(
+                pk_left, pk_right, key="user_id",
+                left_payload=["v_event_id"], right_payload=["c_event_id"],
+                how="inner", n_buckets=128,
+            ),
+            "update",
+        ))
     else:
         print(json.dumps({"shape": "ktable_latest_tws", "skipped": "no TWS protobuf"}))
 
@@ -228,11 +246,13 @@ def main() -> None:
         # single-shot (not best-of-3): the ~1 min pipeline dwarfs the
         # host's multi-second contention spikes, so one run is ~5-10%
         # accurate and keeps the tool's wall bounded.
-        wall = run_fk_pipeline(spark, events_path)
-        print(json.dumps({
-            "shape": "fk_join_tws_2stage", "rows_in": n_rows,
-            "sec": round(wall, 2), "rows_per_sec": int(n_rows / wall),
-        }))
+        for shape, nb in (("fk_join_tws_2stage", None),
+                          ("fk_join_tws_2stage_bucketed", 128)):
+            wall = run_fk_pipeline(spark, events_path, n_buckets=nb)
+            print(json.dumps({
+                "shape": shape, "rows_in": n_rows,
+                "sec": round(wall, 2), "rows_per_sec": int(n_rows / wall),
+            }))
 
 
 if __name__ == "__main__":
