@@ -213,9 +213,86 @@ class _PKJoinProcessorBucketed(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         pdf = normalize_nullable(
-            pd.concat(list(rows)).sort_values("seq", kind="stable"),
+            pd.concat(list(rows))
+            .sort_values("seq", kind="stable")
+            .reset_index(drop=True),
             self._norm_fields,
         )
+        if not bool(pdf["is_delete"].any()):
+            yield from self._fast_path(pdf)
+            return
+        yield from self._slow_path(pdf)
+
+    def _fast_path(self, pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        """Vectorized all-upsert path (the overwhelmingly common batch
+        shape): within the seq-sorted bucket frame, the join partner of
+        each record is the MOST RECENT row of the OTHER side for the
+        same logical key — a per-key forward-fill. Because the two
+        sides interleave, the fill runs on row POINTERS (per-key cummax
+        of each side's row index), then one numpy take per payload
+        column resolves values; Python touches only per-distinct-key
+        state lookups/writes, never per record."""
+        import numpy as np
+
+        n = len(pdf)
+        left_join = self.how == "left"
+        codes, uniques = pd.factorize(pdf[self.key_col], use_na_sentinel=False)
+        ukeys = [pykey((k,)) for k in uniques]
+        l_states = [self.left.getValue(k) for k in ukeys]
+        r_states = [self.right.getValue(k) for k in ukeys]
+        side_l = (pdf["side"] == "l").to_numpy()
+        idx = np.arange(n)
+        # per-row pointer to the latest row of each side for this key
+        # (cummax at an own-side row points at itself)
+        lptr = pd.Series(np.where(side_l, idx, -1)).groupby(codes).cummax().to_numpy()
+        rptr = pd.Series(np.where(~side_l, idx, -1)).groupby(codes).cummax().to_numpy()
+        l_state_present = np.array([s is not None for s in l_states])[codes]
+        r_state_present = np.array([s is not None for s in r_states])[codes]
+        l_present = (lptr >= 0) | l_state_present
+        r_present = (rptr >= 0) | r_state_present
+        # l upsert emits iff left join or right present; r upsert iff
+        # left present (exactly _pk_apply's all-upsert branches)
+        emit = np.where(side_l, left_join | r_present, l_present)
+
+        def resolve(cols_names, states, ptr, state_present, j_present):
+            resolved = {}
+            for j, c in enumerate(cols_names):
+                own = pdf[c].to_numpy(dtype=object)
+                sv = np.array(
+                    [s[j] if s is not None else None for s in states],
+                    dtype=object,
+                )[codes]
+                vals = np.where(ptr >= 0, own[np.maximum(ptr, 0)], sv)
+                resolved[c] = np.where(j_present, vals, None)
+            return resolved
+
+        res_l = resolve(self.left_cols, l_states, lptr, l_state_present, l_present)
+        res_r = resolve(self.right_cols, r_states, rptr, r_state_present, r_present)
+        if emit.any():
+            cols: dict[str, object] = {
+                self.out_columns[0]: pdf[self.key_col].to_numpy(dtype=object)[emit],
+                "action": "upsert",
+            }
+            for c in self.left_cols:
+                cols[c] = res_l[c][emit]
+            for c in self.right_cols:
+                cols[c] = res_r[c][emit]
+            cols["_seq"] = pdf["seq"].to_numpy(dtype=object)[emit]
+            yield pd.DataFrame(cols, columns=self.out_columns)
+        # state: each key's LAST row per side wins (Python per distinct
+        # key only)
+        lmax = pd.Series(np.where(side_l, idx, -1)).groupby(codes).max()
+        rmax = pd.Series(np.where(~side_l, idx, -1)).groupby(codes).max()
+        l_cols = [pdf[c] for c in self.left_cols]
+        r_cols = [pdf[c] for c in self.right_cols]
+        for code, ukey in enumerate(ukeys):
+            li, ri = int(lmax[code]), int(rmax[code])
+            if li >= 0:
+                self.left.updateValue(ukey, pykey(c.iat[li] for c in l_cols))
+            if ri >= 0:
+                self.right.updateValue(ukey, pykey(c.iat[ri] for c in r_cols))
+
+    def _slow_path(self, pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
         out: list[tuple] = []
         left_join = self.how == "left"
         # groupby preserves within-group row order, so each logical key

@@ -110,3 +110,41 @@ def test_pk_join_int64_payload_precision(spark, n_buckets):
         p.pipe([("k1", "r", None, BIG + 8, False, 3)])
         assert [tuple(x)[:-1] for x in p.drain()] == [
             ("k1", "upsert", BIG, BIG + 8)]
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("with_deletes", [False, True])
+def test_pk_join_bucketed_equals_perkey_random(spark, how, with_deletes):
+    """Randomized interleavings: the bucketed layout (vectorized
+    pointer-ffill fast path on all-upsert batches, per-key replay
+    otherwise) must emit EXACTLY the per-key processor's changelog.
+    200 records, 12 keys, both sides interleaved, optional deletes."""
+    import random
+
+    from kafka_streams_app_spark.streaming.pk_join import pk_join_batch
+
+    rng = random.Random(20260814 + (1 if with_deletes else 0))
+    rows = []
+    for seq in range(200):
+        k = f"k{rng.randrange(12)}"
+        if rng.random() < 0.5:
+            rows.append((k, "l", f"m{rng.randrange(5)}", f"n{seq}", None,
+                         with_deletes and rng.random() < 0.15, seq))
+        else:
+            rows.append((k, "r", None, None, rng.randrange(100),
+                         with_deletes and rng.random() < 0.15, seq))
+    src = spark.createDataFrame(rows, SCHEMA)
+    left = src.filter(F.col("side") == "l").select(
+        "key", "merchant", "name", "is_delete", "seq")
+    right = src.filter(F.col("side") == "r").select(
+        "key", "rank", "is_delete", "seq")
+
+    def run(n_buckets):
+        out = pk_join_batch(
+            left, right, key="key", left_payload=["merchant", "name"],
+            right_payload=["rank"], left_tombstone="is_delete",
+            right_tombstone="is_delete", how=how, n_buckets=n_buckets,
+        )
+        return sorted((tuple(r) for r in out.collect()), key=repr)
+
+    assert run(None) == run(4)

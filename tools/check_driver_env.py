@@ -28,7 +28,9 @@ DEFAULT = [
     "s_ktable_latest",
     "s_ktable_latest_bucketed",
     "s_pk_join_incremental",
+    "s_pk_join_bucketed",
     "s_fk_join_incremental",
+    "s_fk_join_bucketed",
 ]
 
 
