@@ -332,7 +332,9 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         pdf = normalize_nullable(
-            pd.concat(list(rows)).sort_values(["seq", "minor"], kind="stable"),
+            pd.concat(list(rows))
+            .sort_values(["seq", "minor"], kind="stable")
+            .reset_index(drop=True),
             self._norm_fields,
         )
         # one subscription-map pass, only when the batch carries right-
@@ -347,6 +349,178 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
                 fk, pk = k[0], k[1]
                 if fk in snapshots:
                     snapshots[fk][pk] = tuple(v)
+        kinds = pdf["kind"]
+        if (
+            not bool(kinds.isin([KIND_UNSUB_MOVE, KIND_UNSUB_DELETE]).any())
+            and not bool(pdf["right_is_delete"].any())
+        ):
+            yield from self._fast_path(pdf, snapshots)
+            return
+        yield from self._slow_path(pdf, snapshots)
+
+    def _fast_path(
+        self, pdf: pd.DataFrame, snapshots: dict
+    ) -> Iterator[pd.DataFrame]:
+        """Vectorized sub/right-upsert path (the common batch shape: the
+        left table emits only subscribes while its FKs are stable, the
+        right side only upserts).
+
+        Two emission families, both built as numpy columns instead of
+        ~|output| Python tuples (the N:1 fan-out makes the OUTPUT the
+        dominant volume — 17x the input on the 1M-event smoke):
+
+        - subscribe rows: the joining right value is the most recent
+          right row of the same fk (per-fk cummax over row pointers,
+          exactly the PK join's partner-resolution trick) or the fk's
+          right state.
+        - right rows: fan out to every pk subscribed AT THAT ROW. Per
+          fk, a (rows+1) x pks matrix of 'latest in-batch sub ordinal'
+          is forward-filled with np.maximum.accumulate; taking its
+          right-row slices yields, for every (right row, pk) pair, the
+          sub whose payload joins (or the pre-batch snapshot payload) —
+          one numpy take per payload column, no per-pair Python.
+        """
+        import numpy as np
+
+        left_join = self.how == "left"
+        n = len(pdf)
+        idx = np.arange(n)
+        kinds = pdf["kind"].to_numpy()
+        is_right = kinds == KIND_RIGHT
+        codes, uniques = pd.factorize(pdf["fk"], use_na_sentinel=False)
+        ufks = [pynative(k) for k in uniques]
+        r_states = [self.right.getValue((k,)) for k in ufks]
+        rptr = pd.Series(np.where(is_right, idx, -1)).groupby(codes).cummax().to_numpy()
+        r_state_present = np.array([s is not None for s in r_states])[codes]
+        r_present = (rptr >= 0) | r_state_present
+        seq_arr = pdf["seq"].to_numpy(dtype=object)
+        minor_arr = pdf["minor"].to_numpy(dtype=object)
+        pk_arr = pdf["pk"].to_numpy(dtype=object)
+        l_arrs = {c: pdf[c].to_numpy(dtype=object) for c in self.left_cols}
+        r_arrs = {c: pdf[c].to_numpy(dtype=object) for c in self.right_cols}
+
+        # --- subscribe emissions (bucket-wide, vectorized) ---
+        emit_sub = ~is_right if left_join else (~is_right & r_present)
+        blocks: list[dict] = []
+        order_keys: list[tuple] = []  # (row position, within-row ordinal)
+        if emit_sub.any():
+            blk = {
+                "pk": pk_arr[emit_sub],
+                **{c: l_arrs[c][emit_sub] for c in self.left_cols},
+                "_seq": seq_arr[emit_sub],
+                "_minor": minor_arr[emit_sub],
+                "_pos": idx[emit_sub],
+                "_ord": np.zeros(int(emit_sub.sum()), dtype=np.int64),
+            }
+            for j, c in enumerate(self.right_cols):
+                own = r_arrs[c]
+                sv = np.array(
+                    [s[j] if s is not None else None for s in r_states],
+                    dtype=object,
+                )[codes]
+                vals = np.where(rptr >= 0, own[np.maximum(rptr, 0)], sv)
+                blk[c] = np.where(r_present, vals, None)[emit_sub]
+            blocks.append(blk)
+
+        # --- right-row fan-out (per fk with right rows; numpy inside) ---
+        for code in np.unique(codes[is_right]):
+            g = idx[codes == code]  # this fk's rows, ascending (sorted)
+            g_is_right = is_right[g]
+            sub_rows = g[~g_is_right]
+            right_rows = g[g_is_right]
+            snap = snapshots.get(ufks[code], {})
+            # pk universe: snapshot first (dict iteration order), then
+            # in-batch subs in first-seen order — the same order the
+            # per-record machine's subs dict would hold
+            pk_list = list(snap.keys())
+            pk_index = {pk: j for j, pk in enumerate(pk_list)}
+            sub_pkcodes = np.empty(len(sub_rows), dtype=np.int64)
+            for i, row in enumerate(sub_rows):
+                pk = pynative(pk_arr[row])
+                j = pk_index.get(pk)
+                if j is None:
+                    j = pk_index[pk] = len(pk_list)
+                    pk_list.append(pk)
+                sub_pkcodes[i] = j
+            P = len(pk_list)
+            if P == 0:
+                continue
+            n_g = len(g)
+            # ordinal of each group row within the group
+            ords = np.empty(n, dtype=np.int64)
+            ords[g] = np.arange(n_g)
+            # latest in-batch sub INDEX (into sub_rows) per (row, pk)
+            M = np.full((n_g + 1, P), -1, dtype=np.int64)
+            M[ords[sub_rows] + 1, sub_pkcodes] = np.arange(len(sub_rows))
+            np.maximum.accumulate(M, axis=0, out=M)
+            L = M[ords[right_rows] + 1]  # (r x P)
+            has_state = np.array(
+                [pk in snap for pk in pk_list], dtype=bool
+            )[None, :]
+            present = (L >= 0) | has_state
+            if not present.any():
+                continue
+            r_cnt = len(right_rows)
+            flat = present.ravel()
+            blk = {
+                "pk": np.tile(np.array(pk_list, dtype=object), r_cnt)[flat],
+                "_seq": np.repeat(seq_arr[right_rows], P)[flat],
+                "_minor": np.repeat(minor_arr[right_rows], P)[flat],
+                "_pos": np.repeat(right_rows, P)[flat],
+                "_ord": np.tile(np.arange(P, dtype=np.int64), r_cnt)[flat],
+            }
+            for j, c in enumerate(self.left_cols):
+                own = l_arrs[c][sub_rows] if len(sub_rows) else np.empty(0, object)
+                sv = np.array(
+                    [snap[pk][j] if pk in snap else None for pk in pk_list],
+                    dtype=object,
+                )
+                vals = np.where(
+                    L >= 0,
+                    own[np.maximum(L, 0)] if len(sub_rows) else None,
+                    sv[None, :],
+                )
+                blk[c] = vals.ravel()[flat]
+            for c in self.right_cols:
+                blk[c] = np.repeat(r_arrs[c][right_rows], P)[flat]
+            blocks.append(blk)
+
+        if blocks:
+            cat = {
+                k: np.concatenate([b[k] for b in blocks])
+                for k in blocks[0]
+            }
+            # emission order of the per-record machine: triggering
+            # record order, then subs-dict order within a fan-out
+            order = np.lexsort((cat["_ord"], cat["_pos"]))
+            data = {"pk": cat["pk"][order], "action": "upsert"}
+            for c in self.left_cols + self.right_cols:
+                data[c] = cat[c][order]
+            data["_seq"] = cat["_seq"][order]
+            data["_minor"] = cat["_minor"][order]
+            yield pd.DataFrame(data, columns=self.out_columns)
+
+        # --- state mirror (Python per distinct key only) ---
+        sub_mask = ~is_right
+        if sub_mask.any():
+            sub_view = pdf.loc[sub_mask, ["fk", "pk"]]
+            last = ~sub_view.duplicated(["fk", "pk"], keep="last")
+            for row in sub_view.index[last]:
+                self.subs.updateValue(
+                    (ufks[codes[row]], pynative(pk_arr[row])),
+                    pykey(l_arrs[c][row] for c in self.left_cols),
+                )
+        rmax = pd.Series(np.where(is_right, idx, -1)).groupby(codes).max()
+        for code, ufk in enumerate(ufks):
+            ri = int(rmax[code])
+            if ri >= 0:
+                self.right.updateValue(
+                    (ufk,), pykey(r_arrs[c][ri] for c in self.right_cols)
+                )
+
+    def _slow_path(
+        self, pdf: pd.DataFrame, snapshots: dict
+    ) -> Iterator[pd.DataFrame]:
         out: list[tuple] = []
         left_join = self.how == "left"
         # groupby preserves within-group row order: per-fk seq order

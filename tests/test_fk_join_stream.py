@@ -178,6 +178,56 @@ def test_fk_join_int64_payload_precision(spark, n_buckets):
         assert p.drain() == [("p1", "upsert", BIG, BIG + 8)]
 
 
+@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("with_mutations", [False, True])
+def test_fk_bucketed_equals_perfk_random(spark, how, with_mutations):
+    """Randomized instruction/right streams: the bucketed layout (the
+    vectorized matrix fan-out on sub/right-upsert batches, per-fk
+    replay otherwise) must emit EXACTLY the per-fk processor's join
+    changelog. with_mutations adds unsubs and right deletes (slow
+    path); without them every batch takes the fast path."""
+    import random
+
+    from kafka_streams_app_spark.streaming.fk_join import (
+        fk_join_changelog_batch,
+    )
+
+    rng = random.Random(814 + (1 if with_mutations else 0))
+    instr, right = [], []
+    subscribed: dict = {}
+    for seq in range(240):
+        if rng.random() < 0.55:
+            pk = f"p{rng.randrange(20)}"
+            fk = f"f{rng.randrange(6)}"
+            r = rng.random()
+            if with_mutations and r < 0.15 and pk in subscribed:
+                kind = "unsub_move" if r < 0.075 else "unsub_delete"
+                instr.append((subscribed.pop(pk), kind, pk, None, seq, 0))
+            else:
+                prev = subscribed.get(pk)
+                if prev is not None and prev != fk:
+                    instr.append((prev, "unsub_move", pk, None, seq, 0))
+                instr.append((fk, "sub", pk, f"n{seq}", seq, 1))
+                subscribed[pk] = fk
+        else:
+            right.append((f"f{rng.randrange(6)}", rng.randrange(100),
+                          with_mutations and rng.random() < 0.1, seq))
+    instr_df = spark.createDataFrame(
+        instr, "fk string, kind string, pk string, name string, seq long, minor int")
+    right_df = spark.createDataFrame(
+        right, "rk string, rank int, is_delete boolean, seq long")
+
+    def run(n_buckets):
+        out = fk_join_changelog_batch(
+            instr_df, right_df, right_key="rk", right_payload=["rank"],
+            right_seq="seq", right_tombstone="is_delete",
+            left_value_cols=["name"], how=how, n_buckets=n_buckets,
+        )
+        return sorted((tuple(r) for r in out.collect()), key=repr)
+
+    assert run(None) == run(4)
+
+
 def test_intermediate_dir_bounded(spark):
     """The stage-1/stage-2 parquet hop (Kafka's subscription-response
     topic analogue) must stay BOUNDED across micro-batches — growth is
