@@ -81,13 +81,18 @@ def test_windowed_count_survives_restart(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
-def test_tws_ktable_state_survives_restart(spark):
+import pytest
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_tws_ktable_state_survives_restart(spark, n_buckets):
     """The transformWithStateInPandas latest-per-key state machine
     restarted from its checkpoint must remember pre-restart values: an
     update to a key written before the restart emits old_present=True
-    with the OLD payload (RocksDB state restored), not a fresh insert."""
-    import pytest
-
+    with the OLD payload (RocksDB state restored), not a fresh insert.
+    Parametrized over the per-key ValueState and bucketed MapState
+    layouts — the bucketed mode's recovery restores a MapState whose
+    entries span multiple logical keys per grouping key."""
     from kafka_streams_app_spark.streaming.ktable import ktable_changelog_stream
     from kafka_streams_app_spark.streaming.replay import tws_available
 
@@ -102,7 +107,8 @@ def test_tws_ktable_state_survives_restart(spark):
     def start():
         src = spark.readStream.schema(schema).parquet(staging)
         changelog = ktable_changelog_stream(
-            src, ["user_id"], "event_id", ["event_id", "value"]
+            src, ["user_id"], "event_id", ["event_id", "value"],
+            n_buckets=n_buckets,
         )
 
         def write_batch(df, batch_id):  # idempotent per-batch dir
@@ -137,6 +143,67 @@ def test_tws_ktable_state_survives_restart(spark):
         # pre-restart value, not a fresh insert
         assert upd[0]["old_present"] is True
         assert upd[0]["old_event_id"] == 10 and upd[0]["old_value"] == 1.5
+    finally:
+        for d in (staging, checkpoint, out_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_tws_pk_join_state_survives_restart(spark, n_buckets):
+    """PK-join state (both sides) restored across a restart: a right
+    row arriving after the restart joins the LEFT value written before
+    it. Covers the bucketed layout's two recovered MapStates."""
+    from kafka_streams_app_spark.streaming.pk_join import pk_join_stream
+    from kafka_streams_app_spark.streaming.replay import tws_available
+    from pyspark.sql import functions as F
+
+    if not tws_available(spark):
+        pytest.skip("TWS protobuf unavailable in this session")
+
+    staging = tempfile.mkdtemp(prefix="ckpt_pkj_src_")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_pkj_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="ckpt_pkj_out_")
+    schema = "key string, side string, lval string, rval long, seq long"
+
+    def start():
+        src = spark.readStream.schema(schema).parquet(staging)
+        left = src.filter(F.col("side") == "l").select("key", "lval", "seq")
+        right = src.filter(F.col("side") == "r").select("key", "rval", "seq")
+        join = pk_join_stream(
+            left, right, key="key", left_payload=["lval"],
+            right_payload=["rval"], how="inner", n_buckets=n_buckets,
+        )
+
+        def write_batch(df, batch_id):  # idempotent per-batch dir
+            df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+        return (
+            join.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    try:
+        q = start()
+        spark.createDataFrame(
+            [("k1", "l", "alpha", None, 1)], schema
+        ).coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        q.stop()
+
+        q2 = start()
+        spark.createDataFrame(
+            [("k1", "r", None, 7, 2)], schema
+        ).coalesce(1).write.mode("append").parquet(staging)
+        q2.processAllAvailable()
+        q2.stop()
+
+        rows = spark.read.option("basePath", out_dir).parquet(out_dir).collect()
+        joined = [r for r in rows if r["action"] == "upsert"]
+        assert len(joined) == 1
+        # left state restored across restart: pre-restart value joins
+        assert joined[0]["lval"] == "alpha" and joined[0]["rval"] == 7
     finally:
         for d in (staging, checkpoint, out_dir):
             shutil.rmtree(d, ignore_errors=True)
