@@ -645,6 +645,56 @@ def _q_text_bpe_count(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", T.bpe_token_estimate("text").alias("n_pieces"))
 
 
+def _q_text_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (Rae et al. 2021
+    §A1.1) as exact integer counts — duplicate-bigram / duplicate-line
+    fractions and mean word length derive from them. Scan-stage Column
+    expressions, zero shuffle (functions/text.py:repetition_signals)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", T.repetition_signals("text").alias("r")).select(
+        "doc_id", "r.*"
+    )
+
+
+def _chunked_lines_view(spark: SparkSession, sf: str) -> DataFrame:
+    """documents with text re-segmented into NON-OVERLAPPING 3-token
+    chunks joined by newlines. The synthetic corpus is single-line
+    word soup, so line-level operators would be vacuous on the raw
+    text; chunk-lines repeat across documents (1.4k duplicates at
+    sf0.01), exercising the real plan. The oracle mirrors the same
+    deterministic segmentation."""
+    docs = load_table(spark, sf, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / 3).cast("long")),
+            lambda i: F.array_join(F.slice(toks, (i * 3 + 1).cast("int"), 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+
+
+def _q_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet/C4-style line-level boilerplate detection: lines repeated
+    across >= 2 documents (operators/pipeline.py:boilerplate_lines) —
+    per-doc distinct inside the array (scan stage), one map-side-
+    combined hash agg on the line."""
+    return pipeline.boilerplate_lines(
+        _chunked_lines_view(spark, sf), min_df=2, min_len=5
+    )
+
+
+def _q_corpus_line_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level boilerplate scrub: per-doc kept-line counts + the
+    re-assembled scrubbed text (original line order) after removing
+    corpus-repeated lines (operators/pipeline.py:scrub_boilerplate)."""
+    chunked = _chunked_lines_view(spark, sf)
+    boiler = pipeline.boilerplate_lines(chunked, min_df=2, min_len=5)
+    return pipeline.scrub_boilerplate(chunked, boiler)
+
+
 def _q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprint sketch sizes per doc (rolling-hash
     fingerprinting, Schleimer et al.) over md5-derived token hashes so
@@ -1849,6 +1899,81 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM documents
     """),
     "text_winnowing": (_q_text_winnowing, _winnowing_md5_sql()),
+    "text_gopher_repetition": (_q_text_gopher_repetition, "WITH " + _TOKS + r""",
+        lns AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            x -> trim(x)), x -> x <> '') AS ls
+          FROM documents
+        ),
+        big AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 2 THEN
+                   list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1])
+                 ELSE CAST([] AS VARCHAR[]) END AS bg
+          FROM toks
+        )
+        SELECT t.doc_id,
+               CAST(len(t.t) AS INTEGER) AS n_words,
+               CAST(coalesce(list_sum(list_transform(t.t, x -> length(x))), 0)
+                 AS INTEGER) AS total_word_chars,
+               CAST(len(b.bg) AS INTEGER) AS n_bigrams,
+               CAST(len(list_distinct(b.bg)) AS INTEGER) AS n_distinct_bigrams,
+               CAST(len(l.ls) AS INTEGER) AS n_lines,
+               CAST(len(list_distinct(l.ls)) AS INTEGER) AS n_distinct_lines
+        FROM toks t
+        JOIN big b ON t.doc_id = b.doc_id
+        JOIN lns l ON t.doc_id = l.doc_id
+    """),
+    "corpus_line_dedup": (_q_corpus_line_dedup, "WITH " + _TOKS + r""",
+        chunks AS (
+          SELECT doc_id, CASE WHEN len(t) > 0 THEN
+              list_transform(generate_series(1, CAST(ceil(len(t)/3.0) AS BIGINT)),
+                             i -> array_to_string(list_slice(t, 3*i-2, 3*i), ' '))
+            ELSE CAST([] AS VARCHAR[]) END AS ch
+          FROM toks
+        ),
+        el AS (
+          SELECT DISTINCT doc_id, line FROM (
+            SELECT doc_id, unnest(ch) AS line FROM chunks)
+          WHERE length(line) >= 5
+        )
+        SELECT line, count(*) AS ndocs FROM el
+        GROUP BY line HAVING count(*) >= 2
+    """),
+    "corpus_line_scrub": (_q_corpus_line_scrub, "WITH " + _TOKS + r""",
+        chunks AS (
+          SELECT doc_id, CASE WHEN len(t) > 0 THEN
+              list_transform(generate_series(1, CAST(ceil(len(t)/3.0) AS BIGINT)),
+                             i -> array_to_string(list_slice(t, 3*i-2, 3*i), ' '))
+            ELSE CAST([] AS VARCHAR[]) END AS ch
+          FROM toks
+        ),
+        el AS (
+          SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ch)),
+                          i -> {'pos': i, 'line': ch[i]})) AS u
+            FROM chunks)
+        ),
+        boiler AS (
+          SELECT line FROM (
+            SELECT line, count(*) AS ndocs FROM (
+              SELECT DISTINCT doc_id, line FROM el WHERE length(line) >= 5)
+            GROUP BY line) WHERE ndocs >= 2
+        ),
+        kept AS (
+          SELECT el.doc_id, el.pos, el.line
+          FROM el LEFT JOIN boiler b ON el.line = b.line
+          WHERE b.line IS NULL
+        )
+        SELECT doc_id,
+               count(*) AS kept_lines,
+               CAST(sum(length(line)) AS BIGINT) AS kept_chars,
+               string_agg(line, chr(10) ORDER BY pos) AS scrubbed_text
+        FROM kept GROUP BY doc_id
+    """),
     "extras_cube": (_q_extras_cube, """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
@@ -2444,12 +2569,13 @@ _FRONT = [
     "sample_stratified", "pack_sequences",
     "text_stats", "text_language_id", "text_quality", "text_bpe_count",
     "text_pii_scrub",
+    "text_gopher_repetition", "corpus_line_dedup", "corpus_line_scrub",
     "extras_cube", "extras_salted_join", "extras_rollup",
     "extras_semi_join", "extras_anti_join", "extras_topn_per_group",
     "multimodal_frames", "multimodal_meta", "multimodal_resize",
     "multimodal_features", "multimodal_bmp_decode",
     "dedup_embedding_lsh",
-    "q1_point_lookup", "q2_full_scan", "q4_window_fetch",
+    "q1_point_lookup", "q4_window_fetch",
     "q5_window_fetch_all", "q6_key_routing",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))

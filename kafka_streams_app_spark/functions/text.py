@@ -88,6 +88,53 @@ def quality_score(text: str | Column) -> Column:
     return F.round(len_factor * (F.lit(1.0) - punct_ratio(text)) * (F.lit(0.5) + F.lit(0.5) * sw_factor), 6)
 
 
+def trimmed_lines(text: str | Column) -> Column:
+    """Non-empty trimmed lines of a document (array<string>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda t: F.trim(t)),
+        lambda t: t != "",
+    )
+
+
+def repetition_signals(text: str | Column) -> Column:
+    """Gopher-style within-document repetition/quality signals
+    (Rae et al. 2021 §A1.1: repetitious documents are low-quality), as
+    a struct of EXACT INTEGER counts so any downstream fraction
+    (duplicate-line fraction, duplicate-bigram fraction, mean word
+    length) is computed by the consumer and the counts themselves stay
+    bit-reproducible across engines:
+
+    - n_words / total_word_chars  -> mean word length
+    - n_lines / n_distinct_lines  -> duplicate-line fraction
+    - n_bigrams / n_distinct_bigrams -> duplicate word-2-gram fraction
+
+    Pure Column expressions (JVM, scan-stage, zero shuffle): the
+    100 TB plan is one pass over the corpus with whole-stage codegen.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            # sequence(1, n-1) would count DOWN for n<2 — guarded above
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = trimmed_lines(text)
+    return F.struct(
+        n.alias("n_words"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias(
+            "total_word_chars"
+        ),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+    )
+
+
 def fingerprint(text: str | Column) -> Column:
     """Document content fingerprint: md5 over the normalized token stream.
 

@@ -264,6 +264,81 @@ def corpus_ngram_topk(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    min_len: int = 10,
+) -> DataFrame:
+    """Lines repeated across >= min_df documents — the CCNet/C4-style
+    line-level boilerplate detector (nav bars, cookie banners, footers
+    recur verbatim across a site's pages; within-page prose does not).
+
+    Plan: per-doc DISTINCT trimmed lines of >= min_len chars (the
+    distinct + length filter happen INSIDE the array, scan-stage, so a
+    page repeating its own footer 50x still contributes one posting)
+    -> explode -> one map-side-combined hash agg on the line. The
+    shuffle carries one (line, partial count) per distinct line per
+    partition; min_len keeps degenerate hot keys ('', '-', '*') out of
+    the exchange entirely.
+    """
+    from kafka_streams_app_spark.functions.text import trimmed_lines
+
+    lines = df.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    trimmed_lines(F.col(text_col)),
+                    lambda t: F.length(t) >= min_len,
+                )
+            )
+        ).alias("line")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_df)
+    )
+
+
+def scrub_boilerplate(
+    df: DataFrame,
+    boiler: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document content after removing boilerplate lines: the
+    scrubbed text (original line order preserved) plus exact kept
+    counts.
+
+    Plan: explode (pos, trimmed line) -> left_anti join against the
+    boilerplate set (line-keyed shuffle join; the boiler side is the
+    output of boilerplate_lines — at corpus scale it is NOT assumed
+    broadcastable) -> per-doc hash agg re-assembling via
+    array_sort(collect_list(struct(pos, line))). Documents whose every
+    line was boilerplate drop out (nothing kept to emit).
+    """
+    from kafka_streams_app_spark.functions.text import trimmed_lines
+
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(trimmed_lines(F.col(text_col))).alias("pos", "line"),
+    )
+    kept = exploded.join(boiler.select("line"), "line", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_lines"),
+        F.sum(F.length("line")).alias("kept_chars"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("scrubbed_text"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     strata_col: str,

@@ -369,3 +369,70 @@ def test_hash_split_full_weights_cover_last_bucket(spark):
     out = pipeline.hash_split(df, "k", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
     got = {r["k"]: r["split"] for r in out.collect()}
     assert got[last] == "c" and all(v is not None for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_lines / scrub_boilerplate (CCNet/C4-style line dedup)
+# ---------------------------------------------------------------------------
+
+BOILER_DOCS = [
+    (1, "Welcome to Example Corp\nunique prose about turtles\n  Welcome to Example Corp  \ncopyright 2024 example"),
+    (2, "Welcome to Example Corp\nanother page entirely\ncopyright 2024 example"),
+    (3, "totally original essay\nshort\ncopyright 2024 example"),
+]
+
+
+def test_boilerplate_lines_cross_doc_counts(spark):
+    """A line repeated WITHIN one doc counts once (per-doc distinct);
+    counts are cross-document; lines under min_len never enter the
+    exchange."""
+    docs = spark.createDataFrame(BOILER_DOCS, "doc_id long, text string")
+    got = {r["line"]: r["ndocs"]
+           for r in pipeline.boilerplate_lines(docs, min_df=2, min_len=10).collect()}
+    assert got == {
+        "Welcome to Example Corp": 2,   # doc 1 counts ONCE despite 2 copies
+        "copyright 2024 example": 3,
+    }
+
+
+def test_scrub_boilerplate_keeps_order_and_counts(spark):
+    docs = spark.createDataFrame(BOILER_DOCS, "doc_id long, text string")
+    boiler = pipeline.boilerplate_lines(docs, min_df=2, min_len=10)
+    got = {r["doc_id"]: r for r in
+           pipeline.scrub_boilerplate(docs, boiler).collect()}
+    assert got[1]["scrubbed_text"] == "unique prose about turtles"
+    assert got[1]["kept_lines"] == 1
+    assert got[2]["scrubbed_text"] == "another page entirely"
+    # doc 3 keeps two lines in original order ("short" is under min_len
+    # so it was never boilerplate-eligible, but it IS document content)
+    assert got[3]["scrubbed_text"] == "totally original essay\nshort"
+    assert got[3]["kept_lines"] == 2
+    assert got[3]["kept_chars"] == len("totally original essay") + len("short")
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition counts vs hand computation: 'a b a b a' has
+    bigrams [a b, b a, a b, b a] -> 2 distinct of 4; line duplicated."""
+    txt = "a b a b a\nx\na b a b a"
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = df.select(T.repetition_signals("text").alias("r")).collect()[0]["r"]
+    assert r["n_words"] == 11
+    assert r["total_word_chars"] == 11
+    assert r["n_bigrams"] == 10 and r["n_distinct_bigrams"] == 4
+    # bigrams span the newline in token space: [a b]x5 [b a]x4 [a x] [x a]
+    assert r["n_lines"] == 3 and r["n_distinct_lines"] == 2
+
+
+def test_repetition_signals_degenerate_docs(spark):
+    """Empty and single-word docs: no bigrams, no down-counting
+    sequence (sequence(1, n-1) would generate DESCENDING for n<2)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "   ")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["r"] for r in
+            df.select("doc_id", T.repetition_signals("text").alias("r")).collect()}
+    for i in (1, 3):
+        assert rows[i]["n_words"] == 0 and rows[i]["n_bigrams"] == 0
+        assert rows[i]["n_lines"] == 0
+    assert rows[2]["n_words"] == 1 and rows[2]["n_bigrams"] == 0
+    assert rows[2]["total_word_chars"] == 4 and rows[2]["n_lines"] == 1
