@@ -524,6 +524,14 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_minhash_lsh(docs, "text", "doc_id", k=3, threshold=0.8)
 
 
+def _q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed containment near-dup (Broder 1997): |A∩B|/|A| flags a
+    short doc (near-)embedded in a long one, which symmetric Jaccard
+    dilutes (operators/dedup.py:dedup_containment)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.dedup_containment(docs, "text", "doc_id", k=3, threshold=0.6)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs with the md5-derived 60-bit token hash so
     DuckDB can recompute the identical signature (the xxhash64 default
@@ -1749,6 +1757,28 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM documents GROUP BY md5(text)
     """),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _JACCARD_PAIRS.format(thr=0.8)),
+    "dedup_containment": (_q_dedup_containment, "WITH " + _SHINGLES + r""",
+        ex AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE len(s) > 0),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+        pairs AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+          FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT p.doc_a, p.doc_b, p.common, na.n AS na, nb.n AS nb
+          FROM pairs p
+          JOIN sizes na ON p.doc_a = na.doc_id
+          JOIN sizes nb ON p.doc_b = nb.doc_id
+        )
+        SELECT * FROM (
+          SELECT doc_a AS doc_sub, doc_b AS doc_super,
+                 CAST(common AS DOUBLE) / na AS containment FROM j
+          UNION ALL
+          SELECT doc_b AS doc_sub, doc_a AS doc_super,
+                 CAST(common AS DOUBLE) / nb AS containment FROM j)
+        WHERE containment >= 0.6
+    """),
     "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _JACCARD_PAIRS.format(thr=0.8)),
     "dedup_simhash": (_q_dedup_simhash, _simhash_md5_sql(3)),
     # recursive CTE walks the same near-dup graph the Spark side closes
@@ -2563,7 +2593,7 @@ _FRONT = [
     "s_fk_join_left_incremental",
     "j5_table_join_inner", "j6_table_join_left_tombstone",
     "j7_fk_join_left", "j8_fk_join_inner_agg",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
     "dedup_simhash", "dedup_clusters", "dedup_embedding_cosine",
     "sim_cosine_topk", "sim_lsh_ann_topk", "sim_ivf_topk",
     "sample_stratified", "pack_sequences",
@@ -2572,7 +2602,7 @@ _FRONT = [
     "text_gopher_repetition", "corpus_line_dedup", "corpus_line_scrub",
     "extras_cube", "extras_salted_join", "extras_rollup",
     "extras_semi_join", "extras_anti_join", "extras_topn_per_group",
-    "multimodal_frames", "multimodal_meta", "multimodal_resize",
+    "multimodal_frames", "multimodal_resize",
     "multimodal_features", "multimodal_bmp_decode",
     "dedup_embedding_lsh",
     "q1_point_lookup", "q4_window_fetch",

@@ -170,6 +170,62 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
 _shingle_sig_udf_cache: dict[int, object] = {}
 
 
+def dedup_containment(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed containment near-dup pairs: C(A in B) = |A∩B| / |A|
+    (Broder 1997's "containment", the asymmetric twin of resemblance).
+
+    Catches the short-doc-inside-long-doc shape symmetric Jaccard
+    dilutes: a 50-shingle snippet fully embedded in a 5000-shingle page
+    has Jaccard ~0.01 but containment 1.0 — exactly the quote/excerpt/
+    wrapper duplication a training-data pipeline wants to flag.
+
+    Output rows are DIRECTED: (doc_sub, doc_super, containment) with
+    doc_sub the (near-)contained document; a mutually-near-identical
+    pair yields both directions. Same inverted-index plan and max_df
+    hot-shingle dial (and the same recall caveat) as
+    dedup_ngram_jaccard — only the final ratio differs, so the join
+    cost bound is identical.
+    """
+    sh = _doc_shingles(df, text, id_col, k)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_s")
+        )
+        ex = ex.join(F.broadcast(hot), "_s", "left_anti")
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), (F.col("x._s") == F.col("y._s")) & (F.col("x._id") < F.col("y._id")))
+        .groupBy(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    na = sizes.select(F.col("_id").alias("doc_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("doc_b"), F.col("_n").alias("_nb"))
+    j = pairs.join(na, "doc_a").join(nb, "doc_b")
+    a_in_b = j.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        (F.col("_common").cast("double") / F.col("_na")).alias("containment"),
+    )
+    b_in_a = j.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        (F.col("_common").cast("double") / F.col("_nb")).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
+
+
 def _shingle_sig_udf(k: int):
     """Arrow-batched text -> struct(sh: shingles, bh: LSH band keys)
     in ONE Python crossing.

@@ -85,3 +85,28 @@ def test_lsh_ann_subset_and_ranked(spark):
         assert [x[0] for x in ranked] == list(range(1, len(ranked) + 1))
         sims = [x[1] for x in ranked]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_containment_flags_snippet_inside_page(spark):
+    """A short doc fully embedded in a long one: Jaccard is tiny (the
+    union is the long doc) but containment of the snippet is 1.0 and
+    DIRECTED — only (snippet -> page), never the reverse."""
+    from kafka_streams_app_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    page_words = [f"w{i}" for i in range(200)]
+    snippet = " ".join(page_words[50:60])      # 10 words inside the page
+    page = " ".join(page_words)
+    other = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, page), (2, snippet), (3, other)], "doc_id long, text string"
+    )
+    got = [
+        (r["doc_sub"], r["doc_super"], r["containment"])
+        for r in dedup_containment(df, "text", "doc_id", k=3, threshold=0.9).collect()
+    ]
+    assert got == [(2, 1, 1.0)]
+    # the same pair is invisible to symmetric Jaccard at any real threshold
+    assert dedup_ngram_jaccard(df, "text", "doc_id", k=3, threshold=0.1).count() == 0
