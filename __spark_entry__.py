@@ -569,6 +569,13 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding-QA stats, exact-integer via floor-1e6
+    quantization (operators/similarity.py:embedding_dim_stats)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.embedding_dim_stats(emb, "embedding")
+
+
 def _q_sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
@@ -1821,6 +1828,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # O(n^2) twin above stays as the recall oracle)
     "dedup_embedding_lsh": (_q_dedup_embedding_lsh, _dedup_emb_lsh_md5_sql()),
     # --- similarity search (north-star) ---
+    "embedding_dim_stats": (_q_embedding_dim_stats, r"""
+        WITH ex AS (
+          SELECT u.pos AS pos, u.v AS v FROM (
+            SELECT unnest(list_transform(generate_series(1, len(embedding)),
+                          i -> {'pos': i - 1, 'v': embedding[i]})) AS u
+            FROM embeddings)
+        ), qx AS (
+          SELECT pos, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q
+          FROM ex
+        )
+        SELECT pos, count(*) AS n,
+               CAST(sum(q) AS BIGINT) AS sum_q,
+               min(q) AS min_q, max(q) AS max_q
+        FROM qx GROUP BY pos
+    """),
     "sim_cosine_topk": (_q_sim_cosine_topk, """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id % 100 = 0),
@@ -2596,16 +2618,17 @@ _FRONT = [
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
     "dedup_simhash", "dedup_clusters", "dedup_embedding_cosine",
     "sim_cosine_topk", "sim_lsh_ann_topk", "sim_ivf_topk",
+    "embedding_dim_stats",
     "sample_stratified", "pack_sequences",
     "text_stats", "text_language_id", "text_quality", "text_bpe_count",
     "text_pii_scrub",
     "text_gopher_repetition", "corpus_line_dedup", "corpus_line_scrub",
     "extras_cube", "extras_salted_join", "extras_rollup",
     "extras_semi_join", "extras_anti_join", "extras_topn_per_group",
-    "multimodal_frames", "multimodal_resize",
+    "multimodal_frames",
     "multimodal_features", "multimodal_bmp_decode",
     "dedup_embedding_lsh",
-    "q1_point_lookup", "q4_window_fetch",
+    "q1_point_lookup",
     "q5_window_fetch_all", "q6_key_routing",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))

@@ -21,6 +21,32 @@ from kafka_streams_app_spark.engine import ensure_parallelism
 from kafka_streams_app_spark.functions.vectors import as_double, cosine
 
 
+def embedding_dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension corpus statistics over an embedding column — the
+    embedding-QA/drift primitive (a collapsed dimension, a scale blowup
+    or a NaN-poisoned coordinate shows up here before any ANN index is
+    built).
+
+    Values are floor-quantized to integers at 1e-6 (the same
+    engine-portable quantization the LSH oracle uses), so every
+    aggregate is EXACT-INTEGER and summation order — which differs
+    across partitionings — cannot perturb the result. Plan: posexplode
+    -> one map-side-combined hash agg on the dimension index; the
+    shuffle carries dim-count x partitions partial rows, never vectors.
+    """
+    q = F.floor(F.col("v").cast("double") * F.lit(1e6)).cast("long")
+    return (
+        df.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("sum_q"),
+            F.min(q).alias("min_q"),
+            F.max(q).alias("max_q"),
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

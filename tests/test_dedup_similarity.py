@@ -110,3 +110,20 @@ def test_containment_flags_snippet_inside_page(spark):
     assert got == [(2, 1, 1.0)]
     # the same pair is invisible to symmetric Jaccard at any real threshold
     assert dedup_ngram_jaccard(df, "text", "doc_id", k=3, threshold=0.1).count() == 0
+
+
+def test_embedding_dim_stats_exact(spark):
+    """Per-dimension stats vs hand computation; quantization makes the
+    sums exact integers independent of partition/summation order."""
+    from kafka_streams_app_spark.operators.similarity import embedding_dim_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5]), (2, [0.25, 2.0]), (3, [0.0, 0.0000005])],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+    got = {r["pos"]: r for r in embedding_dim_stats(df, "embedding").collect()}
+    assert got[0]["n"] == 3 and got[1]["n"] == 3
+    assert got[0]["sum_q"] == 1_000_000 + 250_000 + 0
+    # floor quantization: -0.5 -> -500000, 5e-7 -> 0 (floor toward -inf)
+    assert got[1]["sum_q"] == -500_000 + 2_000_000 + 0
+    assert got[1]["min_q"] == -500_000 and got[1]["max_q"] == 2_000_000
