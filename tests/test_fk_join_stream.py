@@ -178,21 +178,24 @@ def test_fk_join_int64_payload_precision(spark, n_buckets):
         assert p.drain() == [("p1", "upsert", BIG, BIG + 8)]
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("how", ["inner", "left"])
 @pytest.mark.parametrize("with_mutations", [False, True])
-def test_fk_bucketed_equals_perfk_random(spark, how, with_mutations):
+def test_fk_bucketed_equals_perfk_random(spark, how, with_mutations, seed):
     """Randomized instruction/right streams: the bucketed layout (the
     vectorized matrix fan-out on sub/right-upsert batches, per-fk
     replay otherwise) must emit EXACTLY the per-fk processor's join
     changelog. with_mutations adds unsubs and right deletes (slow
-    path); without them every batch takes the fast path."""
+    path); without them every batch takes the fast path. Few fks and
+    many pks make the fan-out dense (every right row re-emits many
+    subscribers) — the matrix kernel's hard case."""
     import random
 
     from kafka_streams_app_spark.streaming.fk_join import (
         fk_join_changelog_batch,
     )
 
-    rng = random.Random(814 + (1 if with_mutations else 0))
+    rng = random.Random(814 + seed * 7 + (1 if with_mutations else 0))
     instr, right = [], []
     subscribed: dict = {}
     for seq in range(240):
