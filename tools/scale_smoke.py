@@ -48,6 +48,10 @@ QUERIES = [
     "a2_windowed_count",     # window bucketing + agg over events
     "tpch_q1_pricing",       # decimal scan-agg over lineitem
     "dedup_minhash_lsh",     # the heaviest: shingle+sig+band join+verify
+    "dedup_containment",     # inverted-index self-join, directed ratios
+    "corpus_line_dedup",     # chunk-line explode + hash agg (r6 op)
+    "text_gopher_repetition",  # scan-stage list exprs, zero shuffle
+    "embedding_dim_stats",   # posexplode + per-dim agg over embeddings
 ]
 
 ID_SHIFT = 1_000_000_000

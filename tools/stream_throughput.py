@@ -243,12 +243,18 @@ def main() -> None:
             "rows_per_sec": int(n_rows / wall),
         }))
     if tws_available(spark):
-        # single-shot (not best-of-3): the ~1 min pipeline dwarfs the
-        # host's multi-second contention spikes, so one run is ~5-10%
-        # accurate and keeps the tool's wall bounded.
-        for shape, nb in (("fk_join_tws_2stage", None),
-                          ("fk_join_tws_2stage_bucketed", 128)):
-            wall = run_fk_pipeline(spark, events_path, n_buckets=nb)
+        # r6 revision: single-shot FK numbers proved +/-50% on this
+        # host (16-32 s for the SAME config across a day) — contention
+        # spikes do NOT amortize over the ~20 s pipeline. Interleave
+        # two rounds and report the per-mode minimum, same estimator as
+        # the other shapes; comparisons are only valid within one run.
+        fk_best: dict[str, float] = {}
+        for _ in range(2):
+            for shape, nb in (("fk_join_tws_2stage", None),
+                              ("fk_join_tws_2stage_bucketed", 128)):
+                wall = run_fk_pipeline(spark, events_path, n_buckets=nb)
+                fk_best[shape] = min(fk_best.get(shape, float("inf")), wall)
+        for shape, wall in fk_best.items():
             print(json.dumps({
                 "shape": shape, "rows_in": n_rows,
                 "sec": round(wall, 2), "rows_per_sec": int(n_rows / wall),
