@@ -679,16 +679,16 @@ def _chunked_lines_view(spark: SparkSession, sf: str) -> DataFrame:
     sf0.01), exercising the real plan. The oracle mirrors the same
     deterministic segmentation."""
     docs = load_table(spark, sf, "documents")
-    toks = T.tokens(F.col("text"))
-    n = F.size(toks)
-    chunks = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.floor((n - 1) / 3).cast("long")),
-            lambda i: F.array_join(F.slice(toks, (i * 3 + 1).cast("int"), 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    # regex chunking, NOT transform+slice over an index sequence:
+    # Catalyst does not CSE the tokens array into a lambda, so indexed
+    # slicing re-tokenizes the doc per chunk — accidental O(n_tokens^2)
+    # (measured 29 s at sf0.1; this form is one linear regex pass).
+    # Sequential non-overlapping matches replace every 3rd token gap
+    # with a newline; remainder tokens stay on the final line. DuckDB's
+    # RE2 applies the same left-to-right non-overlap rule.
+    norm = F.array_join(T.tokens(F.col("text")), " ")
+    chunked = F.regexp_replace(norm, r"(\S+ \S+ \S+) ", "$1\n")
+    return docs.select("doc_id", chunked.alias("text"))
 
 
 def _q_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1980,10 +1980,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
     "corpus_line_dedup": (_q_corpus_line_dedup, "WITH " + _TOKS + r""",
         chunks AS (
-          SELECT doc_id, CASE WHEN len(t) > 0 THEN
-              list_transform(generate_series(1, CAST(ceil(len(t)/3.0) AS BIGINT)),
-                             i -> array_to_string(list_slice(t, 3*i-2, 3*i), ' '))
-            ELSE CAST([] AS VARCHAR[]) END AS ch
+          SELECT doc_id,
+                 string_split(regexp_replace(array_to_string(t, ' '),
+                   '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'), chr(10)) AS ch
           FROM toks
         ),
         el AS (
@@ -1996,10 +1995,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
     "corpus_line_scrub": (_q_corpus_line_scrub, "WITH " + _TOKS + r""",
         chunks AS (
-          SELECT doc_id, CASE WHEN len(t) > 0 THEN
-              list_transform(generate_series(1, CAST(ceil(len(t)/3.0) AS BIGINT)),
-                             i -> array_to_string(list_slice(t, 3*i-2, 3*i), ' '))
-            ELSE CAST([] AS VARCHAR[]) END AS ch
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(
+                     regexp_replace(array_to_string(t, ' '),
+                       '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'), chr(10)),
+                   x -> trim(x)), x -> x <> '') AS ch
           FROM toks
         ),
         el AS (

@@ -114,12 +114,18 @@ def repetition_signals(text: str | Column) -> Column:
     """
     toks = tokens(text)
     n = F.size(toks)
+    # zip_with over two slices, NOT transform+element_at over an index
+    # sequence: Catalyst does not CSE the outer array into a lambda, so
+    # element_at(toks, i) re-tokenizes the document PER BIGRAM —
+    # accidental O(n_tokens^2) per doc (measured 21 s for 50k docs at
+    # sf0.1; this form is linear). slice arguments are evaluated once
+    # per row.
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            # sequence(1, n-1) would count DOWN for n<2 — guarded above
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     lines = trimmed_lines(text)
