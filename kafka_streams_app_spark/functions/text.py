@@ -372,16 +372,28 @@ def winnowing_of_hashes(
     a MATERIALIZED column from token_hashes().
     """
     n_grams = F.size(tok_h) - (k - 1)
-    gram_idx = F.sequence(F.lit(1), n_grams)
-    gram_hash = F.transform(
-        gram_idx,
-        lambda i: F.aggregate(
-            F.slice(tok_h, i, k), F.lit(0).cast("long"),
+    # gram hashes: k shifted views of tok_h folded elementwise. A
+    # transform-over-index form (slice(tok_h, i, k) per gram) would
+    # re-evaluate slices per ELEMENT; zip_with arguments evaluate once
+    # per row, so this is O(n*k) with k+window slice copies total.
+    gram_hash = F.slice(tok_h, 1, n_grams)
+    for j in range(1, k):
+        gram_hash = F.zip_with(
+            gram_hash,
+            F.slice(tok_h, j + 1, n_grams),
             lambda acc, h: F.pmod(acc * 31 + h, F.lit(p)),
-        ),
-    )
-    win_idx = F.sequence(F.lit(1), n_grams - (window - 1))
-    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(gram_hash, i, window)))
+        )
+    # note the fold above seeds with the FIRST shifted view directly:
+    # acc_0 = h_0, then acc_j = (acc*31 + h_j) % p — identical to
+    # starting from 0 since (0*31 + h_0) % p == h_0 (h < p).
+    n_windows = n_grams - (window - 1)
+    mins = F.slice(gram_hash, 1, n_windows)
+    for j in range(1, window):
+        mins = F.zip_with(
+            mins,
+            F.slice(gram_hash, j + 1, n_windows),
+            lambda a, b: F.least(a, b),
+        )
     return F.when(n_grams >= window, F.array_distinct(mins)).otherwise(
         F.array().cast("array<bigint>")
     )
