@@ -1,0 +1,72 @@
+"""Executed-plan hygiene for the r6 operators: the scan-stage ops must
+stay entirely JVM-side (zero Python operators, zero shuffles), the
+corpus-level ops must shuffle exactly once with a map-side partial
+aggregate, and nothing anywhere may fall to row-at-a-time Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_app_spark.functions import text as T
+from kafka_streams_app_spark.operators import pipeline
+from kafka_streams_app_spark.operators.similarity import embedding_dim_stats
+from kafka_streams_app_spark.plans import plan_report
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_repetition_signals_scan_stage_only(spark):
+    r = plan_report(
+        _docs(spark).select("doc_id", T.repetition_signals("text").alias("r"))
+    )
+    assert r["exchanges"] == 0 and r["python_evals"] == 0
+    assert r["rowwise_python"] == 0
+    assert r["codegen_stages"] >= 1
+
+
+def test_winnowing_column_form_is_jvm_only(spark):
+    """The r6 contract entry's winnowing plan: pure Column, no Python
+    workers, no shuffle — the property the entry switch bought."""
+    out = _docs(spark).select(
+        "doc_id",
+        F.size(
+            T.winnowing_of_hashes(
+                T.token_hashes(T.tokens(F.col("text")), hash_fn="md5")
+            )
+        ).alias("n"),
+    )
+    r = plan_report(out)
+    assert r["exchanges"] == 0 and r["python_evals"] == 0
+    assert r["rowwise_python"] == 0
+
+
+def test_boilerplate_lines_single_shuffle_partial_agg(spark):
+    out = pipeline.boilerplate_lines(_docs(spark), min_df=2, min_len=5)
+    r = plan_report(out)
+    assert r["python_evals"] == 0 and r["rowwise_python"] == 0
+    # one exchange for the line-keyed agg; the HAVING filter rides it
+    assert r["exchanges"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial aggregation BEFORE the exchange (map-side combine)
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_embedding_dim_stats_single_shuffle(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    r = plan_report(embedding_dim_stats(emb, "embedding"))
+    assert r["exchanges"] == 1
+    assert r["python_evals"] == 0 and r["rowwise_python"] == 0
+
+
+def test_containment_no_rowwise_python(spark):
+    from kafka_streams_app_spark.operators.dedup import dedup_containment
+
+    r = plan_report(dedup_containment(_docs(spark), "text", "doc_id", k=3))
+    assert r["rowwise_python"] == 0
+    # shingling is the sanctioned Arrow boundary; everything after is JVM
+    assert r["python_evals"] >= 1
+    assert r["shuffle_joins"] + r["broadcast_joins"] >= 1
