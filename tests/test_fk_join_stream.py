@@ -231,6 +231,36 @@ def test_fk_bucketed_equals_perfk_random(spark, how, with_mutations, seed):
     assert run(None) == run(4)
 
 
+def test_fk_bucketed_multibatch_state_carry_random(spark):
+    """Randomized MULTI-BATCH run through the full two-query pipeline:
+    each pipe is its own micro-batch, so the bucketed fast path must
+    join against STATE carried from earlier batches (snapshot overlay,
+    right-value MapState) — not just within-batch context. The same
+    pipe sequence through the per-fk layout must drain identically."""
+    import random
+
+    def run(n_buckets):
+        rng = random.Random(20260814)
+        drained = []
+        with make(spark, "left", n_buckets) as p:
+            for _ in range(12):
+                if rng.random() < 0.5:
+                    p.pipe_left([
+                        (f"p{rng.randrange(6)}", f"f{rng.randrange(3)}",
+                         f"n{rng.randrange(50)}", False)
+                        for _ in range(rng.randrange(1, 4))
+                    ])
+                else:
+                    p.pipe_right([
+                        (f"f{rng.randrange(3)}", rng.randrange(100), False)
+                        for _ in range(rng.randrange(1, 3))
+                    ])
+                drained.append(sorted(p.drain(), key=repr))
+        return drained
+
+    assert run(None) == run(4)
+
+
 def test_intermediate_dir_bounded(spark):
     """The stage-1/stage-2 parquet hop (Kafka's subscription-response
     topic analogue) must stay BOUNDED across micro-batches — growth is
