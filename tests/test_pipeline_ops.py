@@ -436,3 +436,40 @@ def test_repetition_signals_degenerate_docs(spark):
         assert rows[i]["n_lines"] == 0
     assert rows[2]["n_words"] == 1 and rows[2]["n_bigrams"] == 0
     assert rows[2]["total_word_chars"] == 4 and rows[2]["n_lines"] == 1
+
+
+def test_repetition_signals_random_vs_python_reference(spark):
+    """Randomized docs (words, blank lines, repeated lines, punct) vs a
+    plain-Python recomputation of every signal."""
+    import random
+    import re as _re
+
+    rng = random.Random(20260814)
+    vocab = ["alpha", "beta", "Gamma", "x1", "the", "a", "??", "zz-top"]
+    docs = []
+    for i in range(40):
+        lines = []
+        for _ in range(rng.randrange(0, 6)):
+            if rng.random() < 0.2 and lines:
+                lines.append(rng.choice(lines))     # duplicate line
+            else:
+                lines.append(" ".join(
+                    rng.choice(vocab) for _ in range(rng.randrange(0, 8))))
+        docs.append((i, "\n".join(lines)))
+
+    def ref(text):
+        toks = [t for t in _re.split(r"\W+", text.lower()) if t]
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        return (len(toks), sum(len(t) for t in toks), len(bigrams),
+                len(set(bigrams)), len(lines), len(set(lines)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["r"]["n_words"], r["r"]["total_word_chars"],
+                      r["r"]["n_bigrams"], r["r"]["n_distinct_bigrams"],
+                      r["r"]["n_lines"], r["r"]["n_distinct_lines"])
+        for r in df.select("doc_id", T.repetition_signals("text").alias("r")).collect()
+    }
+    for i, text in docs:
+        assert got[i] == ref(text), f"doc {i}: {text!r}"
