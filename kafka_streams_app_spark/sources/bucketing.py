@@ -7,7 +7,7 @@ either side — the batch analogue of Kafka's co-partitioned topics.
 
 At 100 TB this is the difference between an hourly pipeline re-shuffling
 the fact table every run and one that pre-pays the layout once at
-ingest. Verified by tests/test_bucketing.py, which asserts the bucketed
+ingest. Verified by tests/test_bucketing_salting.py, which asserts the bucketed
 join plan contains zero shuffle exchanges.
 """
 
