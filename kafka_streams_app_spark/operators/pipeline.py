@@ -267,7 +267,6 @@ def corpus_ngram_topk(
 def boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_df: int = 2,
     min_len: int = 10,
 ) -> DataFrame:

@@ -632,7 +632,6 @@ def _fk_join_plan(
             out_columns, how, StructType([StructField("pk", pk_type)]),
         )
         return unioned, proc, out_schema, ["fk"]
-    fk_type = instructions.schema["fk"].dataType
     proc = _FKJoinProcessorBucketed(
         left_value_cols, r_cols, sub_schema, right_state_schema,
         out_columns, how,

@@ -6,13 +6,23 @@ order-insensitive values (exact for ints/strings, exact for our
 determinism-engineered doubles; any mismatch prints the diff head).
 
 Usage: python tools/check_queries.py [name ...]
+
+Every run appends one JSONL record per entry (name, verdict, error,
+wall seconds) to .scratch/gate_logs/gate_<utc-stamp>_<pid>.jsonl — the
+flight recorder: a failing entry's name survives even if stdout is
+truncated or the terminal is lost (r6 verdict: one under-load flake
+lost its name to output truncation; this makes that impossible).
 """
 
 from __future__ import annotations
 
+import datetime
+import json
 import math
+import os
 import sys
 import time
+from pathlib import Path
 
 import duckdb
 
@@ -49,6 +59,19 @@ def main() -> int:
     import __spark_entry__ as e
     from kafka_streams_app_spark.engine import get_spark
 
+    log_dir = Path("/root/repo/.scratch/gate_logs")
+    log_dir.mkdir(parents=True, exist_ok=True)
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%dT%H%M%S")
+    log_path = log_dir / f"gate_{stamp}_{os.getpid()}.jsonl"
+    log_f = open(log_path, "a", buffering=1)  # line-buffered: flushed per entry
+
+    def record(name: str, verdict: str, err: str | None, wall: float) -> None:
+        log_f.write(json.dumps({
+            "entry": name, "verdict": verdict, "error": err,
+            "wall_s": round(wall, 2),
+        }) + "\n")
+
+    print(f"gate log: {log_path}")
     spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -68,11 +91,13 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
+            record(name, "fail", f"spark error: {ex}", time.time() - t0)
             n_fail += 1
             continue
         el = time.time() - t0
         if name not in oracles:
             print(f"weak {name}: rows={len(srows)} (no oracle) [{el:.1f}s]")
+            record(name, "weak", None, el)
             n_weak += 1
             continue
         try:
@@ -81,14 +106,17 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {ex}")
+            record(name, "fail", f"duckdb error: {ex}", el)
             n_fail += 1
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
+            record(name, "fail", f"cols spark={sorted(scols)} duck={sorted(dcols)}", el)
             n_fail += 1
             continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+            record(name, "fail", f"rows spark={len(srows)} duck={len(drows)}", el)
             n_fail += 1
             continue
         sn, dn = normalize(srows, scols), normalize(drows, dcols)
@@ -97,11 +125,18 @@ def main() -> int:
             print(f"FAIL {name}: {len(diffs)} value diffs of {len(sn)} rows; head:")
             for a, b in diffs[:3]:
                 print(f"  spark: {a}\n  duck : {b}")
+            record(name, "fail",
+                   f"{len(diffs)} value diffs of {len(sn)}; head: "
+                   f"spark={diffs[0][0][:200]!r} duck={diffs[0][1][:200]!r}", el)
             n_fail += 1
             continue
         print(f"PASS {name}: rows={len(srows)} [{el:.1f}s]")
+        record(name, "pass", None, el)
         n_pass += 1
-    print(f"\n{n_pass} pass, {n_weak} weak (no oracle), {n_fail} fail")
+    summary = f"{n_pass} pass, {n_weak} weak (no oracle), {n_fail} fail"
+    log_f.write(json.dumps({"summary": summary}) + "\n")
+    log_f.close()
+    print(f"\n{summary}  (log: {log_path})")
     return 1 if n_fail else 0
 
 
