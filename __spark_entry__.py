@@ -2591,56 +2591,49 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
 }
 
-# Driver-sampling order: the verification driver checks the FIRST ~50
-# registry entries in order (confirmed r3/r4/r5). Rule (now linted by
-# tests/test_registry_order.py): every entry that has never held a
-# driver-green row, plus every entry whose code changed since its last
-# green row, must sit inside the front 50; twice-signed unchanged
-# entries pay for those slots by rotating to the tail.
-#
-# r6 priorities, in order:
-# 1. The five entries the r5 verdict flagged as evidence-weak: the
-#    never-sampled pipeline trio (hash_split / shuffle_det /
-#    corpus_ngram_topk) and the rewritten-since-their-row
-#    text_winnowing + decontam_overlap.
-# 2. Entries whose code paths changed this round (ktable/pk/fk
-#    processors: s_ktable*, s_pk*, s_fk*, j5-j8; shingle null guards:
-#    dedup_minhash_lsh / dedup_ngram_jaccard), plus the NEW bucketed
-#    join entries (s_pk_join_bucketed / s_fk_join_bucketed — never
-#    sampled, so the lint pins them here).
-# 3. Stale-evidence rotation (green only in r3, two testdata
-#    regenerations ago): dedup_simhash/clusters/embedding_cosine,
-#    sim_*, sample_stratified, text_*, extras_*, pack_sequences.
-# 4. Once-green r5 entries kept front while room lasts: multimodal_*,
-#    dedup_embedding_lsh, q1/q2/q4-q6 IQ.
-# Demoted to the tail: the 11 unchanged watermark/join s_* entries and
-# the t/a/w/j1-j4 core (all green in BOTH r3 and r5), dedup_exact, the
-# tpch_* family (green r3+r4), and q3_range_scan — unchanged code,
-# twice-driver-signed, nothing to learn from re-sampling.
+# --- driver-sample ordering (r7 rotation) ---
+# The driver samples the FIRST 50 registry entries each round
+# (tests/test_registry_order.py pins the never-green-inside-window
+# invariant). r7 rotation, per the r6 verdict:
+# 1. Stale-evidence tail rotated IN (13): q3_range_scan (last driver
+#    row r3 — two testdata regenerations ago), the 10 tpch_* entries
+#    (r4 rows; 6 are bench headliners), multimodal_meta/resize (r5).
+# 2. Entries whose code changed this round, kept/placed front so the
+#    driver re-signs them on the new code: the s_fk_* incremental
+#    entries (dense-output fast path, fk_join.py), s_pk_* and
+#    s_ktable_* (same dense treatment, pk_join.py/ktable.py),
+#    corpus_line_dedup/scrub (boilerplate_lines signature).
+# 3. Fill to 50 with r6-green keepers spanning the dedup/similarity/
+#    text/pipeline/multimodal families (fresh rows each round beat
+#    a stale corner: these are the 100TB-story operators).
+# Demoted to the tail: j5/j6/j7/j8 batch joins, the extras_* family,
+# q1/q5/q6 IQ, the pipeline trio's unchanged siblings, and the
+# t/a/w/j1-j4 core + 11 watermark s_* entries — all multi-round
+# driver-green on unchanged code.
 _FRONT = [
-    "pipeline_hash_split", "pipeline_shuffle_det", "corpus_ngram_topk",
-    "text_winnowing", "decontam_overlap",
-    "s_ktable_latest", "s_ktable_latest_bucketed",
-    "s_pk_join_incremental", "s_pk_join_bucketed",
+    "q3_range_scan",
+    "tpch_q1_pricing", "tpch_q3_top_revenue", "tpch_q4_priority",
+    "tpch_q5_local_revenue", "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume", "tpch_q10_returned_revenue",
+    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q18_large_orders",
+    "multimodal_meta", "multimodal_resize",
     "s_fk_join_incremental", "s_fk_join_bucketed",
     "s_fk_join_left_incremental",
-    "j5_table_join_inner", "j6_table_join_left_tombstone",
-    "j7_fk_join_left", "j8_fk_join_inner_agg",
+    "s_pk_join_incremental", "s_pk_join_bucketed",
+    "s_ktable_latest", "s_ktable_latest_bucketed",
+    "corpus_line_dedup", "corpus_line_scrub",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
     "dedup_simhash", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "sim_cosine_topk", "sim_lsh_ann_topk", "sim_ivf_topk",
     "embedding_dim_stats",
-    "sample_stratified", "pack_sequences",
     "text_stats", "text_language_id", "text_quality", "text_bpe_count",
-    "text_pii_scrub",
-    "text_gopher_repetition", "corpus_line_dedup", "corpus_line_scrub",
-    "extras_cube", "extras_salted_join", "extras_rollup",
-    "extras_semi_join", "extras_anti_join", "extras_topn_per_group",
-    "multimodal_frames",
-    "multimodal_features", "multimodal_bmp_decode",
-    "dedup_embedding_lsh",
+    "text_pii_scrub", "text_gopher_repetition", "text_winnowing",
+    "sample_stratified", "pack_sequences",
+    "pipeline_hash_split", "pipeline_shuffle_det", "corpus_ngram_topk",
+    "decontam_overlap",
+    "multimodal_frames", "multimodal_features", "multimodal_bmp_decode",
     "q1_point_lookup",
-    "q5_window_fetch_all", "q6_key_routing",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

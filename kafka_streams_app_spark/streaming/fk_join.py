@@ -300,7 +300,7 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
         right_cols: list[str],
         sub_schema: StructType,
         right_schema: StructType,
-        out_columns: list[str],
+        out_schema: StructType,
         how: str,
         fk_schema: StructType,
         fkpk_schema: StructType,
@@ -309,7 +309,10 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
         self.right_cols = right_cols
         self.sub_schema = sub_schema
         self.right_schema = right_schema
-        self.out_columns = out_columns
+        self.out_columns = [f.name for f in out_schema.fields]
+        # per-output-column Spark types drive the dense (native-dtype)
+        # emission path — see _pdnorm.dense_input/_fast_path
+        self._out_types = {f.name: f.dataType for f in out_schema.fields}
         self.how = how
         self.fk_schema = fk_schema
         self.fkpk_schema = fkpk_schema
@@ -365,9 +368,16 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
         left table emits only subscribes while its FKs are stable, the
         right side only upserts).
 
-        Two emission families, both built as numpy columns instead of
-        ~|output| Python tuples (the N:1 fan-out makes the OUTPUT the
-        dominant volume — 17x the input on the 1M-event smoke):
+        Two emission families, both built as NATIVE-dtype numpy /
+        pandas-extension columns (r7): the N:1 fan-out makes the OUTPUT
+        the dominant volume (17x the input on the 1M-event smoke), and
+        object-dtype output columns made the python->JVM Arrow crossing
+        pay per-cell conversion — 12.2 s per 17.3M decimal-shielded
+        long cells vs ~0 s native (measured; see _pdnorm.dense_input).
+        Input columns convert to (values, null-mask) pairs ONCE
+        (O(inputs)); every emission is then numpy takes over native
+        arrays, and each output column finalizes as float64 (NaN==null,
+        matching the object path) or an Integer/Boolean extension array.
 
         - subscribe rows: the joining right value is the most recent
           right row of the same fk (per-fk cummax over row pointers,
@@ -375,12 +385,24 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
           right state.
         - right rows: fan out to every pk subscribed AT THAT ROW. Per
           fk, a (rows+1) x pks matrix of 'latest in-batch sub ordinal'
-          is forward-filled with np.maximum.accumulate; taking its
-          right-row slices yields, for every (right row, pk) pair, the
-          sub whose payload joins (or the pre-batch snapshot payload) —
-          one numpy take per payload column, no per-pair Python.
+          is forward-filled with np.maximum.accumulate; its right-row
+          slices give, per (right row, pk) pair, the sub whose payload
+          joins (or the pre-batch snapshot payload). Pairs materialize
+          by np.nonzero(present) fancy-indexing — transient memory is
+          O(live pairs), never the unmasked rows x pks cross product.
         """
         import numpy as np
+
+        from kafka_streams_app_spark.streaming._pdnorm import (
+            dcol_concat,
+            dcol_finalize,
+            dcol_from_list,
+            dcol_in,
+            dcol_nullify,
+            dcol_state,
+            dcol_take,
+            dcol_where,
+        )
 
         left_join = self.how == "left"
         n = len(pdf)
@@ -393,36 +415,50 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
         rptr = pd.Series(np.where(is_right, idx, -1)).groupby(codes).cummax().to_numpy()
         r_state_present = np.array([s is not None for s in r_states])[codes]
         r_present = (rptr >= 0) | r_state_present
-        seq_arr = pdf["seq"].to_numpy(dtype=object)
-        minor_arr = pdf["minor"].to_numpy(dtype=object)
+        # object copies for state writes / python dict keys (O(inputs))
         pk_arr = pdf["pk"].to_numpy(dtype=object)
         l_arrs = {c: pdf[c].to_numpy(dtype=object) for c in self.left_cols}
         r_arrs = {c: pdf[c].to_numpy(dtype=object) for c in self.right_cols}
 
+        # dense/object dual representation of every output-bound column
+        # ((kind, values, mask) triples — see _pdnorm's dcol_* family);
+        # input conversions are O(inputs), emissions are numpy takes.
+        def in_col(src: str, out: str):
+            return dcol_in(pdf, src, self._out_types[out])
+
+        take, where, nullify = dcol_take, dcol_where, dcol_nullify
+        from_list, state_pairs, concat = dcol_from_list, dcol_state, dcol_concat
+
+        pk_col = in_col("pk", "pk")
+        seq_col = in_col("seq", "_seq")
+        minor_col = in_col("minor", "_minor")
+        l_cols = {c: in_col(c, c) for c in self.left_cols}
+        r_cols = {c: in_col(c, c) for c in self.right_cols}
+
         # --- subscribe emissions (bucket-wide, vectorized) ---
         emit_sub = ~is_right if left_join else (~is_right & r_present)
         blocks: list[dict] = []
-        order_keys: list[tuple] = []  # (row position, within-row ordinal)
         if emit_sub.any():
             blk = {
-                "pk": pk_arr[emit_sub],
-                **{c: l_arrs[c][emit_sub] for c in self.left_cols},
-                "_seq": seq_arr[emit_sub],
-                "_minor": minor_arr[emit_sub],
+                "pk": take(pk_col, emit_sub),
+                **{c: take(l_cols[c], emit_sub) for c in self.left_cols},
+                "_seq": take(seq_col, emit_sub),
+                "_minor": take(minor_col, emit_sub),
                 "_pos": idx[emit_sub],
                 "_ord": np.zeros(int(emit_sub.sum()), dtype=np.int64),
             }
+            rptr_pos = np.maximum(rptr, 0)
             for j, c in enumerate(self.right_cols):
-                own = r_arrs[c]
-                sv = np.array(
-                    [s[j] if s is not None else None for s in r_states],
-                    dtype=object,
-                )[codes]
-                vals = np.where(rptr >= 0, own[np.maximum(rptr, 0)], sv)
-                blk[c] = np.where(r_present, vals, None)[emit_sub]
+                own = r_cols[c]
+                sv_k, sv_v, sv_m = state_pairs(r_states, j, own[0])
+                sv = (sv_k, sv_v[codes],
+                      sv_m[codes] if sv_m is not None else None)
+                vals = where(rptr >= 0, take(own, rptr_pos), sv)
+                blk[c] = take(nullify(vals, ~r_present), emit_sub)
             blocks.append(blk)
 
         # --- right-row fan-out (per fk with right rows; numpy inside) ---
+        ords = np.empty(n, dtype=np.int64)
         for code in np.unique(codes[is_right]):
             g = idx[codes == code]  # this fk's rows, ascending (sorted)
             g_is_right = is_right[g]
@@ -447,57 +483,53 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
                 continue
             n_g = len(g)
             # ordinal of each group row within the group
-            ords = np.empty(n, dtype=np.int64)
             ords[g] = np.arange(n_g)
             # latest in-batch sub INDEX (into sub_rows) per (row, pk)
             M = np.full((n_g + 1, P), -1, dtype=np.int64)
             M[ords[sub_rows] + 1, sub_pkcodes] = np.arange(len(sub_rows))
             np.maximum.accumulate(M, axis=0, out=M)
             L = M[ords[right_rows] + 1]  # (r x P)
-            has_state = np.array(
-                [pk in snap for pk in pk_list], dtype=bool
-            )[None, :]
-            present = (L >= 0) | has_state
-            if not present.any():
+            has_state = np.array([pk in snap for pk in pk_list], dtype=bool)
+            present = (L >= 0) | has_state[None, :]
+            ri, pi = np.nonzero(present)  # live (right row, pk) pairs only
+            if len(ri) == 0:
                 continue
-            r_cnt = len(right_rows)
-            flat = present.ravel()
+            sel = L[ri, pi]  # sub index per pair; -1 = snapshot payload
+            use_sub = sel >= 0
+            sel_pos = np.maximum(sel, 0)
             blk = {
-                "pk": np.tile(np.array(pk_list, dtype=object), r_cnt)[flat],
-                "_seq": np.repeat(seq_arr[right_rows], P)[flat],
-                "_minor": np.repeat(minor_arr[right_rows], P)[flat],
-                "_pos": np.repeat(right_rows, P)[flat],
-                "_ord": np.tile(np.arange(P, dtype=np.int64), r_cnt)[flat],
+                "pk": take(from_list(pk_list, pk_col[0]), pi),
+                "_seq": take(take(seq_col, right_rows), ri),
+                "_minor": take(take(minor_col, right_rows), ri),
+                "_pos": right_rows[ri],
+                "_ord": pi.astype(np.int64),
             }
+            snap_tuples = [snap.get(pk) for pk in pk_list]
             for j, c in enumerate(self.left_cols):
-                own = l_arrs[c][sub_rows] if len(sub_rows) else np.empty(0, object)
-                sv = np.array(
-                    [snap[pk][j] if pk in snap else None for pk in pk_list],
-                    dtype=object,
-                )
-                vals = np.where(
-                    L >= 0,
-                    own[np.maximum(L, 0)] if len(sub_rows) else None,
-                    sv[None, :],
-                )
-                blk[c] = vals.ravel()[flat]
+                snap_col = take(
+                    state_pairs(snap_tuples, j, l_cols[c][0]), pi)
+                if len(sub_rows):
+                    own_pairs = take(take(l_cols[c], sub_rows), sel_pos)
+                    blk[c] = where(use_sub, own_pairs, snap_col)
+                else:
+                    blk[c] = snap_col
             for c in self.right_cols:
-                blk[c] = np.repeat(r_arrs[c][right_rows], P)[flat]
+                blk[c] = take(take(r_cols[c], right_rows), ri)
             blocks.append(blk)
 
         if blocks:
-            cat = {
-                k: np.concatenate([b[k] for b in blocks])
-                for k in blocks[0]
-            }
             # emission order of the per-record machine: triggering
             # record order, then subs-dict order within a fan-out
-            order = np.lexsort((cat["_ord"], cat["_pos"]))
-            data = {"pk": cat["pk"][order], "action": "upsert"}
-            for c in self.left_cols + self.right_cols:
-                data[c] = cat[c][order]
-            data["_seq"] = cat["_seq"][order]
-            data["_minor"] = cat["_minor"][order]
+            pos = np.concatenate([b["_pos"] for b in blocks])
+            ordn = np.concatenate([b["_ord"] for b in blocks])
+            order = np.lexsort((ordn, pos))
+            data = {}
+            for nm in self.out_columns:
+                if nm == "action":
+                    data[nm] = "upsert"
+                    continue
+                data[nm] = dcol_finalize(
+                    take(concat([b[nm] for b in blocks]), order))
             yield pd.DataFrame(data, columns=self.out_columns)
 
         # --- state mirror (Python per distinct key only) ---
@@ -512,10 +544,10 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
                 )
         rmax = pd.Series(np.where(is_right, idx, -1)).groupby(codes).max()
         for code, ufk in enumerate(ufks):
-            ri = int(rmax[code])
-            if ri >= 0:
+            last_r = int(rmax[code])
+            if last_r >= 0:
                 self.right.updateValue(
-                    (ufk,), pykey(r_arrs[c][ri] for c in self.right_cols)
+                    (ufk,), pykey(r_arrs[c][last_r] for c in self.right_cols)
                 )
 
     def _slow_path(
@@ -634,7 +666,7 @@ def _fk_join_plan(
         return unioned, proc, out_schema, ["fk"]
     proc = _FKJoinProcessorBucketed(
         left_value_cols, r_cols, sub_schema, right_state_schema,
-        out_columns, how,
+        out_schema, how,
         StructType([StructField("fk", fk_type)]),
         StructType([StructField("fk", fk_type), StructField("pk", pk_type)]),
     )

@@ -185,7 +185,7 @@ class _PKJoinProcessorBucketed(StatefulProcessor):
         right_cols: list[str],
         left_schema: StructType,
         right_schema: StructType,
-        out_columns: list[str],
+        out_schema: StructType,
         how: str,
     ) -> None:
         self.key_col = key_col
@@ -194,7 +194,10 @@ class _PKJoinProcessorBucketed(StatefulProcessor):
         self.right_cols = right_cols
         self.left_schema = left_schema
         self.right_schema = right_schema
-        self.out_columns = out_columns
+        self.out_columns = [f.name for f in out_schema.fields]
+        # per-output-column Spark types drive the dense (native-dtype)
+        # emission path — see _pdnorm.dense_input and fk_join._fast_path
+        self._out_types = {f.name: f.dataType for f in out_schema.fields}
         self.how = how
         # the key column is na.drop'd (never null-mixed, arrives exact);
         # LongType payloads are decimal-shielded — pin the rest
@@ -231,8 +234,24 @@ class _PKJoinProcessorBucketed(StatefulProcessor):
         sides interleave, the fill runs on row POINTERS (per-key cummax
         of each side's row index), then one numpy take per payload
         column resolves values; Python touches only per-distinct-key
-        state lookups/writes, never per record."""
+        state lookups/writes, never per record.
+
+        Output columns are NATIVE-dtype (r7, same treatment as
+        fk_join._fast_path): object/Decimal cells made the python->JVM
+        Arrow crossing pay per-cell conversion — see
+        _pdnorm.dense_input. Inputs convert once (O(inputs)); emissions
+        are numpy takes; columns finalize as float64 / Integer /
+        Boolean extension arrays with exact null parity."""
         import numpy as np
+
+        from kafka_streams_app_spark.streaming._pdnorm import (
+            dcol_finalize,
+            dcol_in,
+            dcol_nullify,
+            dcol_state,
+            dcol_take,
+            dcol_where,
+        )
 
         n = len(pdf)
         left_join = self.how == "left"
@@ -254,30 +273,33 @@ class _PKJoinProcessorBucketed(StatefulProcessor):
         # left present (exactly _pk_apply's all-upsert branches)
         emit = np.where(side_l, left_join | r_present, l_present)
 
-        def resolve(cols_names, states, ptr, state_present, j_present):
+        def resolve(cols_names, states, ptr, j_present):
+            ptr_pos = np.maximum(ptr, 0)
             resolved = {}
             for j, c in enumerate(cols_names):
-                own = pdf[c].to_numpy(dtype=object)
-                sv = np.array(
-                    [s[j] if s is not None else None for s in states],
-                    dtype=object,
-                )[codes]
-                vals = np.where(ptr >= 0, own[np.maximum(ptr, 0)], sv)
-                resolved[c] = np.where(j_present, vals, None)
+                own = dcol_in(pdf, c, self._out_types[c])
+                sk, sv, sm = dcol_state(states, j, own[0])
+                sv_codes = (sk, sv[codes], sm[codes] if sm is not None else None)
+                vals = dcol_where(ptr >= 0, dcol_take(own, ptr_pos), sv_codes)
+                resolved[c] = dcol_nullify(vals, ~j_present)
             return resolved
 
-        res_l = resolve(self.left_cols, l_states, lptr, l_state_present, l_present)
-        res_r = resolve(self.right_cols, r_states, rptr, r_state_present, r_present)
+        res_l = resolve(self.left_cols, l_states, lptr, l_present)
+        res_r = resolve(self.right_cols, r_states, rptr, r_present)
         if emit.any():
+            key_out = self.out_columns[0]
             cols: dict[str, object] = {
-                self.out_columns[0]: pdf[self.key_col].to_numpy(dtype=object)[emit],
+                key_out: dcol_finalize(
+                    dcol_take(dcol_in(pdf, self.key_col, self._out_types[key_out]),
+                              emit)),
                 "action": "upsert",
             }
             for c in self.left_cols:
-                cols[c] = res_l[c][emit]
+                cols[c] = dcol_finalize(dcol_take(res_l[c], emit))
             for c in self.right_cols:
-                cols[c] = res_r[c][emit]
-            cols["_seq"] = pdf["seq"].to_numpy(dtype=object)[emit]
+                cols[c] = dcol_finalize(dcol_take(res_r[c], emit))
+            cols["_seq"] = dcol_finalize(
+                dcol_take(dcol_in(pdf, "seq", self._out_types["_seq"]), emit))
             yield pd.DataFrame(cols, columns=self.out_columns)
         # state: each key's LAST row per side wins (Python per distinct
         # key only)
@@ -392,7 +414,7 @@ def _pk_join_plan(
     key_schema = StructType([StructField(key, l_schema[key].dataType, True)])
     proc = _PKJoinProcessorBucketed(
         key, key_schema, left_payload, right_payload, left_state,
-        right_state, out_columns, how,
+        right_state, out_schema, how,
     )
     unioned = unioned.withColumn(
         "_pkj_bucket", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
