@@ -1170,6 +1170,54 @@ def _q_s_ktable_latest_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s_windowed_join_ktime(spark: SparkSession, sf: str) -> DataFrame:
+    """W8 CLOSED: stream-stream windowed inner join under Kafka's
+    PER-TOPIC stream time (streaming/windowed_join_ktime.py; reference
+    worked example WindowedJoin.scala:14-22) — the one behavior Spark's
+    global watermark diverges from. Arrival order = event time plus a
+    deterministic 0-105 min per-record delay (Knuth multiplicative
+    jitter), so some records arrive after their partner topic's stream
+    time moved on: at sf0.01, 71 of the plain window join's 76 pairs
+    survive partner-store expiry, and late records still join while
+    the partner topic's stream time lags. The oracle replays the same
+    arrival order with running per-side MAX window functions.
+    n_buckets=1 = the reference's single-partition TopologyTestDriver;
+    at scale n_buckets = the topic's partition count (stream time is
+    per partition in Kafka too)."""
+    from kafka_streams_app_spark.streaming.windowed_join_ktime import (
+        windowed_join_per_topic_time_batch,
+        windowed_join_per_topic_time_stream,
+    )
+
+    use_tws = tws_available(spark)
+    ev = (load_stream if use_tws else load_table)(spark, sf, "events")
+    delay = (
+        (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296) % 8 * 900
+    )
+    base = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("key"),
+        F.unix_seconds("ts").alias("ts_s"),
+        ((F.unix_seconds("ts") + delay) * F.lit(1048576)
+         + F.col("event_id") % F.lit(1048576)).alias("seq"),
+        "event_type", "value",
+    )
+    left = base.filter(F.col("event_type") == "view").select(
+        "key", "ts_s", "seq", "value"
+    )
+    right = base.filter(F.col("event_type") == "click").select(
+        "key", "ts_s", "seq", "value"
+    )
+    kwargs = dict(
+        key="key", ts="ts_s", seq="seq",
+        left_payload=["value"], right_payload=["value"],
+        before_s=3600, after_s=3600, n_buckets=1,
+    )
+    if use_tws:
+        join = windowed_join_per_topic_time_stream(left, right, **kwargs)
+        return run_available_now(spark, join, _sink(), "update")
+    return windowed_join_per_topic_time_batch(left, right, **kwargs)
+
+
 def _q_s_pk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """J5 INCREMENTAL: KTable⋈KTable PK join as a stateful changelog
     operator over the raw view/click event changelogs; the end state
@@ -2395,6 +2443,52 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1
     """),
+    "s_windowed_join_ktime": (_q_s_windowed_join_ktime, """
+        WITH base AS (
+          SELECT user_id AS key,
+                 CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+                 event_id, value, event_type,
+                 ((event_id * 2654435761) % 4294967296) % 8 * 900 AS delay
+          FROM events WHERE event_type IN ('view', 'click')
+        ), seqd AS (
+          SELECT *, (ts_s + delay) * 1048576 + (event_id % 1048576) AS seq
+          FROM base
+        ), l AS (
+          SELECT key, ts_s AS lts, seq AS lseq, value AS lval
+          FROM seqd WHERE event_type = 'view'
+        ), r AS (
+          SELECT key, ts_s AS rts, seq AS rseq, value AS rval
+          FROM seqd WHERE event_type = 'click'
+        ), ev AS (
+          SELECT 'l' AS side, lts AS ts, lseq AS seq FROM l
+          UNION ALL SELECT 'r', rts, rseq FROM r
+        ), st AS (
+          -- per-topic stream time at each arrival: running MAX of each
+          -- side's event time over the global arrival order
+          SELECT seq,
+            MAX(CASE WHEN side = 'l' THEN ts END)
+              OVER (ORDER BY seq ROWS UNBOUNDED PRECEDING) AS st_l,
+            MAX(CASE WHEN side = 'r' THEN ts END)
+              OVER (ORDER BY seq ROWS UNBOUNDED PRECEDING) AS st_r
+          FROM ev
+        ), pairs AS (
+          SELECT l.key, lval AS l_value, rval AS r_value,
+                 lts AS l_ts, rts AS r_ts, lseq AS l_seq, rseq AS r_seq,
+                 GREATEST(lseq, rseq) AS probe_seq,
+                 CASE WHEN lseq < rseq THEN 'l' ELSE 'r' END AS buffered
+          FROM l JOIN r ON l.key = r.key
+          WHERE rts BETWEEN lts - 3600 AND lts + 3600
+        )
+        -- a pair exists iff at the later record's arrival the earlier
+        -- one is still inside ITS OWN topic's store retention
+        -- (stream_time - (before+after) <= ts, WindowedJoin.scala:15)
+        SELECT p.key, p.l_value, p.r_value, p.l_ts, p.r_ts,
+               p.l_seq, p.r_seq
+        FROM pairs p JOIN st ON st.seq = p.probe_seq
+        WHERE CASE WHEN p.buffered = 'l'
+              THEN p.l_ts >= st.st_l - 7200
+              ELSE p.r_ts >= st.st_r - 7200 END
+    """),
     "s_pk_join_incremental": (_q_s_pk_join_incremental, """
         WITH v AS (
           SELECT user_id, event_id AS v_event_id FROM (
@@ -2621,6 +2715,7 @@ _FRONT = [
     "s_fk_join_left_incremental",
     "s_pk_join_incremental", "s_pk_join_bucketed",
     "s_ktable_latest", "s_ktable_latest_bucketed",
+    "s_windowed_join_ktime",
     "corpus_line_dedup", "corpus_line_scrub",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
     "dedup_simhash", "dedup_clusters", "dedup_embedding_cosine",
@@ -2633,7 +2728,6 @@ _FRONT = [
     "pipeline_hash_split", "pipeline_shuffle_det", "corpus_ngram_topk",
     "decontam_overlap",
     "multimodal_frames", "multimodal_features", "multimodal_bmp_decode",
-    "q1_point_lookup",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -14,7 +14,8 @@ Mapping from the reference's window/emit surface to Structured Streaming:
   (WindowedGroupAtClose.scala:33, TopologiesTest.scala:294-333)
 - W7 emit-on-update        -> UPDATE output mode: every micro-batch emits
   the windows it touched (WindowedGrouping.scala:59, commit interval 0)
-- W8 stream time           -> the watermark. Deliberate delta: Kafka
+- W8 stream time           -> the watermark here. Kafka-exact
+  per-topic stream time lives in windowed_join_ktime.py. Delta: Kafka
   tracks stream time PER INPUT TOPIC and advances per record
   (/root/reference/src/main/scala/com/ayoubom/kafka/apps/WindowedJoin.scala:14-22);
   Spark's watermark is global per query and advances at micro-batch
