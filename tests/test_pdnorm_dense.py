@@ -151,3 +151,59 @@ def test_from_list_all_null_and_empty(kind, pa_type):
     assert arrow_cells(dcol_finalize(dcol_from_list([None, None], kind)),
                        pa_type) == [None, None]
     assert arrow_cells(dcol_finalize(dcol_from_list([], kind)), pa_type) == []
+
+
+def test_fk_fast_path_emits_dense_dtypes():
+    """Regression pin for the r7 crossing fix: the bucketed FK fast
+    path must yield native/extension-dtype columns, never object, for
+    integral/floating payloads (an object column here silently
+    reintroduces the 12s-per-17M-cells Arrow conversion)."""
+    import decimal
+
+    from pyspark.sql.types import StructField, StructType
+
+    from kafka_streams_app_spark.streaming.fk_join import (
+        _FKJoinProcessorBucketed,
+    )
+    from kafka_streams_app_spark.streaming.replay import _HandleShim
+
+    sub_schema = StructType([StructField("value", DoubleType())])
+    right_schema = StructType([StructField("rvalue", DoubleType())])
+    out_schema = StructType([
+        StructField("pk", LongType()), StructField("action", StringType()),
+        StructField("value", DoubleType()),
+        StructField("r_rvalue", DoubleType()),
+        StructField("_seq", LongType()), StructField("_minor", LongType()),
+    ])
+    proc = _FKJoinProcessorBucketed(
+        ["value"], ["r_rvalue"], sub_schema, right_schema, out_schema,
+        "inner",
+        StructType([StructField("fk", StringType())]),
+        StructType([StructField("fk", StringType()),
+                    StructField("pk", LongType())]),
+    )
+    proc.init(_HandleShim())
+    # sub then right upsert for one fk — exercises both emission blocks;
+    # pk is decimal-shielded long (object-of-Decimal, as off the wire)
+    pdf = pd.DataFrame({
+        "fk": ["f", "f"],
+        "kind": ["sub", "right"],
+        "pk": pd.Series([decimal.Decimal(BIG), None], dtype=object),
+        "value": [0.5, None],
+        "seq": np.array([1, 2], dtype=np.int64),
+        "minor": np.array([1, 2], dtype=np.int64),
+        "r_rvalue": [None, 7.5],
+        "right_is_delete": [False, False],
+    })
+    frames = list(proc.handleInputRows(("b",), iter([pdf]), None))
+    assert len(frames) == 1
+    out = frames[0]
+    assert str(out["pk"].dtype) == "Int64", out.dtypes
+    assert out["value"].dtype == np.float64
+    assert out["r_rvalue"].dtype == np.float64
+    assert str(out["_seq"].dtype) == "Int64"
+    # and the cells are right: sub emits nothing (inner, right absent),
+    # right upsert fans out to the subscribed pk exactly
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (BIG, "upsert", 0.5, 7.5, 2, 2)
+    ]
