@@ -691,6 +691,18 @@ def _chunked_lines_view(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", chunked.alias("text"))
 
 
+def _q_corpus_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window document chunking (operators/pipeline.py:
+    chunk_documents): 64-token windows, 8 tokens of overlap carried
+    between consecutive chunks — the pre-tokenization step that turns
+    variable-length documents into model-window-sized examples
+    (pack_sequences is the inverse direction). split + sequence +
+    explode inside the scan stage: zero shuffle, zero Python."""
+    return pipeline.chunk_documents(
+        load_table(spark, sf, "documents"), max_tokens=64, overlap=8
+    )
+
+
 def _q_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet/C4-style line-level boilerplate detection: lines repeated
     across >= 2 documents (operators/pipeline.py:boilerplate_lines) —
@@ -2037,6 +2049,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         JOIN big b ON t.doc_id = b.doc_id
         JOIN lns l ON t.doc_id = l.doc_id
     """),
+    "corpus_chunk": (_q_corpus_chunk, """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), sized AS (
+          SELECT doc_id, t,
+                 GREATEST(1, CAST(CEIL((len(t) - 8) / 56.0) AS BIGINT)) AS nc
+          FROM toks
+        ), chunks AS (
+          SELECT doc_id, t, UNNEST(generate_series(0, nc - 1)) AS chunk_id
+          FROM sized
+        )
+        SELECT doc_id, chunk_id,
+               CAST(len(t[chunk_id * 56 + 1 : chunk_id * 56 + 64]) AS BIGINT)
+                 AS n_chunk_tokens,
+               array_to_string(t[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')
+                 AS chunk_text
+        FROM chunks
+    """),
     "corpus_line_dedup": (_q_corpus_line_dedup, "WITH " + _TOKS + r""",
         chunks AS (
           SELECT doc_id,
@@ -2726,7 +2759,7 @@ _FRONT = [
     "text_pii_scrub", "text_gopher_repetition", "text_winnowing",
     "sample_stratified", "pack_sequences",
     "pipeline_hash_split", "pipeline_shuffle_det", "corpus_ngram_topk",
-    "decontam_overlap",
+    "corpus_chunk",
     "multimodal_frames", "multimodal_features", "multimodal_bmp_decode",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))

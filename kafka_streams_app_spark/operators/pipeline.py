@@ -380,3 +380,59 @@ def pack_sequences(
         .withColumn("bin_offset", (F.col("_start") % capacity).cast("long"))
         .drop("_start")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Token-window document chunking: split each document into
+    whitespace-token windows of `max_tokens` with `overlap` tokens of
+    context carried between consecutive chunks (stride = max_tokens -
+    overlap) — the standard pre-tokenization step that turns
+    variable-length documents into model-window-sized training
+    examples (pack_sequences is the inverse direction: it concatenates
+    short ones).
+
+    Plan: split + sequence + explode, all inside the scan stage — zero
+    shuffle, zero Python; each chunk's text reassembles with
+    single-space joins so the output is engine-portable (the DuckDB
+    oracle replays it exactly). An empty/whitespace-only document
+    yields one empty chunk (chunk_id 0, n_chunk_tokens 0) so no doc_id
+    silently disappears from the corpus.
+
+    Output: id_col, chunk_id, n_chunk_tokens, chunk_text.
+    """
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
+        )
+    stride = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc")
+    )
+    chunk = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        "_toks",
+    )
+    window = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens
+    )
+    return chunk.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

@@ -473,3 +473,73 @@ def test_repetition_signals_random_vs_python_reference(spark):
     }
     for i, text in docs:
         assert got[i] == ref(text), f"doc {i}: {text!r}"
+
+
+class TestChunkDocuments:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_overlap_and_coverage(self, spark):
+        words = " ".join(f"w{i}" for i in range(150))
+        out = sorted(
+            (r["chunk_id"], r["chunk_text"])
+            for r in pipeline.chunk_documents(
+                self._docs(spark, [(1, words)]), max_tokens=64, overlap=8
+            ).collect()
+        )
+        # ceil((150-8)/56) = 3 chunks at starts 0, 56, 112
+        assert [c for c, _ in out] == [0, 1, 2]
+        chunks = [t.split(" ") for _, t in out]
+        assert chunks[0] == [f"w{i}" for i in range(64)]
+        assert chunks[1] == [f"w{i}" for i in range(56, 120)]
+        assert chunks[2] == [f"w{i}" for i in range(112, 150)]
+        # consecutive chunks share exactly `overlap` tokens
+        assert chunks[0][-8:] == chunks[1][:8]
+        # every token is covered
+        assert set().union(*map(set, chunks)) == {f"w{i}" for i in range(150)}
+
+    def test_short_and_empty_docs_keep_one_chunk(self, spark):
+        out = {
+            (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+            for r in pipeline.chunk_documents(
+                self._docs(spark, [(1, "a b"), (2, "   "), (3, None)]),
+                max_tokens=64, overlap=8,
+            ).collect()
+        }
+        assert out == {
+            (1, 0): (2, "a b"),
+            (2, 0): (0, ""),   # whitespace-only: one empty chunk
+            (3, 0): (0, ""),   # null text: same — no doc_id disappears
+        }
+
+    def test_bad_overlap_rejected(self, spark):
+        docs = self._docs(spark, [(1, "a")])
+        with pytest.raises(ValueError):
+            pipeline.chunk_documents(docs, max_tokens=8, overlap=8)
+        with pytest.raises(ValueError):
+            pipeline.chunk_documents(docs, max_tokens=8, overlap=-1)
+
+    def test_matches_python_reference_random(self, spark):
+        import random
+
+        rng = random.Random(777)
+        rows = [
+            (i, " ".join(f"t{rng.randrange(50)}"
+                         for _ in range(rng.randrange(0, 200))))
+            for i in range(30)
+        ]
+        got = sorted(
+            tuple(r)
+            for r in pipeline.chunk_documents(
+                self._docs(spark, rows), max_tokens=32, overlap=4
+            ).collect()
+        )
+        want = []
+        stride = 28
+        for i, text in rows:
+            toks = [t for t in text.split(" ") if t]
+            nc = max(1, -(-(len(toks) - 4) // stride))
+            for c in range(nc):
+                w = toks[c * stride:c * stride + 32]
+                want.append((i, c, len(w), " ".join(w)))
+        assert got == sorted(want)

@@ -70,3 +70,12 @@ def test_containment_no_rowwise_python(spark):
     # shingling is the sanctioned Arrow boundary; everything after is JVM
     assert r["python_evals"] >= 1
     assert r["shuffle_joins"] + r["broadcast_joins"] >= 1
+
+
+def test_chunk_documents_scan_stage_only(spark):
+    """r7 corpus_chunk: split + sequence + explode must all live in the
+    scan stage — zero shuffle, zero Python (the claim the operator's
+    docstring makes)."""
+    r = plan_report(pipeline.chunk_documents(_docs(spark)))
+    assert r["exchanges"] == 0 and r["python_evals"] == 0
+    assert r["rowwise_python"] == 0
