@@ -52,6 +52,7 @@ QUERIES = [
     "corpus_line_dedup",     # chunk-line explode + hash agg (r6 op)
     "text_gopher_repetition",  # scan-stage list exprs, zero shuffle
     "embedding_dim_stats",   # posexplode + per-dim agg over embeddings
+    "corpus_chunk",          # split+sequence+explode, scan stage (r7 op)
 ]
 
 ID_SHIFT = 1_000_000_000
