@@ -114,3 +114,28 @@ def test_pipeline_ops_on_empty(spark, empty_docs):
     packed = pipeline.pack_sequences(sized, "lang", "doc_id", "n", 512)
     assert packed.count() == 0
     assert {"bin_id", "bin_offset", "shard"} <= set(packed.columns)
+
+
+def test_chunk_and_ktime_join_on_empty(spark, empty_docs):
+    """r7 ops: an empty corpus yields zero chunks with the right
+    columns; the per-topic-time join handles an empty side and two
+    empty sides without error."""
+    from kafka_streams_app_spark.streaming.windowed_join_ktime import (
+        windowed_join_per_topic_time_batch,
+    )
+
+    chunks = pipeline.chunk_documents(empty_docs)
+    assert chunks.count() == 0
+    assert list(chunks.columns) == [
+        "doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"
+    ]
+
+    schema = "key string, ts_s long, seq long, v long"
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([("k", 5, 1, 10)], schema)
+    kwargs = dict(key="key", ts="ts_s", seq="seq",
+                  left_payload=["v"], right_payload=["v"],
+                  before_s=10, after_s=10)
+    assert windowed_join_per_topic_time_batch(one, empty, **kwargs).count() == 0
+    assert windowed_join_per_topic_time_batch(empty, one, **kwargs).count() == 0
+    assert windowed_join_per_topic_time_batch(empty, empty, **kwargs).count() == 0
