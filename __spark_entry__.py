@@ -703,6 +703,18 @@ def _q_corpus_chunk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-5 characteristic terms by the integer-exact
+    TF-IDF-flavored score (operators/pipeline.py:tfidf_topk — rational
+    idf 1/(df+1) in fixed point; the log-idf swap is a one-liner where
+    cross-engine hash equality is not needed). max_df_ratio=0.95
+    because the synthetic corpus draws from a ~31-term vocabulary in
+    which almost every term crosses the classic 0.5 stopword bar."""
+    return pipeline.tfidf_topk(
+        load_table(spark, sf, "documents"), k=5, max_df_ratio=0.95
+    )
+
+
 def _q_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet/C4-style line-level boilerplate detection: lines repeated
     across >= 2 documents (operators/pipeline.py:boilerplate_lines) —
@@ -2049,6 +2061,31 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         JOIN big b ON t.doc_id = b.doc_id
         JOIN lns l ON t.doc_id = l.doc_id
     """),
+    "text_tfidf_topk": (_q_text_tfidf_topk, """
+        WITH toks AS (
+          SELECT doc_id, UNNEST(list_filter(
+                   string_split_regex(lower(COALESCE(text, '')), '\\W+'),
+                   t -> t <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ), dfq AS (
+          SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+                 CAST(FLOOR(tf.tf * 1000000 / (dfq.doc_freq + 1)) AS BIGINT)
+                   AS score
+          FROM tf JOIN dfq USING (term), n
+          WHERE dfq.doc_freq <= FLOOR(n.n_docs * 0.95)
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf, doc_freq, score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """),
     "corpus_chunk": (_q_corpus_chunk, """
         WITH toks AS (
           SELECT doc_id,
@@ -2758,7 +2795,7 @@ _FRONT = [
     "text_stats", "text_language_id", "text_quality", "text_bpe_count",
     "text_pii_scrub", "text_gopher_repetition", "text_winnowing",
     "sample_stratified", "pack_sequences",
-    "pipeline_hash_split", "pipeline_shuffle_det", "corpus_ngram_topk",
+    "pipeline_hash_split", "text_tfidf_topk", "corpus_ngram_topk",
     "corpus_chunk",
     "multimodal_frames", "multimodal_features", "multimodal_bmp_decode",
 ]

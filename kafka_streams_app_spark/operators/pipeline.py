@@ -436,3 +436,62 @@ def chunk_documents(
         F.size(window).cast("long").alias("n_chunk_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by a TF-IDF-flavored
+    score — the keyword-extraction stage of a corpus analysis pipeline
+    (topic drift monitoring, per-source vocabularies, near-dup triage).
+
+    Scoring: score = floor(tf * 1e6 / (doc_freq + 1)), i.e. idf as the
+    exact rational 1/(df+1) in fixed point instead of log((N+1)/(df+1)).
+    Chosen deliberately: the rational form is INTEGER-EXACT, so the
+    ranking is bit-identical across engines (the DuckDB oracle replays
+    it); a log idf differs only by a monotone-in-df reweighting and is
+    a one-line swap where cross-engine hash equality is not required.
+    Terms appearing in more than max_df_ratio of documents are dropped
+    (the classic stopword guard, computed from the corpus itself).
+
+    Plan: explode tokens (scan stage) -> per-(doc, term) count
+    [map-side-combined shuffle] -> per-term doc_freq [map-side-combined
+    shuffle on the term] -> one-row corpus size broadcast-joined ->
+    per-doc window top-k (ties broken by term for determinism). The
+    only per-doc state is k rows; no collect, no global sort.
+    """
+    from kafka_streams_app_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("_n_docs")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .filter(F.col("doc_freq") <= F.floor(F.col("_n_docs") * max_df_ratio))
+        .withColumn(
+            "score",
+            F.floor(F.col("tf") * F.lit(1_000_000) / (F.col("doc_freq") + 1))
+            .cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "score",
+                F.col("rank").cast("long").alias("rank"))
+    )

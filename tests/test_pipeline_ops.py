@@ -543,3 +543,75 @@ class TestChunkDocuments:
                 w = toks[c * stride:c * stride + 32]
                 want.append((i, c, len(w), " ".join(w)))
         assert got == sorted(want)
+
+
+class TestTfidfTopk:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple banana cherry"),
+                (2, "banana cherry cherry"),
+                (3, "apple date"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_id"], r["term"]): (r["tf"], r["doc_freq"], r["score"], r["rank"])
+            for r in pipeline.tfidf_topk(docs, k=2, max_df_ratio=1.0).collect()
+        }
+        # doc_freq: apple 2, banana 2, cherry 2, date 1
+        # doc1: apple tf2 -> 2e6/3=666666; banana tf1 -> 333333; cherry 333333
+        assert out[(1, "apple")] == (2, 2, 666666, 1)
+        assert out[(1, "banana")] == (1, 2, 333333, 2)  # term tiebreak
+        # doc2: cherry tf2 666666 rank1; banana 333333 rank2
+        assert out[(2, "cherry")] == (2, 2, 666666, 1)
+        # doc3: date df1 -> 1e6/2=500000 beats apple 333333
+        assert out[(3, "date")] == (1, 1, 500000, 1)
+        assert out[(3, "apple")] == (1, 2, 333333, 2)
+        assert all(v[3] <= 2 for v in out.values())
+
+    def test_max_df_drops_corpus_wide_terms(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"the w{i}") for i in range(10)], "doc_id long, text string"
+        )
+        out = pipeline.tfidf_topk(docs, k=5, max_df_ratio=0.5).collect()
+        assert all(r["term"] != "the" for r in out)   # df=10 > 5
+        assert len(out) == 10                          # each unique w_i kept
+
+    def test_matches_python_reference_random(self, spark):
+        import math
+        import random
+
+        rng = random.Random(41)
+        rows = [
+            (i, " ".join(f"t{rng.randrange(12)}" for _ in range(rng.randrange(1, 30))))
+            for i in range(40)
+        ]
+        got = sorted(
+            tuple(r)
+            for r in pipeline.tfidf_topk(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                k=3, max_df_ratio=0.8,
+            ).collect()
+        )
+        tf, dfreq = {}, {}
+        for i, text in rows:
+            counts = {}
+            for t in text.split():
+                counts[t] = counts.get(t, 0) + 1
+            tf[i] = counts
+            for t in counts:
+                dfreq[t] = dfreq.get(t, 0) + 1
+        want = []
+        cap = math.floor(len(rows) * 0.8)
+        for i, counts in tf.items():
+            scored = sorted(
+                (
+                    (-(c * 1_000_000 // (dfreq[t] + 1))), t, c, dfreq[t]
+                )
+                for t, c in counts.items()
+                if dfreq[t] <= cap
+            )
+            for rank, (neg, t, c, dfc) in enumerate(scored[:3], 1):
+                want.append((i, t, c, dfc, -neg, rank))
+        assert got == sorted(want)

@@ -79,3 +79,11 @@ def test_chunk_documents_scan_stage_only(spark):
     r = plan_report(pipeline.chunk_documents(_docs(spark)))
     assert r["exchanges"] == 0 and r["python_evals"] == 0
     assert r["rowwise_python"] == 0
+
+
+def test_tfidf_topk_no_rowwise_python_and_broadcast_n(spark):
+    """r7 text_tfidf_topk: pure JVM plan — the corpus-size side joins
+    as a broadcast, no Python anywhere."""
+    r = plan_report(pipeline.tfidf_topk(_docs(spark)))
+    assert r["python_evals"] == 0 and r["rowwise_python"] == 0
+    assert r["broadcast_joins"] >= 1
