@@ -715,6 +715,23 @@ def _q_text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_decontam_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring span decontamination (operators/pipeline.py:
+    decontaminate_exact): benchmark spans (40-char slices of every
+    20th document — guaranteed verbatim hits) broadcast against the
+    corpus; per-doc count of distinct spans contained. The companion
+    of decontam_overlap's 8-gram token check — published pipelines
+    run both."""
+    docs = load_table(spark, sf, "documents")
+    spans = docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.length("text") >= 60)
+    ).select(
+        F.col("doc_id").alias("span_id"),
+        F.substring("text", 11, 40).alias("span"),
+    )
+    return pipeline.decontaminate_exact(docs, spans)
+
+
 def _q_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet/C4-style line-level boilerplate detection: lines repeated
     across >= 2 documents (operators/pipeline.py:boilerplate_lines) —
@@ -2086,6 +2103,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT doc_id, term, tf, doc_freq, score, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5
     """),
+    "decontam_exact": (_q_decontam_exact, """
+        WITH spans AS (
+          SELECT doc_id AS span_id, substring(text, 11, 40) AS span
+          FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 60
+        ), sp AS (
+          SELECT DISTINCT span_id, span FROM spans WHERE length(span) > 0
+        )
+        SELECT d.doc_id, COUNT(DISTINCT sp.span_id) AS n_spans_hit
+        FROM documents d JOIN sp ON position(sp.span IN d.text) > 0
+        GROUP BY d.doc_id
+    """),
     "corpus_chunk": (_q_corpus_chunk, """
         WITH toks AS (
           SELECT doc_id,
@@ -2795,7 +2823,7 @@ _FRONT = [
     "text_stats", "text_language_id", "text_quality", "text_bpe_count",
     "text_pii_scrub", "text_gopher_repetition", "text_winnowing",
     "sample_stratified", "pack_sequences",
-    "pipeline_hash_split", "text_tfidf_topk", "corpus_ngram_topk",
+    "pipeline_hash_split", "text_tfidf_topk", "decontam_exact",
     "corpus_chunk",
     "multimodal_frames", "multimodal_features", "multimodal_bmp_decode",
 ]

@@ -495,3 +495,43 @@ def tfidf_topk(
         .select(id_col, "term", "tf", "doc_freq", "score",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def decontaminate_exact(
+    corpus: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_col: str = "span",
+    span_id_col: str = "span_id",
+) -> DataFrame:
+    """Exact-substring decontamination: for every corpus document that
+    contains at least one benchmark SPAN verbatim, report
+    (id, n_spans_hit) — the companion check to the token-shingle
+    overlap in `decontaminate` (published decontamination pipelines run
+    both: n-gram overlap catches near-verbatim leakage, exact spans
+    catch short high-value strings like answer keys that an 8-gram
+    window can miss).
+
+    Plan: the span list is benchmark-sized (eval sets), so it
+    broadcasts; `contains` is a non-equi predicate, so the join is a
+    broadcast nested-loop — each corpus partition scans its documents
+    once against the in-memory span list, no shuffle of document text;
+    only (id, span_id) hits reach the aggregation. Scale note: at very
+    large span counts the optimized path is a multi-pattern matcher
+    (Aho-Corasick) in an Arrow-batched UDF — the O(docs x spans)
+    Column form here is the right trade while spans stay eval-sized
+    (10^3-10^5), and it keeps the operator fully JVM-side.
+    Empty spans are excluded (they would match every document).
+    """
+    sp = spans.select(
+        F.col(span_id_col).alias("_sid"), F.col(span_col).alias("_span")
+    ).filter(F.length("_span") > 0).distinct()
+    hits = corpus.select(
+        F.col(id_col), F.col(text_col).alias("_text")
+    ).join(
+        F.broadcast(sp), F.col("_text").contains(F.col("_span"))
+    )
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("_sid").alias("n_spans_hit")
+    )

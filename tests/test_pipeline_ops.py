@@ -615,3 +615,33 @@ class TestTfidfTopk:
             for rank, (neg, t, c, dfc) in enumerate(scored[:3], 1):
                 want.append((i, t, c, dfc, -neg, rank))
         assert got == sorted(want)
+
+
+class TestDecontaminateExact:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),
+                (2, "a quick brown dog"),
+                (3, "nothing to see here"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = spark.createDataFrame(
+            [(10, "quick brown"), (11, "fox"), (12, ""), (13, "zebra")],
+            "span_id long, span string",
+        )
+        out = {
+            r["doc_id"]: r["n_spans_hit"]
+            for r in pipeline.decontaminate_exact(docs, spans).collect()
+        }
+        # empty span excluded; doc1 hits both, doc2 one, doc3 none
+        assert out == {1: 2, 2: 1}
+
+    def test_duplicate_spans_counted_once(self, spark):
+        docs = spark.createDataFrame([(1, "xyz abc")], "doc_id long, text string")
+        spans = spark.createDataFrame(
+            [(10, "abc"), (10, "abc"), (11, "abc")], "span_id long, span string"
+        )
+        out = pipeline.decontaminate_exact(docs, spans).collect()
+        assert [(r["doc_id"], r["n_spans_hit"]) for r in out] == [(1, 2)]

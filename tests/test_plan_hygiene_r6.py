@@ -87,3 +87,14 @@ def test_tfidf_topk_no_rowwise_python_and_broadcast_n(spark):
     r = plan_report(pipeline.tfidf_topk(_docs(spark)))
     assert r["python_evals"] == 0 and r["rowwise_python"] == 0
     assert r["broadcast_joins"] >= 1
+
+
+def test_decontaminate_exact_broadcasts_spans(spark):
+    """r7 decontam_exact: span side must broadcast (nested-loop, no
+    shuffle of document text), no Python anywhere."""
+    spans = _docs(spark).limit(5).select(
+        F.col("doc_id").alias("span_id"),
+        F.substring("text", 1, 20).alias("span"),
+    )
+    r = plan_report(pipeline.decontaminate_exact(_docs(spark), spans))
+    assert r["python_evals"] == 0 and r["rowwise_python"] == 0
