@@ -150,6 +150,38 @@ def _winnowing_md5_sql(k: int = 5, window: int = 4, p: int = (1 << 31) - 1) -> s
     """
 
 
+def _winnowing_pairs_md5_sql(
+    k: int = 5, window: int = 4, p: int = (1 << 31) - 1,
+    min_shared: int = 2, max_df: int = 50,
+) -> str:
+    """DuckDB twin of dedup_winnowing(hash_fn='md5'): the
+    _winnowing_md5_sql fingerprint CTEs extended to the posting-list
+    self-join with the hot-fingerprint cap."""
+    return f"""
+    WITH {_TOKS},
+    h AS (SELECT doc_id, [{_h60('x')} % {p} FOR x IN t] AS hs FROM toks),
+    g AS (SELECT doc_id,
+                 [list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+{k - 1}]),
+                              (a, b) -> (a * 31 + b) % {p})
+                  FOR i IN range(1, len(hs) - {k - 1} + 1)] AS gh
+          FROM h),
+    w AS (SELECT doc_id,
+                 CASE WHEN len(gh) >= {window}
+                      THEN [list_min(gh[i:i+{window - 1}])
+                            FOR i IN range(1, len(gh) - {window - 1} + 1)]
+                      ELSE [] END AS mins
+          FROM g),
+    fp0 AS (SELECT doc_id, UNNEST(list_distinct(mins)) AS fp
+            FROM w WHERE len(mins) > 0),
+    hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) > {max_df}),
+    fp AS (SELECT * FROM fp0 WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
 def _md5_bucket_list_sql(n_planes: int, n_tables: int, dim: int) -> str:
     """SQL for the list of per-table LSH bucket ids of a quantized
     vector column ``q``: regenerates the Rademacher ±1 planes as literal
@@ -730,6 +762,20 @@ def _q_decontam_exact(spark: SparkSession, sf: str) -> DataFrame:
         F.substring("text", 11, 40).alias("span"),
     )
     return pipeline.decontaminate_exact(docs, spans)
+
+
+def _q_dedup_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (MOSS / Schleimer 2003;
+    operators/dedup.py:dedup_winnowing) — the fifth dedup modality:
+    shared-run detection (any >= k+window-1 shared tokens guarantees a
+    shared fingerprint), complementary to set-similarity scores that
+    dilute long verbatim passages inside otherwise-different docs.
+    md5-portable hashes so the oracle replays the identical pipeline;
+    max_df=50 exercises the hot-fingerprint (boilerplate) cap."""
+    return dedup.dedup_winnowing(
+        load_table(spark, sf, "documents"), "text", "doc_id",
+        min_shared=2, max_df=50, hash_fn="md5",
+    )
 
 
 def _q_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -2114,6 +2160,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM documents d JOIN sp ON position(sp.span IN d.text) > 0
         GROUP BY d.doc_id
     """),
+    "dedup_winnowing": (_q_dedup_winnowing, _winnowing_pairs_md5_sql()),
     "corpus_chunk": (_q_corpus_chunk, """
         WITH toks AS (
           SELECT doc_id,
@@ -2815,7 +2862,7 @@ _FRONT = [
     "s_ktable_latest", "s_ktable_latest_bucketed",
     "s_windowed_join_ktime",
     "corpus_line_dedup", "corpus_line_scrub",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
+    "dedup_minhash_lsh", "dedup_winnowing", "dedup_containment",
     "dedup_simhash", "dedup_clusters", "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "sim_cosine_topk", "sim_lsh_ann_topk", "sim_ivf_topk",

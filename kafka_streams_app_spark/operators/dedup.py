@@ -570,3 +570,77 @@ def dedup_clusters(
             break
     edges.unpersist()
     return lab.select(F.col("_id").alias(id_col), F.col("_lab").alias("cluster_id"))
+
+
+def dedup_winnowing(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (the MOSS method, Schleimer
+    et al. SIGMOD'03): documents sharing >= min_shared winnowing
+    fingerprints — the fifth dedup modality here, complementary to the
+    others: any shared run of >= k + window - 1 TOKENS guarantees a
+    shared fingerprint, so it catches long verbatim passages inside
+    otherwise-different documents that set-similarity scores
+    (Jaccard/containment/minhash) dilute away, at ~1/window the index
+    size of full shingle hashing.
+
+    Plan: the same inverted-index shape as dedup_ngram_jaccard —
+    per-doc DISTINCT fingerprints (pure Column winnowing, zero Python:
+    functions/text.py:winnowing_of_hashes) -> posting list keyed by the
+    64-bit fingerprint -> self-join -> per-pair shared count. max_df
+    caps hot fingerprints (boilerplate runs shared by many documents)
+    exactly like the Jaccard path's hot-shingle cap: a fingerprint in
+    > max_df docs contributes O(df^2) candidate pairs and no dedup
+    signal. O(sum bucket^2), never all-pairs.
+
+    hash_fn='md5' makes the whole pipeline oracle-checkable in DuckDB
+    (see token_hashes); 'xxhash64' is the fast production default.
+    """
+    from kafka_streams_app_spark.functions.text import (
+        token_hashes,
+        tokens,
+        winnowing_of_hashes,
+    )
+
+    fps = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                winnowing_of_hashes(
+                    token_hashes(tokens(F.col(text)), hash_fn=hash_fn),
+                    k=k, window=window,
+                )
+            ).alias("_fps"),
+        )
+        .filter(F.size("_fps") > 0)
+        .select("_id", F.explode("_fps").alias("_fp"))
+    )
+    if max_df is not None:
+        hot = (
+            fps.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_fp")
+        )
+        fps = fps.join(F.broadcast(hot), "_fp", "left_anti")
+    pairs = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a._fp") == F.col("b._fp"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return pairs.filter(F.col("n_shared") >= min_shared)

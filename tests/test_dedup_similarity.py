@@ -127,3 +127,51 @@ def test_embedding_dim_stats_exact(spark):
     # floor quantization: -0.5 -> -500000, 5e-7 -> 0 (floor toward -inf)
     assert got[1]["sum_q"] == -500_000 + 2_000_000 + 0
     assert got[1]["min_q"] == -500_000 and got[1]["max_q"] == 2_000_000
+
+
+class TestDedupWinnowing:
+    def _pairs(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["n_shared"])
+            for r in dedup.dedup_winnowing(df, "text", "doc_id", **kw).collect()
+        )
+
+    def test_shared_run_guarantee(self, spark):
+        """Any shared run of >= k + window - 1 tokens yields a shared
+        fingerprint (Schleimer'03 guarantee); with two long disjoint
+        docs embedding the same passage, the pair must surface."""
+        passage = " ".join(f"p{i}" for i in range(20))  # 20 >> 5+4-1
+        a = "alpha beta gamma " + passage + " delta epsilon"
+        b = "one two three four five " + passage + " six seven"
+        c = " ".join(f"z{i}" for i in range(40))  # unrelated
+        got = self._pairs(spark, [(1, a), (2, b), (3, c)], min_shared=1)
+        assert [p[:2] for p in got] == [(1, 2)]
+        assert got[0][2] >= 1
+
+    def test_disjoint_docs_no_pairs(self, spark):
+        rows = [(i, " ".join(f"d{i}w{j}" for j in range(30))) for i in range(4)]
+        assert self._pairs(spark, rows, min_shared=1) == []
+
+    def test_hot_fingerprint_cap(self, spark):
+        """A passage shared by MANY docs is boilerplate: max_df drops
+        its fingerprints, so the all-pairs clique disappears."""
+        boiler = " ".join(f"b{i}" for i in range(20))
+        rows = [(i, f"u{i}a u{i}b u{i}c " + boiler) for i in range(6)]
+        full = self._pairs(spark, rows, min_shared=1)
+        assert len(full) == 15  # 6C2 — the boilerplate clique
+        capped = self._pairs(spark, rows, min_shared=1, max_df=3)
+        # the cap drops every fingerprint present in >3 docs, collapsing
+        # the clique; the odd survivor pair is legal (a window near the
+        # unique prefix can select an interior gram in only 2 docs,
+        # keeping its df under the cap) but must stay a small subset
+        assert set(p[:2] for p in capped) < set(p[:2] for p in full)
+        assert len(capped) <= 3
+
+    def test_md5_and_xxhash_find_the_same_planted_pair(self, spark):
+        passage = " ".join(f"q{i}" for i in range(15))
+        rows = [(1, "x y z " + passage), (2, passage + " k l m"),
+                (3, "totally different words here all unique tokens")]
+        for fn in ("md5", "xxhash64"):
+            got = self._pairs(spark, rows, min_shared=1, hash_fn=fn)
+            assert [p[:2] for p in got] == [(1, 2)], fn
