@@ -1271,6 +1271,11 @@ def _q_s_windowed_join_ktime(spark: SparkSession, sf: str) -> DataFrame:
     n_buckets=1 = the reference's single-partition TopologyTestDriver;
     at scale n_buckets = the topic's partition count (stream time is
     per partition in Kafka too)."""
+    return _run_wjk(spark, sf, n_buckets=1)
+
+
+def _run_wjk(spark: SparkSession, sf: str, n_buckets: int,
+             bucket_fn=None) -> DataFrame:
     from kafka_streams_app_spark.streaming.windowed_join_ktime import (
         windowed_join_per_topic_time_batch,
         windowed_join_per_topic_time_stream,
@@ -1297,12 +1302,32 @@ def _q_s_windowed_join_ktime(spark: SparkSession, sf: str) -> DataFrame:
     kwargs = dict(
         key="key", ts="ts_s", seq="seq",
         left_payload=["value"], right_payload=["value"],
-        before_s=3600, after_s=3600, n_buckets=1,
+        before_s=3600, after_s=3600, n_buckets=n_buckets,
+        bucket_fn=bucket_fn,
     )
     if use_tws:
         join = windowed_join_per_topic_time_stream(left, right, **kwargs)
         return run_available_now(spark, join, _sink(), "update")
     return windowed_join_per_topic_time_batch(left, right, **kwargs)
+
+
+def _q_s_windowed_join_ktime_multibucket(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """W8 at the MULTI-PARTITION shape (r7 verdict #6): same per-topic
+    stream-time join, n_buckets=8 — stream time advances independently
+    per (side, bucket), exactly Kafka's per-partition observedStreamTime
+    with an 8-partition topic. The bucket function is `key % 8` (the
+    producer's partitioner is caller-chosen in Kafka; a modulus is used
+    here so the DuckDB oracle can replay the identical partition map —
+    xxhash64 has no DuckDB twin). The oracle's running-MAX stream-time
+    replay is PARTITION BY bucket: records late for one bucket's stream
+    time may be on-time for another's, so the surviving pair set
+    genuinely differs from the single-bucket entry."""
+    return _run_wjk(
+        spark, sf, n_buckets=8,
+        bucket_fn=lambda c: F.pmod(c, F.lit(8)),
+    )
 
 
 def _q_s_pk_join_incremental(spark: SparkSession, sf: str) -> DataFrame:
@@ -2630,6 +2655,54 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT p.key, p.l_value, p.r_value, p.l_ts, p.r_ts,
                p.l_seq, p.r_seq
         FROM pairs p JOIN st ON st.seq = p.probe_seq
+        WHERE CASE WHEN p.buffered = 'l'
+              THEN p.l_ts >= st.st_l - 7200
+              ELSE p.r_ts >= st.st_r - 7200 END
+    """),
+    "s_windowed_join_ktime_multibucket": (
+        _q_s_windowed_join_ktime_multibucket, """
+        WITH base AS (
+          SELECT user_id AS key,
+                 CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+                 event_id, value, event_type,
+                 ((event_id * 2654435761) % 4294967296) % 8 * 900 AS delay
+          FROM events WHERE event_type IN ('view', 'click')
+        ), seqd AS (
+          SELECT *, (ts_s + delay) * 1048576 + (event_id % 1048576) AS seq
+          FROM base
+        ), l AS (
+          SELECT key, ts_s AS lts, seq AS lseq, value AS lval
+          FROM seqd WHERE event_type = 'view'
+        ), r AS (
+          SELECT key, ts_s AS rts, seq AS rseq, value AS rval
+          FROM seqd WHERE event_type = 'click'
+        ), ev AS (
+          SELECT key % 8 AS bucket, 'l' AS side, lts AS ts, lseq AS seq
+          FROM l
+          UNION ALL SELECT key % 8, 'r', rts, rseq FROM r
+        ), st AS (
+          -- stream time is per (side, bucket): running MAX over each
+          -- bucket's OWN arrival order, independent across buckets
+          SELECT bucket, seq,
+            MAX(CASE WHEN side = 'l' THEN ts END)
+              OVER (PARTITION BY bucket ORDER BY seq
+                    ROWS UNBOUNDED PRECEDING) AS st_l,
+            MAX(CASE WHEN side = 'r' THEN ts END)
+              OVER (PARTITION BY bucket ORDER BY seq
+                    ROWS UNBOUNDED PRECEDING) AS st_r
+          FROM ev
+        ), pairs AS (
+          SELECT l.key, lval AS l_value, rval AS r_value,
+                 lts AS l_ts, rts AS r_ts, lseq AS l_seq, rseq AS r_seq,
+                 GREATEST(lseq, rseq) AS probe_seq,
+                 CASE WHEN lseq < rseq THEN 'l' ELSE 'r' END AS buffered
+          FROM l JOIN r ON l.key = r.key
+          WHERE rts BETWEEN lts - 3600 AND lts + 3600
+        )
+        SELECT p.key, p.l_value, p.r_value, p.l_ts, p.r_ts,
+               p.l_seq, p.r_seq
+        FROM pairs p
+        JOIN st ON st.seq = p.probe_seq AND st.bucket = p.key % 8
         WHERE CASE WHEN p.buffered = 'l'
               THEN p.l_ts >= st.st_l - 7200
               ELSE p.r_ts >= st.st_r - 7200 END

@@ -104,6 +104,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # The correctness gate collect()s full query results for the
+        # value-hash compare; at sf0.1 several entries exceed the 1g
+        # default (first seen: 2.5 GiB on the r9 sf0.1 gate). Only the
+        # gate/driver path collects this much — production sinks never
+        # collect — so a larger cap is safe here and env-overridable.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_MAX_RESULT", "8g"))
     )
     for k, v in RUNTIME_CONF.items():
         b = b.config(k, v)

@@ -397,12 +397,29 @@ def chunk_documents(
     examples (pack_sequences is the inverse direction: it concatenates
     short ones).
 
-    Plan: split + sequence + explode, all inside the scan stage — zero
-    shuffle, zero Python; each chunk's text reassembles with
-    single-space joins so the output is engine-portable (the DuckDB
-    oracle replays it exactly). An empty/whitespace-only document
-    yields one empty chunk (chunk_id 0, n_chunk_tokens 0) so no doc_id
-    silently disappears from the corpus.
+    Plan: split + per-doc struct build + explode, all inside the scan
+    stage — zero shuffle, zero Python; each chunk's text reassembles
+    with single-space joins so the output is engine-portable (the
+    DuckDB oracle replays it exactly). An empty/whitespace-only
+    document yields one empty chunk (chunk_id 0, n_chunk_tokens 0) so
+    no doc_id silently disappears from the corpus.
+
+    Long-doc scaling (the r7-verdict fan-out fix): the chunk structs
+    are built BEFORE the explode, so exploded rows carry only
+    (chunk_id, n_chunk_tokens, chunk_text) — never the full token
+    array. The earlier form exploded chunk ids first and sliced after,
+    which materialized the whole `_toks` array once PER CHUNK ROW:
+    O(n_tokens^2/stride) per document — harmless on web pages,
+    pathological on book-length docs (10^5 tokens -> ~1.8k chunk rows
+    x 600 KB array copies). This form is O(total output chars).
+
+    CSE guard: the token array is bound as a LAMBDA VARIABLE (a
+    single-element F.array wrapper whose outer transform evaluates the
+    split exactly once per row). Referencing a projected `_toks`
+    column inside the lambda instead would re-tokenize per chunk —
+    Catalyst's CollapseProject re-inlines the projection into every
+    lambda reference (same measured pitfall as
+    functions/text.py:shingles_udf, ~8x).
 
     Output: id_col, chunk_id, n_chunk_tokens, chunk_text.
     """
@@ -415,26 +432,37 @@ def chunk_documents(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
         lambda t: t != "",
     )
-    n = F.size(toks)
-    n_chunks = F.greatest(
-        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride))
-    ).cast("int")
-    base = df.select(
-        F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc")
-    )
-    chunk = base.select(
+
+    def chunk_structs(t: Column) -> Column:
+        # t is the lambda-bound token array: evaluated once per row.
+        n_chunks = F.greatest(
+            F.lit(1), F.ceil((F.size(t) - F.lit(overlap)) / F.lit(stride))
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                # slice-length arithmetic, identical to size(slice(...)):
+                # clamp(n - i*stride, 0, max_tokens) — avoids a second
+                # slice evaluation per chunk.
+                F.greatest(
+                    F.lit(0),
+                    F.least(F.lit(max_tokens), F.size(t) - i * stride),
+                ).cast("long").alias("n_chunk_tokens"),
+                F.array_join(
+                    F.slice(t, i * stride + 1, max_tokens), " "
+                ).alias("chunk_text"),
+            ),
+        )
+
+    structs = F.element_at(F.transform(F.array(toks), chunk_structs), 1)
+    return df.select(
+        F.col(id_col), F.explode(structs).alias("_c")
+    ).select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
-        "_toks",
-    )
-    window = F.slice(
-        F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens
-    )
-    return chunk.select(
-        id_col,
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.size(window).cast("long").alias("n_chunk_tokens"),
-        F.array_join(window, " ").alias("chunk_text"),
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("_c.chunk_text").alias("chunk_text"),
     )
 
 

@@ -197,6 +197,7 @@ def _plan(
     before_s: int,
     after_s: int,
     n_buckets: int,
+    bucket_fn=None,
 ):
     l_schema, r_schema = left.schema, right.schema
     if not isinstance(l_schema[ts].dataType, LongType):
@@ -226,8 +227,17 @@ def _plan(
             "key", "side", "ts", "seq", *l_cols, *r_cols
         )
     )
+    # bucket = Kafka partition analogue. Default: xxhash64 mod n (a
+    # producer DefaultPartitioner stand-in). `bucket_fn(key_col)` lets
+    # the caller supply the topic's actual partitioner — Kafka's
+    # key->partition map is producer-chosen, not engine-fixed — and is
+    # what makes the multi-bucket oracle entry replayable in DuckDB
+    # (xxhash64 has no DuckDB twin; `key % n` does).
+    to_bucket = bucket_fn or (
+        lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))
+    )
     unioned = unioned.withColumn(
-        "_wjk_bucket", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int")
+        "_wjk_bucket", to_bucket(F.col("key")).cast("int")
     )
     key_type = l_schema[key].dataType
     bufkey_schema = StructType([
@@ -274,6 +284,7 @@ def windowed_join_per_topic_time_batch(
     before_s: int,
     after_s: int,
     n_buckets: int = 1,
+    bucket_fn=None,
 ) -> DataFrame:
     """Batch replay of the per-topic-stream-time windowed inner join
     over arrival order `seq` (grouped replay; same processor as the
@@ -283,7 +294,7 @@ def windowed_join_per_topic_time_batch(
     unioned, proc, out_schema = _plan(
         left, right, key=key, ts=ts, seq=seq, left_payload=left_payload,
         right_payload=right_payload, before_s=before_s, after_s=after_s,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, bucket_fn=bucket_fn,
     )
     return grouped_replay(unioned, ["_wjk_bucket"], proc, out_schema)
 
@@ -300,6 +311,7 @@ def windowed_join_per_topic_time_stream(
     before_s: int,
     after_s: int,
     n_buckets: int = 1,
+    bucket_fn=None,
 ) -> DataFrame:
     """Streaming (transformWithStateInPandas) per-topic-stream-time
     windowed inner join; state = two window stores + per-side stream
@@ -308,7 +320,7 @@ def windowed_join_per_topic_time_stream(
     unioned, proc, out_schema = _plan(
         left, right, key=key, ts=ts, seq=seq, left_payload=left_payload,
         right_payload=right_payload, before_s=before_s, after_s=after_s,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, bucket_fn=bucket_fn,
     )
     return unioned.groupBy("_wjk_bucket").transformWithStateInPandas(
         statefulProcessor=proc,

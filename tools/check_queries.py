@@ -5,7 +5,12 @@ twin on DuckDB at sf0.01, then compares row count, column-name set, and
 order-insensitive values (exact for ints/strings, exact for our
 determinism-engineered doubles; any mismatch prints the diff head).
 
-Usage: python tools/check_queries.py [name ...]
+Usage: GATE_SF_DIR=/root/testdata/sf0.1 python tools/check_queries.py [name ...]
+
+The SF dir defaults to sf0.01 (the driver's scale) and is overridable via
+GATE_SF_DIR so the same gate can verify results at sf0.1 — the scale the
+bench runs at — per the r7 verdict's top ask (scale-sensitive dials like
+max_df caps and LSH banding bind differently at 10x data).
 
 Every run appends one JSONL record per entry (name, verdict, error,
 wall seconds) to .scratch/gate_logs/gate_<utc-stamp>_<pid>.jsonl — the
@@ -28,7 +33,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -62,8 +67,10 @@ def main() -> int:
     log_dir = Path("/root/repo/.scratch/gate_logs")
     log_dir.mkdir(parents=True, exist_ok=True)
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%dT%H%M%S")
-    log_path = log_dir / f"gate_{stamp}_{os.getpid()}.jsonl"
+    sf_tag = Path(SF_DIR).name  # e.g. sf0.01 / sf0.1 — makes the artifact self-describing
+    log_path = log_dir / f"gate_{sf_tag}_{stamp}_{os.getpid()}.jsonl"
     log_f = open(log_path, "a", buffering=1)  # line-buffered: flushed per entry
+    log_f.write(json.dumps({"sf_dir": SF_DIR}) + "\n")
 
     def record(name: str, verdict: str, err: str | None, wall: float) -> None:
         log_f.write(json.dumps({

@@ -2,6 +2,7 @@
 grows 10x (sf0.1 -> ~sf1, the largest dataset this box holds comfortably).
 
 Usage: python tools/scale_smoke.py [multiplier]
+       python tools/scale_smoke.py longdoc   # chunk_documents doc-length pin
 
 Builds a ~sf1 dataset in .scratch/ by unioning sf0.1 `multiplier` times
 with content made DISJOINT across replicas:
@@ -138,7 +139,81 @@ def _ann_fixed_queries(spark, sf_dir):
     )
 
 
+def _chunk_explode_first(df, max_tokens=64, overlap=8):
+    """The REJECTED pre-r9 chunk_documents plan, kept here as the
+    measured baseline: explode chunk ids first, slice the full token
+    array after — each chunk row carries `_toks`, so per-doc row
+    materialization is O(n_tokens^2/stride). The shipped form builds
+    chunk structs before the explode (operators/pipeline.py
+    chunk_documents docstring has the full story)."""
+    stride = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
+    base = df.select(F.col("doc_id"), toks.alias("_toks"), n_chunks.alias("_nc"))
+    chunk = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        "_toks",
+    )
+    window = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens)
+    return chunk.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+def longdoc_main() -> None:
+    """Doc-LENGTH scaling pin for chunk_documents (r7 verdict #5):
+    64 docs x 10k tokens vs 64 docs x 100k tokens — 10x the tokens
+    should cost ~10x the wall (linear), not ~100x (the explode-first
+    quadratic). Prints one JSON line per form."""
+    from kafka_streams_app_spark.operators.pipeline import chunk_documents
+
+    spark = get_spark(app_name="scale-smoke-longdoc")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {}
+    for n_toks in (10_000, 100_000):
+        out = SCRATCH / f"longdoc_{n_toks}"
+        if not out.exists():
+            spark.range(64).select(
+                F.col("id").alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_toks - 1)),
+                        lambda i: F.concat(F.lit("w"), i.cast("string")),
+                    ),
+                    " ",
+                ).alias("text"),
+            ).repartition(32).write.parquet(str(out))
+        dirs[n_toks] = str(out)
+    for label, fn in (
+        ("chunk_documents[shipped struct-first]", chunk_documents),
+        ("chunk_documents[rejected explode-first]", _chunk_explode_first),
+    ):
+        runs = {}
+        for n_toks, d in dirs.items():
+            df = spark.read.parquet(d)
+            timed(lambda df=df: fn(df), )  # warm (session/codegen)
+            runs[n_toks] = timed(lambda df=df: fn(df))
+        print(json.dumps({
+            "query": label, "docs": 64,
+            "sec_10k_tok": runs[10_000], "sec_100k_tok": runs[100_000],
+            "ratio_for_10x_tokens": round(runs[100_000] / runs[10_000], 2)
+            if runs[10_000] else None,
+        }))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "longdoc":
+        longdoc_main()
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
