@@ -764,6 +764,25 @@ def _q_decontam_exact(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.decontaminate_exact(docs, spans)
 
 
+def _q_decontam_exact_ac(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring decontamination via the Aho-Corasick path
+    (operators/pipeline.py:decontaminate_exact_ac; r7 verdict #7):
+    same spans, same output contract as decontam_exact, but matching
+    is a broadcast-compiled multi-pattern automaton in an Arrow batch
+    — O(len(text)) per doc regardless of span count, the 10^5+-span
+    scale path. Oracle is IDENTICAL to decontam_exact's (the two forms
+    are pinned equal in tests/test_pipeline_ops.py and measured for
+    crossover in SCALE.md)."""
+    docs = load_table(spark, sf, "documents")
+    spans = docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.length("text") >= 60)
+    ).select(
+        F.col("doc_id").alias("span_id"),
+        F.substring("text", 11, 40).alias("span"),
+    )
+    return pipeline.decontaminate_exact_ac(docs, spans)
+
+
 def _q_dedup_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-fingerprint near-dup pairs (MOSS / Schleimer 2003;
     operators/dedup.py:dedup_winnowing) — the fifth dedup modality:
@@ -2175,6 +2194,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM ranked WHERE rank <= 5
     """),
     "decontam_exact": (_q_decontam_exact, """
+        WITH spans AS (
+          SELECT doc_id AS span_id, substring(text, 11, 40) AS span
+          FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 60
+        ), sp AS (
+          SELECT DISTINCT span_id, span FROM spans WHERE length(span) > 0
+        )
+        SELECT d.doc_id, COUNT(DISTINCT sp.span_id) AS n_spans_hit
+        FROM documents d JOIN sp ON position(sp.span IN d.text) > 0
+        GROUP BY d.doc_id
+    """),
+    "decontam_exact_ac": (_q_decontam_exact_ac, """
         WITH spans AS (
           SELECT doc_id AS span_id, substring(text, 11, 40) AS span
           FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 60

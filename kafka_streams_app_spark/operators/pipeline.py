@@ -23,6 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -563,3 +564,108 @@ def decontaminate_exact(
     return hits.groupBy(id_col).agg(
         F.count_distinct("_sid").alias("n_spans_hit")
     )
+
+
+def _ac_build(patterns: list[tuple]) -> tuple[list, list, list]:
+    """Aho-Corasick automaton over (span_id, span) pairs: goto tries,
+    BFS fail links, outputs merged through fail chains. Match cost is
+    O(len(text)) transitions per document, INDEPENDENT of span count —
+    the property that makes this the 10^5+-span decontamination path
+    (the broadcast-NLJ form is O(docs x spans))."""
+    from collections import deque
+
+    goto: list[dict] = [{}]
+    out: list[list] = [[]]
+    for sid, p in patterns:
+        node = 0
+        for ch in p:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        out[node].append(sid)
+    fail = [0] * len(goto)
+    dq = deque(goto[0].values())
+    while dq:
+        u = dq.popleft()
+        for ch, v in goto[u].items():
+            f = fail[u]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[v] = goto[f].get(ch, 0)
+            out[v].extend(out[fail[v]])
+            dq.append(v)
+    return goto, fail, out
+
+
+# Worker-local automaton cache: built once per executor process per
+# broadcast span set (keyed by broadcast id), reused across Arrow
+# batches — the standard "ship data, build index worker-side" pattern.
+_AC_CACHE: dict = {}
+
+
+def decontaminate_exact_ac(
+    corpus: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_col: str = "span",
+    span_id_col: str = "span_id",
+) -> DataFrame:
+    """`decontaminate_exact`, multi-pattern-matcher form: identical
+    output contract (docs with >= 1 verbatim span hit, distinct-span
+    count), different scaling shape. The span list is collected
+    (bounded by contract: eval sets are 10^3-10^6 short strings — the
+    same documented-bounded-collect discipline as the IVF codebook),
+    broadcast raw, and compiled into an Aho-Corasick automaton once
+    per executor; each document then costs O(len(text)) automaton
+    transitions regardless of span count. Crossover vs the NLJ form is
+    measured in SCALE.md (tools/scale_smoke.py decontam); below it the
+    JVM-side NLJ wins, above it this Arrow-batched path does.
+    """
+    import pandas as pd
+
+    sp = (
+        spans.select(
+            F.col(span_id_col).alias("_sid"), F.col(span_col).alias("_span")
+        )
+        .filter(F.length("_span") > 0)
+        .distinct()
+    )
+    pats = [(r["_sid"], r["_span"]) for r in sp.collect()]
+    sc = corpus.sparkSession.sparkContext
+    b = sc.broadcast(pats)
+    cache_key = ("ac", uuid.uuid4().hex)  # one automaton per span set
+
+    id_field = corpus.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, n_spans_hit bigint"
+
+    def run(batches):
+        auto = _AC_CACHE.get(cache_key)
+        if auto is None:
+            auto = _AC_CACHE[cache_key] = _ac_build(b.value)
+        goto, fail, out = auto
+        root_get = goto[0].get
+        for pdf in batches:
+            ids, counts = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue
+                node = 0
+                hit = set()
+                for ch in text:
+                    while node and ch not in goto[node]:
+                        node = fail[node]
+                    node = goto[node].get(ch, 0) if node else root_get(ch, 0)
+                    if out[node]:
+                        hit.update(out[node])
+                if hit:
+                    ids.append(doc_id)
+                    counts.append(len(hit))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "n_spans_hit": counts})
+
+    return corpus.select(id_col, text_col).mapInPandas(run, out_schema)

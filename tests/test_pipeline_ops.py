@@ -645,3 +645,54 @@ class TestDecontaminateExact:
         )
         out = pipeline.decontaminate_exact(docs, spans).collect()
         assert [(r["doc_id"], r["n_spans_hit"]) for r in out] == [(1, 2)]
+
+
+class TestDecontaminateExactAC:
+    """Aho-Corasick form: pinned EQUAL to the broadcast-NLJ form (the
+    r7 verdict's #7 — same output contract, span-count-independent
+    match cost)."""
+
+    def _spans(self, spark):
+        return spark.createDataFrame(
+            [(10, "quick brown"), (11, "fox"), (12, ""), (13, "zebra"),
+             (14, "he qui"), (15, "own fox jumps")],
+            "span_id long, span string",
+        )
+
+    def test_equals_nlj_hand_case(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "a quick brown dog"),
+             (3, "nothing to see here"), (4, None)],
+            "doc_id long, text string",
+        )
+        spans = self._spans(spark)
+        nlj = sorted(map(tuple, pipeline.decontaminate_exact(docs, spans).collect()))
+        ac = sorted(map(tuple, pipeline.decontaminate_exact_ac(docs, spans).collect()))
+        assert ac == nlj
+        assert dict(ac) == {1: 4, 2: 1}
+
+    def test_equals_nlj_on_corpus(self, spark, sf_dir):
+        from kafka_streams_app_spark.sources.catalog import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents")
+        spans = docs.filter(
+            (F.col("doc_id") % 20 == 0) & (F.length("text") >= 60)
+        ).select(
+            F.col("doc_id").alias("span_id"),
+            F.substring("text", 11, 40).alias("span"),
+        )
+        nlj = sorted(map(tuple, pipeline.decontaminate_exact(docs, spans).collect()))
+        ac = sorted(map(tuple, pipeline.decontaminate_exact_ac(docs, spans).collect()))
+        assert ac == nlj and len(ac) > 0
+
+    def test_overlapping_and_nested_patterns(self, spark):
+        # suffix-path outputs must propagate through fail links:
+        # "ababa" contains aba (x2 overlapping), bab, ababa
+        docs = spark.createDataFrame([(1, "ababa")], "doc_id long, text string")
+        spans = spark.createDataFrame(
+            [(1, "aba"), (2, "bab"), (3, "ababa"), (4, "bb")],
+            "span_id long, span string",
+        )
+        out = pipeline.decontaminate_exact_ac(docs, spans).collect()
+        assert [(r["doc_id"], r["n_spans_hit"]) for r in out] == [(1, 3)]

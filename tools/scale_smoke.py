@@ -3,6 +3,7 @@ grows 10x (sf0.1 -> ~sf1, the largest dataset this box holds comfortably).
 
 Usage: python tools/scale_smoke.py [multiplier]
        python tools/scale_smoke.py longdoc   # chunk_documents doc-length pin
+       python tools/scale_smoke.py decontam  # NLJ-vs-Aho-Corasick crossover
 
 Builds a ~sf1 dataset in .scratch/ by unioning sf0.1 `multiplier` times
 with content made DISJOINT across replicas:
@@ -210,9 +211,47 @@ def longdoc_main() -> None:
         }))
 
 
+def decontam_main() -> None:
+    """Span-count crossover for exact decontamination (r7 verdict #7):
+    the broadcast-NLJ form is O(docs x spans) JVM work; the
+    Aho-Corasick form is O(docs x doc_len) Python work independent of
+    span count. Measures both at sf0.1 over growing span sets; the
+    SCALE.md row records where AC overtakes NLJ."""
+    from kafka_streams_app_spark.operators.pipeline import (
+        decontaminate_exact,
+        decontaminate_exact_ac,
+    )
+
+    spark = get_spark(app_name="scale-smoke-decontam")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, BASE, "documents")
+    n_docs = docs.count()
+    for modulus in (50, 5, 1):
+        spans = docs.filter(
+            (F.col("doc_id") % modulus == 0) & (F.length("text") >= 60)
+        ).select(
+            F.col("doc_id").alias("span_id"),
+            F.substring("text", 11, 40).alias("span"),
+        )
+        n_spans = spans.count()
+        res = {}
+        for label, fn in (("nlj", decontaminate_exact),
+                          ("ac", decontaminate_exact_ac)):
+            timed(lambda: fn(docs, spans))  # warm
+            res[label] = timed(lambda: fn(docs, spans))
+        print(json.dumps({
+            "query": "decontam_exact[nlj vs ac]", "n_docs": n_docs,
+            "n_spans": n_spans, "sec_nlj": res["nlj"], "sec_ac": res["ac"],
+            "winner": "ac" if res["ac"] < res["nlj"] else "nlj",
+        }))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "longdoc":
         longdoc_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "decontam":
+        decontam_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale-smoke")
