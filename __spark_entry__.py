@@ -764,6 +764,16 @@ def _q_decontam_exact(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.decontaminate_exact(docs, spans)
 
 
+def _q_text_lm_likelihood(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality score (operators/pipeline.py:
+    bigram_lm_likelihood): corpus-trained Laplace bigram model, per-doc
+    mean likelihood as fixed-point score_e9 — exact-integer pipeline
+    end to end, so the oracle replays the score bit-for-bit (same
+    portability discipline as text_tfidf_topk; ln-perplexity would
+    differ across libms)."""
+    return pipeline.bigram_lm_likelihood(load_table(spark, sf, "documents"))
+
+
 def _q_decontam_exact_ac(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring decontamination via the Aho-Corasick path
     (operators/pipeline.py:decontaminate_exact_ac; r7 verdict #7):
@@ -2204,6 +2214,35 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM documents d JOIN sp ON position(sp.span IN d.text) > 0
         GROUP BY d.doc_id
     """),
+    "text_lm_likelihood": (_q_text_lm_likelihood, "WITH " + _TOKS + r""",
+        big AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(t) >= 2 THEN
+                   list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1])
+                 ELSE CAST([] AS VARCHAR[]) END) AS bg
+          FROM toks
+        ),
+        occ AS (SELECT doc_id, bg, COUNT(*) AS occ
+                FROM big GROUP BY doc_id, bg),
+        c2 AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+               FROM big GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT x) AS vs
+              FROM (SELECT unnest(t) AS x FROM toks)),
+        p AS (
+          SELECT o.doc_id, o.occ,
+                 CAST((CAST(c2.c2 + 1 AS HUGEINT) * 1000000000)
+                      // (c1.c1 + v.vs) AS BIGINT) AS p_e9
+          FROM occ o
+          JOIN c2 USING (bg)
+          JOIN c1 ON split_part(o.bg, ' ', 1) = c1.w1
+          CROSS JOIN v
+        )
+        SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+               CAST(SUM(occ * p_e9) // SUM(occ) AS BIGINT) AS score_e9
+        FROM p GROUP BY doc_id
+    """),
     "decontam_exact_ac": (_q_decontam_exact_ac, """
         WITH spans AS (
           SELECT doc_id AS span_id, substring(text, 11, 40) AS span
@@ -2976,6 +3015,7 @@ _FRONT = [
     # (2) changed/new this round
     "corpus_chunk", "s_windowed_join_ktime",
     "s_windowed_join_ktime_multibucket", "decontam_exact_ac",
+    "text_lm_likelihood",
     # (3) r6-latest fill
     "j5_table_join_inner", "j6_table_join_left_tombstone",
     "j7_fk_join_left", "j8_fk_join_inner_agg",
@@ -2983,9 +3023,11 @@ _FRONT = [
     "dedup_ngram_jaccard", "decontam_overlap",
     "pipeline_shuffle_det", "corpus_ngram_topk",
     "extras_cube", "extras_rollup", "extras_salted_join",
-    "extras_semi_join", "extras_anti_join", "extras_topn_per_group",
-    # slot 51+: t1_wordcount leads the demoted tail
-    "t1_wordcount",
+    "extras_semi_join", "extras_anti_join",
+    # slot 51+: the remaining r6-latest pair leads the demoted tail
+    # (t1_wordcount is the entry() flagship smoke-checked every round;
+    # both rotate in next round)
+    "extras_topn_per_group", "t1_wordcount",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -669,3 +669,80 @@ def decontaminate_exact_ac(
                 yield pd.DataFrame({id_col: ids, "n_spans_hit": counts})
 
     return corpus.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def bigram_lm_likelihood(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020
+    score documents by LM perplexity; docs far from the model are
+    flagged): trains a Laplace-smoothed BIGRAM model on the corpus
+    itself and scores each document by its mean bigram likelihood,
+
+        p(w2|w1) = (c(w1 w2) + 1) / (c(w1 *) + V)
+
+    reported as fixed-point integer `score_e9` = floor(mean p * 1e9)
+    (plus exact `n_bigrams`). Fixed-point instead of ln-perplexity for
+    the same reason as text_tfidf_topk's integer score: ln is not
+    correctly-rounded and differs across libms, while integer multiply/
+    floor-divide is bit-identical in any engine — the oracle replays
+    the score exactly. Monotonicity vs perplexity is task-equivalent
+    for filtering: predictable text scores high, gibberish low.
+
+    Plan (all linear, no all-pairs): one corpus pass explodes bigram
+    occurrences (zip_with over two token-array slices — the linear
+    form, see repetition_signals); two map-side-combined aggs build the
+    model (bigram counts, prefix counts); V is a broadcast one-row agg;
+    scoring joins each doc's DISTINCT bigrams to the model (equi-join
+    on the bigram string; AQE skew-split handles hot function-word
+    bigrams) and one final per-doc agg emits the mean. At 100 TB the
+    model tables are corpus-sized aggregates that shuffle once;
+    counts stay within int64 up to ~9e18 bigrams and the e9 multiply
+    is DECIMAL(38,0) on the Spark side (HUGEINT in the DuckDB twin).
+
+    Docs with < 2 tokens have no bigrams and are absent from the
+    output (score of an empty sequence is undefined).
+    """
+    from kafka_streams_app_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = df.select(F.col(id_col), F.explode(bigrams).alias("_bg")).select(
+        id_col, "_bg", F.substring_index("_bg", " ", 1).alias("_w1")
+    )
+    occ = bg.groupBy(id_col, "_bg", "_w1").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    c2 = bg.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = bg.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = df.select(F.explode(toks).alias("_t")).agg(
+        F.count_distinct("_t").cast("long").alias("_V")
+    )
+    # exact floor((c2+1)*1e9 / (c1+V)): decimal A - A%B keeps the
+    # division exact (Spark decimal '/' rounds at result scale, which
+    # could flip a floor at the integer boundary; subtracting the
+    # remainder first makes it a no-op division)
+    a = (F.col("_c2") + 1).cast("decimal(38,0)") * F.lit(1_000_000_000)
+    b = (F.col("_c1") + F.col("_V")).cast("decimal(38,0)")
+    p_e9 = ((a - F.pmod(a, b)) / b).cast("long")
+    scored = (
+        occ.join(c2, "_bg")
+        .join(c1, "_w1")
+        .join(F.broadcast(vocab))
+        .select(id_col, "_occ", p_e9.alias("_p_e9"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("_occ").cast("long").alias("n_bigrams"),
+        F.expr("sum(_occ * _p_e9) div sum(_occ)").cast("long")
+        .alias("score_e9"),
+    )

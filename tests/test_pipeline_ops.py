@@ -696,3 +696,64 @@ class TestDecontaminateExactAC:
         )
         out = pipeline.decontaminate_exact_ac(docs, spans).collect()
         assert [(r["doc_id"], r["n_spans_hit"]) for r in out] == [(1, 3)]
+
+
+class TestBigramLmLikelihood:
+    def test_hand_computed(self, spark):
+        # corpus: c2("a b")=3, c2("b a")=1, c2("b c")=1; c1(a)=3, c1(b)=2
+        # V = |{a,b,c,x}| = 4
+        # p_e9("a b") = floor(4e9/7) = 571428571
+        # p_e9("b a") = p_e9("b c") = floor(2e9/6) = 333333333
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, None)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_bigrams"], r["score_e9"])
+            for r in pipeline.bigram_lm_likelihood(docs).collect()
+        }
+        assert out == {
+            1: (3, (2 * 571428571 + 333333333) // 3),  # 492063491
+            2: (2, (571428571 + 333333333) // 2),      # 452380952
+        }
+
+    def test_matches_python_reference_random(self, spark):
+        import random
+        from collections import Counter
+
+        rng = random.Random(77)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(0, 25))))
+            for i in range(120)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def toks(s):
+            return [t for t in s.lower().split() if t]
+
+        c2, c1 = Counter(), Counter()
+        vv = set()
+        doc_bgs = {}
+        for i, s in rows:
+            t = toks(s)
+            vv.update(t)
+            bgs = [f"{a} {b}" for a, b in zip(t, t[1:])]
+            doc_bgs[i] = bgs
+            for g in bgs:
+                c2[g] += 1
+                c1[g.split(" ")[0]] += 1
+        want = {}
+        for i, bgs in doc_bgs.items():
+            if not bgs:
+                continue
+            ps = [
+                (c2[g] + 1) * 1_000_000_000 // (c1[g.split(" ")[0]] + len(vv))
+                for g in bgs
+            ]
+            want[i] = (len(bgs), sum(ps) // len(bgs))
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["score_e9"])
+            for r in pipeline.bigram_lm_likelihood(docs).collect()
+        }
+        assert got == want
