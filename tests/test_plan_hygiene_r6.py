@@ -98,3 +98,29 @@ def test_decontaminate_exact_broadcasts_spans(spark):
     )
     r = plan_report(pipeline.decontaminate_exact(_docs(spark), spans))
     assert r["python_evals"] == 0 and r["rowwise_python"] == 0
+
+
+def test_bigram_lm_likelihood_jvm_only_broadcast_vocab(spark):
+    """r9 text_lm_likelihood: pure JVM plan — the one-row vocab-size
+    side joins as a broadcast, model joins are equi-joins, no Python
+    anywhere, and the bigram-count aggs combine map-side."""
+    out = pipeline.bigram_lm_likelihood(_docs(spark))
+    r = plan_report(out)
+    assert r["python_evals"] == 0 and r["rowwise_python"] == 0
+    assert r["broadcast_joins"] >= 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_decontaminate_exact_ac_single_arrow_crossing(spark):
+    """r9 decontam_exact_ac: exactly one Arrow mapInPandas crossing
+    (the automaton scan), nothing row-wise, and no shuffle of document
+    text BEFORE the crossing (the matcher reads scan output directly)."""
+    spans = _docs(spark).limit(5).select(
+        F.col("doc_id").alias("span_id"),
+        F.substring("text", 1, 20).alias("span"),
+    )
+    out = pipeline.decontaminate_exact_ac(_docs(spark), spans)
+    r = plan_report(out)
+    assert r["python_evals"] == 1
+    assert r["rowwise_python"] == 0
