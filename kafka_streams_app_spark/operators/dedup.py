@@ -441,9 +441,10 @@ def dedup_embedding_cosine(
     threshold: float = 0.9,
     method: str = "lsh",
     dim: int | None = None,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     n_tables: int = 8,
     plane_fn: str = "gaussian",
+    target_occupancy: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -453,6 +454,21 @@ def dedup_embedding_cosine(
     candidate. Recall at near-dup thresholds (cos >= 0.9) is ~98% with
     the 6x8 defaults (see similarity.lsh_ann_topk's analysis); for
     certainty-critical audits use method="exact".
+
+    n_planes is a SCALE DIAL, not a constant: with p planes per table
+    the corpus lands in 2^p buckets, so candidate pairs grow
+    O(n^2 / 2^p) — at FIXED p that is quadratic in corpus size
+    (measured in the r9 100x smoke: 28M -> 2.84B candidates for 10x
+    the vectors at p=6). n_planes="auto" sets
+    p = max(6, ceil(log2(n / target_occupancy))) from one count job,
+    holding mean bucket occupancy (and therefore per-vector candidate
+    cost) CONSTANT as the corpus grows — the linear-cost 100 TB
+    setting. The trade is recall: each extra plane cuts per-table
+    collision probability by the pair's angular factor, so production
+    corpora should raise n_tables (or multi-probe) alongside; the
+    smoke records the measured recall on the synthetic corpus. Auto
+    mode derives p deterministically from n, so an oracle that knows n
+    replays identical buckets.
 
     method="exact": all-pairs verification (id_a < id_b). O(n^2) — the
     oracle/baseline twin, viable for corpora small enough to broadcast
@@ -478,18 +494,33 @@ def dedup_embedding_cosine(
     elif method == "lsh":
         if dim is None:
             raise ValueError("method='lsh' requires dim")
+        import math
+
         from kafka_streams_app_spark.operators.similarity import _bucketed
 
-        ab = _bucketed(a, "id_a", "_va", dim, n_planes, n_tables, 42, plane_fn)
-        bb = _bucketed(b, "id_b", "_vb", dim, n_planes, n_tables, 42, plane_fn)
+        if n_planes == "auto":
+            n = df.count()  # one cheap count job; deterministic given df
+            n_planes = max(6, math.ceil(math.log2(max(n, 1) / target_occupancy)))
+        # ids-first candidate generation (r9): the bucket join and the
+        # (id_a, id_b) dedup shuffle carry ONLY the two ids, never the
+        # vectors — the old form shuffled both 64-dim arrays per
+        # candidate row (~1 KB/pair vs 16 B/pair), which dominated the
+        # exchange at large candidate counts. Vectors re-attach by two
+        # equi-joins only for the DISTINCT pairs that survive.
+        ab = _bucketed(a, "id_a", "_va", dim, n_planes, n_tables, 42,
+                       plane_fn).select("id_a", "_tbl", "_bkt")
+        bb = _bucketed(b, "id_b", "_vb", dim, n_planes, n_tables, 42,
+                       plane_fn).select("id_b", "_tbl", "_bkt")
         cand = (
             ab.join(
                 bb,
                 (ab["_tbl"] == bb["_tbl"]) & (ab["_bkt"] == bb["_bkt"])
                 & (ab["id_a"] < bb["id_b"]),
             )
-            .select("id_a", "id_b", "_va", "_vb")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+            .join(a, "id_a")
+            .join(b, "id_b")
         )
     else:
         raise ValueError(f"unknown method {method!r}")

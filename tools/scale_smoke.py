@@ -4,6 +4,7 @@ grows 10x (sf0.1 -> ~sf1, the largest dataset this box holds comfortably).
 Usage: python tools/scale_smoke.py [multiplier]
        python tools/scale_smoke.py longdoc   # chunk_documents doc-length pin
        python tools/scale_smoke.py decontam  # NLJ-vs-Aho-Corasick crossover
+       python tools/scale_smoke.py dedup100  # 100x dedup headliner smoke
 
 Builds a ~sf1 dataset in .scratch/ by unioning sf0.1 `multiplier` times
 with content made DISJOINT across replicas:
@@ -246,12 +247,214 @@ def decontam_main() -> None:
         }))
 
 
+def build_docs(spark, mult: int) -> str:
+    """documents+embeddings-only replica build (same disjoint-content
+    construction as build()) — the 100x dedup smoke doesn't need the
+    events/lineitem fact tables and x100 of those would dominate the
+    build cost."""
+    out = SCRATCH / f"docs_x{mult}"
+    if (out / "embeddings.parquet").exists():
+        return str(out)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    docs = load_table(spark, BASE, "documents")
+    reps = []
+    for i in range(mult):
+        tag = F.lit(f"r{i}")
+        toks = F.filter(F.split(F.col("text"), r"\W+"), lambda t: t != "")
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * ID_SHIFT)).alias("doc_id"),
+                F.array_join(
+                    F.transform(toks, lambda t: F.concat(tag, t)), " "
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    _union_all(reps).write.parquet(str(out / "documents.parquet"))
+    em = load_table(spark, BASE, "embeddings")
+    _union_all([
+        em.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        for i in range(mult)
+    ]).write.parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def _posting_list_candidates(ex, max_df: int | None):
+    """Candidate-pair count implied by a posting-list (shingle ->
+    doc-ids) self-join: sum over keys of C(df, 2), after the same
+    max_df hot-key cap the operator applies. This is the quantity whose
+    superlinear growth the 100x smoke exists to catch."""
+    per_key = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        per_key = per_key.filter(F.col("_df") <= max_df)
+    return per_key.select(
+        F.sum(F.col("_df") * (F.col("_df") - 1) / 2).cast("long").alias("c")
+    ).collect()[0]["c"] or 0
+
+
+def dedup100_main() -> None:
+    """r7 verdict #3: scale the dedup/ANN headliners from 10x to 100x
+    (5k -> 500k docs), recording wall AND candidate-pair counts per
+    stage. 10x-linear is necessary but not sufficient for the 100 TB
+    claim — candidate growth is the superlinear risk and only shows at
+    larger N. The replica construction keeps content disjoint across
+    replicas, so TRUE pair counts grow linearly; any superlinear
+    candidate growth is engine/dial behavior (hot buckets), not data."""
+    from kafka_streams_app_spark.functions.text import (
+        shingles_udf,
+        token_hashes,
+        tokens,
+        winnowing_of_hashes,
+    )
+    from kafka_streams_app_spark.functions.vectors import as_double
+    from kafka_streams_app_spark.operators.dedup import (
+        _shingle_sig_udf,
+        dedup_clusters,
+        dedup_containment,
+        dedup_embedding_cosine,
+        dedup_minhash_lsh,
+        dedup_winnowing,
+    )
+    from kafka_streams_app_spark.operators.similarity import _bucketed
+
+    spark = get_spark(app_name="scale-smoke-dedup100")
+    spark.sparkContext.setLogLevel("ERROR")
+    scales = [(10, build_docs(spark, 10)), (100, build_docs(spark, 100))]
+
+    def cands_minhash(docs):
+        ss = _shingle_sig_udf(3)
+        bands = (
+            docs.select(F.col("doc_id").alias("_id"),
+                        ss(F.col("text")).alias("_ss"))
+            .filter(F.size("_ss.sh") > 0)
+            .select("_id", F.explode("_ss.bh").alias("_s"))
+        )
+        return _posting_list_candidates(bands, None)
+
+    def cands_shingle(docs, max_df):
+        ex = (
+            docs.select(F.col("doc_id").alias("_id"),
+                        shingles_udf(3)(F.col("text")).alias("_sh"))
+            .select("_id", F.explode("_sh").alias("_s"))
+        )
+        return _posting_list_candidates(ex, max_df)
+
+    def cands_winnowing(docs):
+        # same fingerprint construction as dedup_winnowing (k=5, w=4)
+        fps = (
+            docs.select(
+                F.col("doc_id").alias("_id"),
+                F.array_distinct(
+                    winnowing_of_hashes(
+                        token_hashes(tokens(F.col("text")), hash_fn="xxhash64"),
+                        k=5, window=4,
+                    )
+                ).alias("_fps"),
+            )
+            .filter(F.size("_fps") > 0)
+            .select("_id", F.explode("_fps").alias("_s"))
+        )
+        return _posting_list_candidates(fps, 50)
+
+    def cands_emb_lsh(emb):
+        # same 6x8 hyperplane bucketing as dedup_embedding_cosine(lsh)
+        a = emb.select(F.col("vec_id").alias("_id"),
+                       as_double(F.col("embedding")).alias("_v"))
+        b = _bucketed(a, "_id", "_v", 64, 6, 8, 42, "gaussian")
+        return _posting_list_candidates(
+            b.select("_id", F.concat_ws("|", "_tbl", "_bkt").alias("_s")),
+            None)
+
+    # walls are only attempted when the candidate count is tractable on
+    # ONE box (the pair join's shuffle is O(candidates); measured: the
+    # 2.84B-candidate fixed-p=6 embedding run at x100 filled the 80 GB
+    # spill volume). NOTHING is skipped silently — a skipped wall prints
+    # its candidate count and reason. On a cluster the bound is per-
+    # executor spill space, not this constant.
+    WALL_CAND_BOUND = 300_000_000
+    ops = [
+        ("dedup_minhash_lsh",
+         lambda d, e: dedup_minhash_lsh(d, "text", "doc_id"),
+         lambda d, e: cands_minhash(d)),
+        ("dedup_containment",
+         lambda d, e: dedup_containment(d, "text", "doc_id", max_df=200),
+         lambda d, e: cands_shingle(d, 200)),
+        ("dedup_winnowing",
+         lambda d, e: dedup_winnowing(d, "text", "doc_id", min_shared=2,
+                                      max_df=50),
+         lambda d, e: cands_winnowing(d)),
+        ("dedup_embedding_lsh[p=6 fixed - the QUADRATIC dial]",
+         lambda d, e: dedup_embedding_cosine(
+             e, "vec_id", "embedding", method="lsh", dim=64),
+         lambda d, e: cands_emb_lsh(e)),
+        ("dedup_embedding_lsh[p=auto - occupancy-held dial]",
+         lambda d, e: dedup_embedding_cosine(
+             e, "vec_id", "embedding", method="lsh", dim=64,
+             n_planes="auto"),
+         lambda d, e: None),
+        ("dedup_clusters",
+         lambda d, e: dedup_clusters(d, "text", "doc_id"),
+         lambda d, e: None),  # input edges = minhash candidates above
+    ]
+    for name, run_fn, cand_fn in ops:
+        row: dict = {"query": name}
+        for mult, d in scales:
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            emb = load_table(spark, d, "embeddings")
+            cell: dict = {}
+            c = cand_fn(docs, emb)
+            if c is not None:
+                cell["candidate_pairs"] = c
+            if c is not None and c > WALL_CAND_BOUND:
+                cell["wall"] = (f"skipped: {c} candidates > "
+                                f"{WALL_CAND_BOUND} single-box bound")
+            else:
+                t0 = time.monotonic()
+                n_pairs = run_fn(docs, emb).count()
+                cell["sec"] = round(time.monotonic() - t0, 1)
+                cell["out_pairs"] = n_pairs
+            row[f"x{mult}"] = cell
+        w10 = row["x10"].get("sec")
+        w100 = row["x100"].get("sec")
+        if w10 and w100:
+            row["wall_ratio_for_10x_docs"] = round(w100 / w10, 2)
+        c10 = row["x10"].get("candidate_pairs")
+        c100 = row["x100"].get("candidate_pairs")
+        if c10 and c100:
+            row["cand_ratio_for_10x_docs"] = round(c100 / c10, 2)
+        print(json.dumps(row), flush=True)
+
+    # recall of the occupancy-held dial vs ground truth, at the base
+    # scale where the exact twin is affordable (5k vecs -> 12.5M pairs)
+    emb0 = load_table(spark, BASE, "embeddings")
+    exact = set(
+        (r["id_a"], r["id_b"]) for r in dedup_embedding_cosine(
+            emb0, "vec_id", "embedding", method="exact").collect()
+    )
+    for label, planes in (("p=6", 6), ("p=auto", "auto")):
+        got = set(
+            (r["id_a"], r["id_b"]) for r in dedup_embedding_cosine(
+                emb0, "vec_id", "embedding", method="lsh", dim=64,
+                n_planes=planes).collect()
+        )
+        print(json.dumps({
+            "query": f"emb_lsh_recall[{label}] vs exact @ sf0.1",
+            "true_pairs": len(exact), "found": len(got & exact),
+            "recall": round(len(got & exact) / len(exact), 3) if exact else None,
+        }), flush=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "longdoc":
         longdoc_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "decontam":
         decontam_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "dedup100":
+        dedup100_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale-smoke")
