@@ -483,12 +483,19 @@ def dedup_embedding_cosine(
     Output: id_a, id_b, cos DOUBLE (rounded 6dp for engine-portability).
     """
     from kafka_streams_app_spark.engine import ensure_parallelism
-    from kafka_streams_app_spark.functions.vectors import as_double, cosine
+    from kafka_streams_app_spark.functions.vectors import as_double, dot, norm
 
+    # norms are computed ONCE PER VECTOR here, not per candidate pair:
+    # the interpreted-HOF fold is the per-pair cost driver at large
+    # candidate counts, and cosine(_va,_vb) would re-fold both norms
+    # for every pair (3x the HOF work). Same fold per vector => the
+    # division below is bit-identical to cosine()'s.
     a = ensure_parallelism(df).select(
         F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("_va")
-    )
-    b = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("_vb"))
+    ).withColumn("_na", norm(F.col("_va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("_vb")
+    ).withColumn("_nb", norm(F.col("_vb")))
     if method == "exact":
         cand = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
@@ -524,7 +531,9 @@ def dedup_embedding_cosine(
         )
     else:
         raise ValueError(f"unknown method {method!r}")
-    cos = cosine(F.col("_va"), F.col("_vb"))
+    # dot/(na*nb): same fold, same operation order as cosine(_va,_vb) —
+    # bit-identical result with the norms evaluated once per vector
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         cand.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)

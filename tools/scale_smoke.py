@@ -274,8 +274,24 @@ def build_docs(spark, mult: int) -> str:
         )
     _union_all(reps).write.parquet(str(out / "documents.parquet"))
     em = load_table(spark, BASE, "embeddings")
+    # per-replica deterministic +-1 sign masks: within-replica geometry
+    # is preserved (constant mask cancels in cosine), cross-replica
+    # cosines of identical base vectors become ~0 — without this the
+    # replicas are IDENTICAL vectors and true near-dup pairs grow
+    # quadratically in the replica count, measuring the data
+    # construction instead of the engine (the r9 first run's 90k->9.9M
+    # out_pairs artifact).
     _union_all([
-        em.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        em.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, k: x * F.when(
+                    F.pmod(F.xxhash64(F.lit(i), k), 2) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)).cast("float"),
+            ).alias("embedding"),
+            *[c for c in em.columns if c not in ("vec_id", "embedding")],
+        )
         for i in range(mult)
     ]).write.parquet(str(out / "embeddings.parquet"))
     return str(out)
@@ -426,21 +442,40 @@ def dedup100_main() -> None:
             row["cand_ratio_for_10x_docs"] = round(c100 / c10, 2)
         print(json.dumps(row), flush=True)
 
-    # recall of the occupancy-held dial vs ground truth, at the base
-    # scale where the exact twin is affordable (5k vecs -> 12.5M pairs)
+    # recall of the dials vs ground truth at the base scale, where the
+    # exact twin is affordable (~5k vecs -> 12.5M pairs). The synthetic
+    # base corpus has NO natural cos>=0.9 pairs, so plant one near-dup
+    # twin per 50th vector: twin[k] = v[k] * (0.96..1.04 deterministic
+    # per-dim jitter) -> cos(v, twin) ~ 0.999, bucket-divergence
+    # possible on planes near the decision boundary (the realistic
+    # near-dup shape, unlike an exact copy which trivially co-buckets).
     emb0 = load_table(spark, BASE, "embeddings")
+    twins = emb0.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, k: x * (
+                F.lit(1.0)
+                + F.lit(0.02)
+                * (F.pmod(F.xxhash64(F.col("vec_id"), k), 5) - F.lit(2))
+            ).cast("float"),
+        ).alias("embedding"),
+        *[c for c in emb0.columns if c not in ("vec_id", "embedding")],
+    )
+    planted = emb0.unionByName(twins)
     exact = set(
         (r["id_a"], r["id_b"]) for r in dedup_embedding_cosine(
-            emb0, "vec_id", "embedding", method="exact").collect()
+            planted, "vec_id", "embedding", method="exact").collect()
     )
     for label, planes in (("p=6", 6), ("p=auto", "auto")):
         got = set(
             (r["id_a"], r["id_b"]) for r in dedup_embedding_cosine(
-                emb0, "vec_id", "embedding", method="lsh", dim=64,
+                planted, "vec_id", "embedding", method="lsh", dim=64,
                 n_planes=planes).collect()
         )
         print(json.dumps({
-            "query": f"emb_lsh_recall[{label}] vs exact @ sf0.1",
+            "query": f"emb_lsh_recall[{label}] vs exact, planted twins"
+                     " @ sf0.1",
             "true_pairs": len(exact), "found": len(got & exact),
             "recall": round(len(got & exact) / len(exact), 3) if exact else None,
         }), flush=True)
