@@ -468,7 +468,12 @@ def dedup_embedding_cosine(
     corpora should raise n_tables (or multi-probe) alongside; the
     smoke records the measured recall on the synthetic corpus. Auto
     mode derives p deterministically from n, so an oracle that knows n
-    replays identical buckets.
+    replays identical buckets. Auto mode also verifies candidates
+    INLINE in the bucket join (constant occupancy => dup factor ~1,
+    so deduping before verify would cost two per-pair vector-attach
+    joins to save ~0.3% of verifies — see the strategy comment below);
+    fixed planes keep the dedup-then-attach form (dup factor ~100 at
+    p=6/200k vectors). Both forms emit identical rows.
 
     method="exact": all-pairs verification (id_a < id_b). O(n^2) — the
     oracle/baseline twin, viable for corpora small enough to broadcast
@@ -508,23 +513,49 @@ def dedup_embedding_cosine(
         if n_planes == "auto":
             n = df.count()  # one cheap count job; deterministic given df
             n_planes = max(6, math.ceil(math.log2(max(n, 1) / target_occupancy)))
-        # ids-first candidate generation (r9): the bucket join and the
-        # (id_a, id_b) dedup shuffle carry ONLY the two ids, never the
-        # vectors — the old form shuffled both 64-dim arrays per
-        # candidate row (~1 KB/pair vs 16 B/pair), which dominated the
-        # exchange at large candidate counts. Vectors re-attach by two
-        # equi-joins only for the DISTINCT pairs that survive.
+            inline_verify = True
+        else:
+            inline_verify = False
+        # Two attach strategies, chosen by the candidate DUP FACTOR
+        # (raw bucket-join pairs / distinct pairs) the plane dial
+        # implies — measured crossover in the r9 100x smoke:
+        #
+        # - auto planes hold mean bucket occupancy constant, so a pair
+        #   rarely co-buckets in more than one table (measured dup
+        #   factor 1.003 at 200k vectors). dropDuplicates saves ~0.3%
+        #   of verifies but forces the pairs through an ids-only
+        #   shuffle PLUS two vector re-attach joins — at 60M pairs
+        #   that is ~60 GB of vector payload through two sort-merge
+        #   exchanges, 10x the cost of just verifying every raw pair
+        #   where it is born. So: verify INLINE in the bucket join
+        #   (vectors and norms ride the 8x-replicated per-vector
+        #   bucket rows, ~KB-scale per vector, never per-pair), then
+        #   dropDuplicates only the threshold SURVIVORS (tiny).
+        # - fixed planes let occupancy grow with n, and a pair that is
+        #   close co-buckets in MANY tables (measured dup factor ~100
+        #   at p=6/200k vectors: 2.84B raw vs 28M distinct). There the
+        #   ids-first dedup-then-attach form wins: 16 B/pair through
+        #   the dedup shuffle, vectors attached once per distinct pair.
+        va_cols = ["_va", "_na"] if inline_verify else []
+        vb_cols = ["_vb", "_nb"] if inline_verify else []
         ab = _bucketed(a, "id_a", "_va", dim, n_planes, n_tables, 42,
-                       plane_fn).select("id_a", "_tbl", "_bkt")
+                       plane_fn).select("id_a", "_tbl", "_bkt", *va_cols)
         bb = _bucketed(b, "id_b", "_vb", dim, n_planes, n_tables, 42,
-                       plane_fn).select("id_b", "_tbl", "_bkt")
-        cand = (
-            ab.join(
-                bb,
-                (ab["_tbl"] == bb["_tbl"]) & (ab["_bkt"] == bb["_bkt"])
-                & (ab["id_a"] < bb["id_b"]),
+                       plane_fn).select("id_b", "_tbl", "_bkt", *vb_cols)
+        raw = ab.join(
+            bb,
+            (ab["_tbl"] == bb["_tbl"]) & (ab["_bkt"] == bb["_bkt"])
+            & (ab["id_a"] < bb["id_b"]),
+        )
+        if inline_verify:
+            cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            return (
+                raw.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+                .filter(F.col("cos") >= threshold)
+                .dropDuplicates(["id_a", "id_b"])
             )
-            .select("id_a", "id_b")
+        cand = (
+            raw.select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
             .join(a, "id_a")
             .join(b, "id_b")

@@ -156,8 +156,11 @@ def _bucketed(
         ids = ((dots >= 0) * powers).sum(axis=2).astype(np.int32)
         return pd.Series(list(ids))
 
+    # "*" (not just idc/vec): callers that pre-compute per-vector columns
+    # (e.g. dedup's norms) keep them through the explode — the extra
+    # columns are a few bytes next to the vector itself.
     return df.select(
-        idc, vec, F.posexplode(bucket_ids(F.col(vec))).alias("_tbl", "_bkt")
+        "*", F.posexplode(bucket_ids(F.col(vec))).alias("_tbl", "_bkt")
     )
 
 
