@@ -209,6 +209,86 @@ def _md5_bucket_list_sql(n_planes: int, n_tables: int, dim: int) -> str:
     return ", ".join(bucket(t) for t in range(n_tables))
 
 
+def _md5_bucket_list_sql_dyn(max_planes: int, n_tables: int, dim: int) -> str:
+    """Like _md5_bucket_list_sql but the EFFECTIVE plane count is a
+    runtime column ``p_eff`` (from a cross-joined params CTE): each of
+    max_planes sign bits is guarded by ``{p} < p_eff`` — CASE is lazy,
+    so planes beyond p_eff cost nothing. This is what lets the oracle
+    replay n_planes='auto' (p derived from the corpus size) without
+    knowing the row count at SQL-generation time."""
+    import hashlib
+
+    def sign(t: int, p: int, j: int) -> int:
+        h = int(hashlib.md5(f"{t}-{p}-{j}".encode()).hexdigest()[:15], 16)
+        return 1 if (h & 1) else -1
+
+    def dot(t: int, p: int) -> str:
+        return " ".join(
+            ("+" if sign(t, p, j) > 0 else "-") + f" q[{j + 1}]"
+            for j in range(dim)
+        ).lstrip("+ ")
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {p} < p_eff THEN"
+            f" (CASE WHEN {dot(t, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            f" ELSE 0 END)"
+            for p in range(max_planes)
+        )
+
+    return ", ".join(bucket(t) for t in range(n_tables))
+
+
+def _dedup_emb_lsh_auto_sql(
+    threshold: float = 0.4, n_tables: int = 8, dim: int = 64,
+    target_occupancy: int = 64, max_planes: int = 12,
+) -> str:
+    """DuckDB twin of dedup_embedding_cosine(method='lsh',
+    n_planes='auto', plane_fn='md5'): derives the SAME
+    p = max(6, ceil(log2(n / target_occupancy))) the Spark side derives
+    from its one count job, then replays the md5-Rademacher buckets at
+    that p (plane constants are independent of p, so the dynamic form
+    just truncates the same sign-bit series). Valid for corpora up to
+    target_occupancy * 2^max_planes rows (~262k at the defaults) — far
+    above the sf0.01/sf0.1 gate scales; the Spark side has no such cap.
+    ulp note: at the gate scales p resolves to the max(6, ...) floor,
+    nowhere near a log2 ceiling boundary, so libm differences between
+    the two engines cannot flip p."""
+    buckets = _md5_bucket_list_sql_dyn(max_planes, n_tables, dim)
+    return f"""
+    WITH pp AS (
+      SELECT GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1)
+                                         / {target_occupancy}.0))
+                              AS INTEGER)) AS p_eff
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             [CAST(floor(x * 1000000.0) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS q
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, [{buckets}] AS bks FROM e, pp),
+    bx AS (
+      SELECT vec_id, i, bks[i + 1] AS bkt
+      FROM b, (SELECT unnest(range(0, {n_tables})) AS i)
+    ),
+    cp AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bx x JOIN bx y
+        ON x.i = y.i AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+    ),
+    s AS (
+      SELECT id_a, id_b,
+             round(list_inner_product(a.v, c.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(c.v, c.v))), 6) AS cos
+      FROM cp JOIN e a ON cp.id_a = a.vec_id
+              JOIN e c ON cp.id_b = c.vec_id
+    )
+    SELECT id_a, id_b, cos FROM s WHERE cos >= {threshold}
+    """
+
+
 def _lsh_ann_md5_sql(
     k: int = 10, n_planes: int = 6, n_tables: int = 8, dim: int = 64
 ) -> str:
@@ -598,6 +678,21 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_embedding_cosine(
         emb, "vec_id", "embedding", threshold=0.4, method="lsh", dim=64,
         plane_fn="md5",
+    )
+
+
+def _q_dedup_embedding_lsh_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """The linear-cost 100 TB dial of embedding dedup under oracle:
+    n_planes='auto' holds mean bucket occupancy constant as the corpus
+    grows AND verifies candidates inline in the bucket join (dup factor
+    ~1 at constant occupancy — operators/dedup.py strategy note), so
+    this entry hash-checks the inline-verify plan end to end. The
+    DuckDB twin derives the same p from its own count(*) and replays
+    the md5-Rademacher buckets at that p."""
+    emb = load_table(spark, sf, "embeddings")
+    return dedup.dedup_embedding_cosine(
+        emb, "vec_id", "embedding", threshold=0.4, method="lsh", dim=64,
+        n_planes="auto", plane_fn="md5",
     )
 
 
@@ -2027,6 +2122,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the 100 TB LSH path, candidate generation hash-checked (the exact
     # O(n^2) twin above stays as the recall oracle)
     "dedup_embedding_lsh": (_q_dedup_embedding_lsh, _dedup_emb_lsh_md5_sql()),
+    # the auto-planes / inline-verify dial of the same path (r9): the
+    # oracle recomputes p from its own count(*), so the scale dial
+    # itself is hash-checked, not just a fixed-p configuration
+    "dedup_embedding_lsh_auto": (
+        _q_dedup_embedding_lsh_auto, _dedup_emb_lsh_auto_sql()),
     # --- similarity search (north-star) ---
     "embedding_dim_stats": (_q_embedding_dim_stats, r"""
         WITH ex AS (
@@ -3015,7 +3115,9 @@ _FRONT = [
     # (2) changed/new this round
     "corpus_chunk", "s_windowed_join_ktime",
     "s_windowed_join_ktime_multibucket", "decontam_exact_ac",
-    "text_lm_likelihood",
+    "text_lm_likelihood", "dedup_embedding_lsh_auto",
+    "dedup_embedding_lsh", "dedup_embedding_cosine",
+    "sim_cosine_topk", "sim_lsh_ann_topk",
     # (3) r6-latest fill
     "j5_table_join_inner", "j6_table_join_left_tombstone",
     "j7_fk_join_left", "j8_fk_join_inner_agg",

@@ -70,6 +70,30 @@ def test_embedding_lsh_subset_of_exact(spark):
     assert lsh <= exact
 
 
+def test_embedding_lsh_inline_equals_ids_first(spark):
+    """n_planes='auto' switches to the inline-verify plan (cosine
+    computed in the bucket join, dedup after the threshold filter);
+    fixed n_planes keeps the dedup-then-attach plan. At the same
+    resolved p the two plans must emit IDENTICAL (id_a, id_b, cos)
+    rows — the strategies differ only in where the verify runs."""
+    import math
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    p = max(6, math.ceil(math.log2(max(n, 1) / 64)))
+    rows = lambda df: {
+        (r["id_a"], r["id_b"], r["cos"]) for r in df.collect()
+    }
+    inline = rows(dedup.dedup_embedding_cosine(
+        emb, "vec_id", "embedding", threshold=0.35, method="lsh", dim=64,
+        n_planes="auto"))
+    ids_first = rows(dedup.dedup_embedding_cosine(
+        emb, "vec_id", "embedding", threshold=0.35, method="lsh", dim=64,
+        n_planes=p))
+    assert inline == ids_first
+    assert len(inline) > 0  # empty would be vacuous
+
+
 def test_lsh_ann_subset_and_ranked(spark):
     """ANN results: ranks contiguous from 1 per query, cos descending,
     and every (query, neighbor) pair scored identically to exact."""

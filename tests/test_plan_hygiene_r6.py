@@ -124,3 +124,28 @@ def test_decontaminate_exact_ac_single_arrow_crossing(spark):
     r = plan_report(out)
     assert r["python_evals"] == 1
     assert r["rowwise_python"] == 0
+
+
+def test_embedding_lsh_inline_verify_join_shape(spark):
+    """r9 inline-verify: with auto planes the whole LSH dedup is ONE
+    join (the bucket self-join — cosine computed where the vectors are
+    born, dedup only on threshold survivors); the fixed-planes
+    ids-first form pays that join PLUS two vector re-attach joins.
+    Nothing row-wise in either plan."""
+    from kafka_streams_app_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    inline = dedup.dedup_embedding_cosine(
+        emb, "vec_id", "embedding", threshold=0.35, method="lsh", dim=64,
+        n_planes="auto",
+    )
+    r = plan_report(inline)
+    assert r["shuffle_joins"] + r["broadcast_joins"] == 1
+    assert r["rowwise_python"] == 0
+    ids_first = dedup.dedup_embedding_cosine(
+        emb, "vec_id", "embedding", threshold=0.35, method="lsh", dim=64,
+        n_planes=6,
+    )
+    r2 = plan_report(ids_first)
+    assert r2["shuffle_joins"] + r2["broadcast_joins"] == 3
+    assert r2["rowwise_python"] == 0
