@@ -571,6 +571,114 @@ def dedup_embedding_cosine(
     )
 
 
+# --- cross-corpus (incremental) dedup ---------------------------------------
+
+def _fp_halves(content: Column) -> tuple[Column, Column]:
+    """md5(content) split into two independent 56-bit integers — the
+    (h1, h2) pair for Kirsch-Mitzenmacher double hashing (probe i hits
+    position (h1 + i*h2) mod m; two hashes simulate k independent ones
+    with no loss in asymptotic FP rate). 14 hex digits = 56 bits keeps
+    h1 + 7*h2 < 2^59, far from long overflow under ANSI mode, and the
+    same conv() arithmetic is reproducible in any SQL engine."""
+    fp = F.md5(content)
+    h1 = F.conv(F.substring(fp, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(fp, 15, 14), 16, 10).cast("long")
+    return h1, h2
+
+
+def dedup_cross_corpus(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    content: str,
+    bits_per_key: int = 16,
+    max_bits: int = 1 << 30,
+) -> DataFrame:
+    """Cross-corpus exact dedup: rows of new_df whose content does NOT
+    appear in ref_df — "don't re-ingest documents the last crawl
+    already contributed". Incremental dedup against a reference corpus
+    is a different shape from self-dedup: ref is typically much larger
+    than the increment, and shipping every new row into a shuffle
+    against 100 TB of ref fingerprints is the naive plan this operator
+    exists to avoid.
+
+    Plan (result is EXACT; the bloom filter only prunes the shuffle):
+
+    1. One pass over ref builds an m-bit bloom bitset DISTRIBUTED: each
+       fingerprint explodes into k probe positions, positions reduce to
+       (word, bit_or(mask)) via a map-side-combined groupBy — at most
+       m/64 longs cross to the driver (bounded by max_bits/64, ~128 MB
+       of longs at the default cap), then broadcast.
+    2. new rows test membership in one Arrow-vectorized pass (numpy bit
+       probes against the broadcast bitset; no shuffle). A bloom MISS
+       is definitive (no false negatives): the row is new — it never
+       joins, never shuffles.
+    3. Only bloom HITS (true dups + the ~0.04% false positives at the
+       default 16 bits/key) take the exact left_anti join against ref's
+       fingerprint column; FP-hit rows survive the join and are kept.
+
+    At 100 TB-of-ref scale, m is a MEMORY <-> SHUFFLE-SAVINGS dial, not
+    a correctness dial: max_bits caps the bitset at executor-broadcast
+    size; an undersized filter just passes more rows to step 3's exact
+    join (graceful degradation, never a wrong answer). Sizing: m = next
+    power of two >= bits_per_key * n_ref (one count job, same bounded-
+    collect pattern as the IVF codebook), k = ln2 * m/n capped at 7.
+
+    Cites /root/reference parity: the reference has no cross-corpus
+    operator; this extends the dedup family for training-data builds.
+    """
+    import math
+
+    n_ref = ref_df.count()
+    if n_ref == 0:
+        return new_df
+    m = 1 << max(13, min(int(max_bits).bit_length() - 1,
+                         math.ceil(math.log2(bits_per_key * n_ref))))
+    k = max(1, min(7, round(0.693 * m / n_ref)))
+
+    h1, h2 = _fp_halves(F.col(content))
+    probes = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i")
+    pos = F.pmod(F.col("_h1") + F.col("_i") * F.col("_h2"), F.lit(m))
+    words = (
+        ref_df.select(h1.alias("_h1"), h2.alias("_h2"))
+        .select(F.col("_h1"), F.col("_h2"), probes)
+        .select((pos / 64).cast("long").alias("_w"),
+                F.shiftleft(F.lit(1).cast("long"), (pos % 64).cast("int"))
+                .alias("_m"))
+        .groupBy("_w").agg(F.expr("bit_or(_m)").alias("_bits"))
+        .collect()
+    )
+    bitset = np.zeros(m // 64, dtype=np.uint64)
+    for r in words:
+        bitset[r._w] = np.uint64(r._bits)
+    spark = new_df.sparkSession
+    bc = spark.sparkContext.broadcast(bitset)
+    mm, kk = m, k
+
+    @pandas_udf("boolean")
+    def _might_contain(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        bits = bc.value
+        a = s1.to_numpy(dtype=np.uint64)
+        b = s2.to_numpy(dtype=np.uint64)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(kk):
+            p = (a + np.uint64(i) * b) % np.uint64(mm)
+            w = (p >> np.uint64(6)).astype(np.int64)
+            bit = (bits[w] >> (p & np.uint64(63))) & np.uint64(1)
+            hit &= bit.astype(bool)
+        return pd.Series(hit)
+
+    nh1, nh2 = _fp_halves(F.col(content))
+    tagged = new_df.withColumn("_hit", _might_contain(nh1, nh2))
+    misses = tagged.filter(~F.col("_hit")).drop("_hit")
+    hits = tagged.filter(F.col("_hit")).drop("_hit")
+    survivors = hits.join(
+        ref_df.select(F.md5(F.col(content)).alias("_fp")).distinct(),
+        F.md5(F.col(content)) == F.col("_fp"),
+        "left_anti",
+    )
+    return misses.unionByName(survivors)
+
+
 # --- duplicate clustering ---------------------------------------------------
 
 def dedup_clusters(

@@ -89,6 +89,65 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    weights: Mapping[str, float],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted source mixing — the training-mixture
+    construction step (domain/source reweighting a la The Pile / Dolma
+    mixture tables): each source contributes ``weight x its rows``
+    rows in expectation, where weight may EXCEED 1 (upsampling a small
+    high-quality source by repetition) or sit below 1 (downsampling a
+    dominant crawl).
+
+    Output = input columns + ``epoch`` (0-based replica index), so
+    repeated rows stay distinguishable for downstream deterministic
+    shuffling (`shuffle_deterministic` keys on id+epoch to spread
+    replicas apart rather than emitting them adjacent).
+
+    Semantics per row with weight w (unlisted sources drop):
+    - replicas 0..floor(w)-1 are kept unconditionally;
+    - replica floor(w) survives iff the row's (id, epoch, seed) hash
+      bucket < frac(w), quantized to 1/SAMPLE_BUCKETS — the same
+      engine-portable md5 test as stratified_sample, salted with the
+      epoch so the fractional replica set is independent of the w<1
+      keep set and of other epochs.
+
+    Scale: zero shuffle and zero Python — weights live in literal CASE
+    expressions (no join), replicas come from one `explode(sequence)`
+    whose fan-out is exactly ceil(w) (bounded, per-row), and the hash
+    test evaluates in the scan stage. Determinism makes the mixture
+    auditable and resumable: membership is a pure function of
+    (id, source, weights, seed), independent of cluster size or
+    partitioning. At 100 TB the operator is a single pass; changing
+    the mixture re-runs only this pass, not the upstream pipeline.
+    """
+    n_full: Column = F.lit(0)
+    frac_thr: Column = F.lit(0)
+    for source, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {source!r}: {w}")
+        full = int(w)
+        frac = int(round((w - full) * SAMPLE_BUCKETS))
+        is_src = F.col(source_col) == source
+        n_full = F.when(is_src, F.lit(full)).otherwise(n_full)
+        frac_thr = F.when(is_src, F.lit(frac)).otherwise(frac_thr)
+    epoch = F.explode(F.sequence(F.lit(0), n_full)).alias("epoch")
+    out = df.select("*", n_full.alias("_nf"), frac_thr.alias("_ft"), epoch)
+    tag = F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.col("epoch").cast("string"),
+        F.lit(str(seed)),
+    )
+    out = out.filter(
+        (F.col("epoch") < F.col("_nf"))
+        | (portable_bucket(tag, SAMPLE_BUCKETS) < F.col("_ft"))
+    )
+    return out.drop("_nf", "_ft")
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
