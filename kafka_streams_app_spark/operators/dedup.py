@@ -623,12 +623,20 @@ def dedup_cross_corpus(
     power of two >= bits_per_key * n_ref (one count job, same bounded-
     collect pattern as the IVF codebook), k = ln2 * m/n capped at 7.
 
+    Null-content rows: a null never equals anything (SQL semantics), so
+    null-content new rows are always kept and null-content ref rows
+    contribute nothing — both are routed AROUND the bloom (nulls in the
+    probe columns would otherwise force the Arrow batch to float64 and
+    silently truncate the 56-bit hashes at the 53-bit mantissa).
+
     Cites /root/reference parity: the reference has no cross-corpus
     operator; this extends the dedup family for training-data builds.
     """
     import math
 
-    n_ref = ref_df.count()
+    ref_nn = ref_df.filter(F.col(content).isNotNull())
+    n_ref = ref_nn.count()
+    null_new = new_df.filter(F.col(content).isNull())
     if n_ref == 0:
         return new_df
     m = 1 << max(13, min(int(max_bits).bit_length() - 1,
@@ -639,7 +647,7 @@ def dedup_cross_corpus(
     probes = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i")
     pos = F.pmod(F.col("_h1") + F.col("_i") * F.col("_h2"), F.lit(m))
     words = (
-        ref_df.select(h1.alias("_h1"), h2.alias("_h2"))
+        ref_nn.select(h1.alias("_h1"), h2.alias("_h2"))
         .select(F.col("_h1"), F.col("_h2"), probes)
         .select((pos / 64).cast("long").alias("_w"),
                 F.shiftleft(F.lit(1).cast("long"), (pos % 64).cast("int"))
@@ -649,7 +657,10 @@ def dedup_cross_corpus(
     )
     bitset = np.zeros(m // 64, dtype=np.uint64)
     for r in words:
-        bitset[r._w] = np.uint64(r._bits)
+        # mask to unsigned: bit_or with bit 63 set arrives as a negative
+        # Python long (shiftleft(1,63) = Long.MIN_VALUE); np.uint64 of a
+        # negative raises OverflowError on numpy >= 2.0
+        bitset[r._w] = np.uint64(r._bits & 0xFFFFFFFFFFFFFFFF)
     spark = new_df.sparkSession
     bc = spark.sparkContext.broadcast(bitset)
     mm, kk = m, k
@@ -668,15 +679,18 @@ def dedup_cross_corpus(
         return pd.Series(hit)
 
     nh1, nh2 = _fp_halves(F.col(content))
-    tagged = new_df.withColumn("_hit", _might_contain(nh1, nh2))
+    tagged = (
+        new_df.filter(F.col(content).isNotNull())
+        .withColumn("_hit", _might_contain(nh1, nh2))
+    )
     misses = tagged.filter(~F.col("_hit")).drop("_hit")
     hits = tagged.filter(F.col("_hit")).drop("_hit")
     survivors = hits.join(
-        ref_df.select(F.md5(F.col(content)).alias("_fp")).distinct(),
+        ref_nn.select(F.md5(F.col(content)).alias("_fp")).distinct(),
         F.md5(F.col(content)) == F.col("_fp"),
         "left_anti",
     )
-    return misses.unionByName(survivors)
+    return misses.unionByName(survivors).unionByName(null_new)
 
 
 # --- duplicate clustering ---------------------------------------------------
