@@ -626,6 +626,34 @@ def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_exact(docs, "text", "doc_id")
 
 
+def _q_dedup_cross_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest vs a reference crawl: 'new' docs (doc_id%10
+    >= 2) whose text the 'ref' corpus (doc_id%10 < 3) did not already
+    contribute — the %10==2 band appears in both, so its rows are true
+    cross-corpus dups the bloom must route to the exact anti-join; the
+    result is EXACT, the distributed bloom only prunes the shuffle
+    (operators/dedup.py:dedup_cross_corpus)."""
+    docs = load_table(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 < 3)
+    new = docs.filter(F.col("doc_id") % 10 >= 2)
+    out = dedup.dedup_cross_corpus(new, ref, "text")
+    return out.select("doc_id", "lang")
+
+
+def _q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-mixture construction: per-source weights
+    with upsampling (>1), fractional replicas, and a dropped source —
+    the oracle re-derives every (row, epoch) membership from the same
+    md5-bucket arithmetic (operators/pipeline.py:mix_sources)."""
+    docs = load_table(spark, sf, "documents")
+    out = pipeline.mix_sources(
+        docs, "source",
+        {"src0": 2.0, "src1": 0.5, "src2": 1.25, "src3": 0.0, "src4": 3.5},
+        "doc_id", seed=7,
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return dedup.dedup_ngram_jaccard(docs, "text", "doc_id", k=3, threshold=0.8)
@@ -2057,6 +2085,35 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact": (_q_dedup_exact, """
         SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         FROM documents GROUP BY md5(text)
+    """),
+    "dedup_cross_corpus": (_q_dedup_cross_corpus, """
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id % 10 >= 2
+          AND NOT EXISTS (SELECT 1 FROM documents r
+                          WHERE r.doc_id % 10 < 3 AND r.text = d.text)
+    """),
+    "mix_sources": (_q_mix_sources, """
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                             WHEN 'src2' THEN 1 WHEN 'src4' THEN 3
+                             ELSE 0 END AS nf,
+                 CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 5000
+                             WHEN 'src2' THEN 2500 WHEN 'src4' THEN 5000
+                             ELSE 0 END AS ft
+          FROM documents
+          WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        ), e AS (
+          SELECT doc_id, source, nf, ft,
+                 unnest(range(0, nf + 1)) AS epoch
+          FROM w
+        )
+        SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM e
+        WHERE epoch < nf
+           OR CAST('0x' || substring(
+                md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(epoch AS VARCHAR) || ':7'), 1, 15) AS BIGINT)
+              % 10000 < ft
     """),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _JACCARD_PAIRS.format(thr=0.8)),
     "dedup_containment": (_q_dedup_containment, "WITH " + _SHINGLES + r""",

@@ -649,8 +649,11 @@ def dedup_cross_corpus(
     words = (
         ref_nn.select(h1.alias("_h1"), h2.alias("_h2"))
         .select(F.col("_h1"), F.col("_h2"), probes)
-        .select((pos / 64).cast("long").alias("_w"),
-                F.shiftleft(F.lit(1).cast("long"), (pos % 64).cast("int"))
+        .select(pos.alias("_p"))
+        # shiftleft's python API takes a literal bit count; the SQL
+        # form accepts a column
+        .select((F.col("_p") / 64).cast("long").alias("_w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))")
                 .alias("_m"))
         .groupBy("_w").agg(F.expr("bit_or(_m)").alias("_bits"))
         .collect()

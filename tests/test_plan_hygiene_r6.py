@@ -149,3 +149,33 @@ def test_embedding_lsh_inline_verify_join_shape(spark):
     r2 = plan_report(ids_first)
     assert r2["shuffle_joins"] + r2["broadcast_joins"] == 3
     assert r2["rowwise_python"] == 0
+
+
+def test_mix_sources_scan_stage_only(spark):
+    """r10 mix_sources: weights live in literal CASE expressions and
+    replicas in one bounded explode(sequence) — zero Python, zero
+    shuffle; the whole mixture is a single scan-stage pass."""
+    out = pipeline.mix_sources(
+        _docs(spark), "source", {"src0": 2.0, "src1": 0.5}, "doc_id"
+    )
+    r = plan_report(out)
+    assert r["python_evals"] == 0 and r["rowwise_python"] == 0
+    assert r["exchanges"] == 0
+
+
+def test_dedup_cross_corpus_arrow_probe_no_rowwise(spark):
+    """r10 dedup_cross_corpus: the bloom membership probe is the only
+    Python in the plan and it is Arrow-batched (<=2 ArrowEvalPython —
+    the probe column feeds both union branches); the exact anti-join
+    runs only on the HIT branch; nothing row-wise anywhere."""
+    from kafka_streams_app_spark.operators import dedup
+
+    docs = _docs(spark)
+    out = dedup.dedup_cross_corpus(
+        docs.filter(F.col("doc_id") % 10 >= 2),
+        docs.filter(F.col("doc_id") % 10 < 3),
+        "text",
+    )
+    r = plan_report(out)
+    assert r["rowwise_python"] == 0
+    assert 1 <= r["python_evals"] <= 2
