@@ -3129,64 +3129,55 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
 }
 
-# --- driver-sample ordering (r9 rotation) ---
+# --- driver-sample ordering (r11 rotation) ---
 # The driver samples the FIRST 50 registry entries each round
 # (tests/test_registry_order.py pins the never-green-inside-window
-# invariant). r9 rotation, per the r7 verdict #2 (r8 was a driver-only
-# round — no builder commits — so the r7 rotation ran twice and the
-# r5 tail aged another generation):
-# 1. The 29 entries whose newest driver-green row is r5 (three testdata
-#    generations back): the t/a/w/j1-j4 core, branch_merge, q2/q4,
-#    dedup_exact, and the 11 watermark s_* entries. All judge-gate
-#    green on current data in r7; this rotation retires the stale tail
-#    permanently.
-# 2. Entries whose code changed (or is new) this round, so the driver
-#    signs them on the new code: corpus_chunk (struct-first explode),
-#    s_windowed_join_ktime (bucket_fn refactor) + the NEW
-#    s_windowed_join_ktime_multibucket, NEW decontam_exact_ac.
-# 3. Fill to 50 with 17 of the 18 r6-latest entries (j5-j8 batch, IQ
-#    q1/q5/q6, extras_*, dedup_ngram_jaccard, decontam_overlap,
-#    pipeline_shuffle_det, corpus_ngram_topk). t1_wordcount (also
-#    r6-latest) is slot 51: it is the entry() flagship smoke-checked
-#    every round and the most test-pinned operator in the repo — it
-#    rotates in next round.
-# Demoted to the tail: the 50 r7/r8-signed entries (tpch_*, dedup/sim/
-# text/multimodal families, s_fk/s_pk/s_ktable incrementals) — all
-# driver-green twice on unchanged code.
+# invariant). r11 rotation (r10 had no driver CORRECTNESS file, so
+# signatures stand at r9; the r9 ADVICE flagged the previous list at
+# 57 entries — 7 slots past the window — fixed here to exactly 50):
+# 1. NEW r10 entries, never driver-sampled: dedup_cross_corpus,
+#    mix_sources (both now tested in tests/test_cross_corpus_mix.py).
+# 2. Code changed in r10, so the driver re-signs it on the new code:
+#    decontam_exact_ac (Rabin-Karp matcher rewrite, pipeline.py).
+# 3. The 7 r6-stale entries the r9 rotation misplaced past slot 50:
+#    extras_* x6 + t1_wordcount.
+# 4. Fill to exactly 50 with 40 of the 44 r8-signed tail entries
+#    (tpch_* x10, dedup/sim/text families, s_fk/s_pk/s_ktable
+#    incrementals, q3_range_scan). The 4 leftovers (multimodal_meta/
+#    resize/features/bmp_decode — rows-only checks, code untouched
+#    since r6) lead the demoted tail and rotate in next round with
+#    the r9-signed 47.
 _FRONT = [
-    # (1) the r5-stale 29
-    "t2_mapvalues_square", "t3_selectkey_rekey", "t4_groupby_mapper",
-    "t5_groupbykey_count", "branch_merge",
-    "a1_count_per_key", "a2_windowed_count", "a3_windowed_sum",
-    "a4_session_count",
-    "w3_hopping_count", "w5_emit_on_close",
-    "j1_interval_join_inner", "j2_interval_join_left",
-    "j3_self_join_windowed", "j4_asof_enrich",
-    "q2_full_scan", "q4_window_fetch",
-    "dedup_exact",
-    "s_windowed_count_closed", "s_count_complete",
-    "s_dedup_within_watermark", "s_stream_stream_join",
-    "s_hopping_count_closed", "s_session_count_grace",
-    "s_interval_join_left", "s_windowed_count_grace",
-    "s_stream_table_join", "s_windowed_sum_closed", "s_session_count",
-    # (2) changed/new this round
-    "corpus_chunk", "s_windowed_join_ktime",
-    "s_windowed_join_ktime_multibucket", "decontam_exact_ac",
-    "text_lm_likelihood", "dedup_embedding_lsh_auto",
-    "dedup_embedding_lsh", "dedup_embedding_cosine",
-    "sim_cosine_topk", "sim_lsh_ann_topk",
-    # (3) r6-latest fill
-    "j5_table_join_inner", "j6_table_join_left_tombstone",
-    "j7_fk_join_left", "j8_fk_join_inner_agg",
-    "q1_point_lookup", "q5_window_fetch_all", "q6_key_routing",
-    "dedup_ngram_jaccard", "decontam_overlap",
-    "pipeline_shuffle_det", "corpus_ngram_topk",
+    # (1) new in r10, never sampled
+    "dedup_cross_corpus", "mix_sources",
+    # (2) changed in r10
+    "decontam_exact_ac",
+    # (3) the r6-stale 7
     "extras_cube", "extras_rollup", "extras_salted_join",
-    "extras_semi_join", "extras_anti_join",
-    # slot 51+: the remaining r6-latest pair leads the demoted tail
-    # (t1_wordcount is the entry() flagship smoke-checked every round;
-    # both rotate in next round)
-    "extras_topn_per_group", "t1_wordcount",
+    "extras_semi_join", "extras_anti_join", "extras_topn_per_group",
+    "t1_wordcount",
+    # (4) r8-signed fill (40 of 44)
+    "q3_range_scan",
+    "dedup_containment", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "dedup_winnowing",
+    "embedding_dim_stats", "sim_ivf_topk",
+    "text_stats", "text_language_id", "text_quality", "text_bpe_count",
+    "text_winnowing", "text_gopher_repetition", "text_tfidf_topk",
+    "text_pii_scrub",
+    "decontam_exact",
+    "corpus_line_dedup", "corpus_line_scrub",
+    "sample_stratified", "pack_sequences", "pipeline_hash_split",
+    "multimodal_frames",
+    "s_fk_join_left_incremental", "s_ktable_latest",
+    "s_ktable_latest_bucketed", "s_pk_join_incremental",
+    "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",
+    "tpch_q1_pricing", "tpch_q5_local_revenue",
+    "tpch_q6_forecast_revenue", "tpch_q4_priority", "tpch_q14_promo",
+    "tpch_q7_nation_volume", "tpch_q10_returned_revenue",
+    "tpch_q13_custdist", "tpch_q18_large_orders", "tpch_q3_top_revenue",
+    # slot 51+: the 4 deferred r8-signed rows-only entries lead the tail
+    "multimodal_meta", "multimodal_resize", "multimodal_features",
+    "multimodal_bmp_decode",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]
