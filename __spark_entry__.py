@@ -36,6 +36,7 @@ _ensure_vendor_pythonpath()
 
 from kafka_streams_app_spark.functions import text as T
 from kafka_streams_app_spark.operators import aggregations as agg
+from kafka_streams_app_spark.operators import analytics
 from kafka_streams_app_spark.operators import dedup, iq, joins, ktable, multimodal
 from kafka_streams_app_spark.operators import pipeline, similarity, stateless
 from kafka_streams_app_spark.sources.catalog import load_stream, load_table
@@ -1114,6 +1115,36 @@ def _q_extras_topn_per_group(spark: SparkSession, sf: str) -> DataFrame:
         j.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def _q_events_rolling_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-10-event rolling average per user (analytics.rolling_stats):
+    one shuffle on user_id, O(rows) sliding decimal accumulator."""
+    events = load_table(spark, sf, "events")
+    out = analytics.rolling_stats(
+        events, "user_id", ["ts", "event_id"], "value", n=10
+    )
+    return out.select("user_id", "event_id", "value", "roll_n", "roll_avg")
+
+
+def _q_events_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Population z-score outliers per event_type
+    (analytics.zscore_anomalies): one moment aggregate + broadcast-back,
+    the fact side never shuffles."""
+    events = load_table(spark, sf, "events")
+    return analytics.zscore_anomalies(
+        events, "event_type", "event_id", "value", z=2.5
+    )
+
+
+def _q_events_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 of value per event_type
+    (analytics.group_quantiles_disc): the exact-order-statistic path;
+    percentile_approx is the sketch dial at 100 TB."""
+    events = load_table(spark, sf, "events")
+    return analytics.group_quantiles_disc(
+        events, "event_type", "value", "event_id", [0.5, 0.9, 0.99]
     )
 
 
@@ -2633,6 +2664,45 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
           FROM orders JOIN customer ON o_custkey = c_custkey)
         WHERE rn <= 3
     """),
+    "events_rolling_avg": (_q_events_rolling_avg, """
+        SELECT user_id, event_id, value,
+               CAST(count(*) OVER w AS BIGINT) AS roll_n,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                 / count(*) OVER w AS roll_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """),
+    "events_zscore": (_q_events_zscore, """
+        WITH s AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+                   AS s2
+          FROM events GROUP BY event_type
+        ), m AS (
+          SELECT event_type, s1 / n AS mean,
+                 s2 / n - (s1 / n) * (s1 / n) AS var
+          FROM s
+        )
+        SELECT event_id, e.event_type, value,
+               (value - mean) / sqrt(var) AS zscore
+        FROM events e JOIN m USING (event_type)
+        WHERE var > 0
+          AND abs((value - mean) / sqrt(var)) >= 2.5
+    """),
+    "events_quantiles": (_q_events_quantiles, """
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) - 1 AS idx,
+                 count(*) OVER (PARTITION BY event_type) - 1 AS nm1
+          FROM events
+        )
+        SELECT event_type, p, value AS q_value
+        FROM r, (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS p) ps
+        WHERE idx = floor(p * nm1)
+    """),
     # oracle slices the TEXT (DuckDB cannot slice BLOBs); documents are
     # pure ASCII (verified octet_length==length at all SFs) so char
     # slices hash identically to the Spark side's byte slices
@@ -3141,15 +3211,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    decontam_exact_ac (Rabin-Karp matcher rewrite, pipeline.py).
 # 3. The 7 r6-stale entries the r9 rotation misplaced past slot 50:
 #    extras_* x6 + t1_wordcount.
-# 4. Fill to exactly 50 with 40 of the 44 r8-signed tail entries
-#    (tpch_* x10, dedup/sim/text families, s_fk/s_pk/s_ktable
-#    incrementals, q3_range_scan). The 4 leftovers (multimodal_meta/
-#    resize/features/bmp_decode — rows-only checks, code untouched
-#    since r6) lead the demoted tail and rotate in next round with
-#    the r9-signed 47.
+# 4. NEW r11 analytics entries (events_rolling_avg/zscore/quantiles).
+# 5. Fill to exactly 50 with 37 of the 44 r8-signed tail entries
+#    (tpch_* x8, dedup/sim/text families, s_fk/s_pk/s_ktable
+#    incrementals, q3_range_scan). The 7 leftovers (multimodal_meta/
+#    resize/features/bmp_decode/frames — rows-only checks —
+#    tpch_q4_priority, tpch_q14_promo; all code untouched since their
+#    last signing) lead the demoted tail and rotate in next round
+#    with the r9-signed 47.
 _FRONT = [
-    # (1) new in r10, never sampled
+    # (1) new in r10/r11, never sampled
     "dedup_cross_corpus", "mix_sources",
+    "events_rolling_avg", "events_zscore", "events_quantiles",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -3167,17 +3240,17 @@ _FRONT = [
     "decontam_exact",
     "corpus_line_dedup", "corpus_line_scrub",
     "sample_stratified", "pack_sequences", "pipeline_hash_split",
-    "multimodal_frames",
     "s_fk_join_left_incremental", "s_ktable_latest",
     "s_ktable_latest_bucketed", "s_pk_join_incremental",
     "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",
     "tpch_q1_pricing", "tpch_q5_local_revenue",
-    "tpch_q6_forecast_revenue", "tpch_q4_priority", "tpch_q14_promo",
+    "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume", "tpch_q10_returned_revenue",
     "tpch_q13_custdist", "tpch_q18_large_orders", "tpch_q3_top_revenue",
-    # slot 51+: the 4 deferred r8-signed rows-only entries lead the tail
-    "multimodal_meta", "multimodal_resize", "multimodal_features",
-    "multimodal_bmp_decode",
+    # slot 51+: the 7 deferred r8-signed entries lead the tail
+    "multimodal_frames", "multimodal_meta", "multimodal_resize",
+    "multimodal_features", "multimodal_bmp_decode",
+    "tpch_q4_priority", "tpch_q14_promo",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

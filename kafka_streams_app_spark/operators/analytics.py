@@ -1,0 +1,143 @@
+"""Windowed/grouped analytics extras: rolling stats, z-score anomaly
+flagging, exact order-statistic quantiles.
+
+Reference parity note: the reference app's analytics are all windowed
+aggregations over the Kafka Streams DSL
+(/root/reference/src/main/scala/com/ayoubom/kafka/windows.scala and
+Topologies.scala — count/reduce per window); these operators extend the
+same "stats over an ordered key-partitioned stream" family with the
+analytic-window shapes a training-data/feature pipeline needs (rolling
+features, outlier flags, per-group percentiles), expressed as Spark
+window functions so they stay JVM-side and shuffle exactly once.
+
+Determinism contract (shared with aggregations.exact_sum): every sum
+accumulates in DECIMAL(30,6) and is cast to double exactly once; any
+subsequent double arithmetic is written with the SAME operation order
+as the DuckDB oracle SQL so IEEE results match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,6)"
+
+
+def rolling_stats(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+    n: int = 10,
+) -> DataFrame:
+    """Per-key rolling average of the last ``n`` rows (current row
+    inclusive), the standard online feature shape (trailing rate,
+    moving baseline).
+
+    Plan: ONE shuffle on ``key``; the frame is evaluated inside the
+    partition with a running DECIMAL(30,6) accumulator (Spark's
+    sliding-frame sum adds/retracts at the frame edges — O(rows), not
+    O(rows x n)). ``order`` must be a total order within each key
+    (pass a unique tiebreaker last) or the frame contents are
+    nondeterministic. At 100 TB the only scale hazard is a single hot
+    key serializing its sort — the same hazard as any per-key ordered
+    computation; AQE cannot split an analytic-window partition, so
+    skewed keys should be range-bucketed upstream.
+
+    Output: input columns ``key`` + ``order`` + ``value`` plus
+    ``roll_n`` (frame row count) and ``roll_avg``.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    roll_sum = F.sum(F.col(value).cast(_DEC)).over(w).cast("double")
+    roll_n = F.count(F.lit(1)).over(w)
+    return df.select(
+        key,
+        *order,
+        value,
+        roll_n.cast("bigint").alias("roll_n"),
+        (roll_sum / roll_n).alias("roll_avg"),
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    value: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Rows whose ``value`` deviates from its per-``key`` population
+    mean by at least ``z`` standard deviations.
+
+    Two-pass shape that scales: pass 1 is ONE hash aggregate on
+    ``key`` producing (n, sum, sum-of-squares) — three longs/decimals
+    per key, map-side combined; pass 2 broadcasts that (tiny: one row
+    per distinct key) stats table back onto the fact rows, so the
+    fact side is never shuffled. Moments accumulate in DECIMAL(30,6)
+    (the squares are formed in double first, exactly like the oracle's
+    ``CAST(value*value AS DECIMAL)``), then mean/variance/z are double
+    arithmetic in oracle-identical operation order:
+    mean = S1/n; var = S2/n - mean*mean; z = (x - mean)/sqrt(var).
+
+    Population (not sample) variance; keys with var <= 0 (constant or
+    single-row) emit nothing.
+    """
+    stats = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value).cast(_DEC)).cast("double").alias("_s1"),
+        F.sum((F.col(value) * F.col(value)).cast(_DEC))
+        .cast("double")
+        .alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = F.col("_s2") / F.col("_n") - mean * mean
+    stats = stats.select(key, mean.alias("_mean"), var.alias("_var")).filter(
+        F.col("_var") > 0
+    )
+    zcol = (F.col(value) - F.col("_mean")) / F.sqrt(F.col("_var"))
+    return (
+        df.join(F.broadcast(stats), key)
+        .select(id_col, key, value, zcol.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= F.lit(z))
+    )
+
+
+def group_quantiles_disc(
+    df: DataFrame,
+    key: str,
+    value: str,
+    tiebreak: str,
+    ps: list[float],
+) -> DataFrame:
+    """Exact discrete per-``key`` quantiles: for each p in ``ps`` the
+    element at ordered index floor(p * (n-1)) (0-based; the "lower"
+    order statistic — an actual data value, no interpolation, so the
+    result is exact on ANY column type and trivially oracle-checkable).
+
+    Plan: ONE shuffle on ``key``, an in-partition sort for
+    row_number + count over the same window spec (single window
+    exchange), then an index filter against the exploded quantile
+    list. Exact per-key order statistics fundamentally need the sorted
+    key partition; at 100 TB the scale dial is Spark's
+    ``percentile_approx`` (mergeable KLL-style sketch, no per-key
+    sort) when +/- epsilon rank error is acceptable — this operator is
+    the exact path and the oracle for that trade.
+    """
+    w = Window.partitionBy(key).orderBy(value, tiebreak)
+    ranked = df.select(
+        key,
+        F.col(value),
+        (F.row_number().over(w) - 1).alias("_idx"),
+        (F.count(F.lit(1)).over(Window.partitionBy(key)) - 1).alias("_nm1"),
+    )
+    qs = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    return (
+        ranked.select(key, value, "_idx", "_nm1", qs)
+        .filter(F.col("_idx") == F.floor(F.col("p") * F.col("_nm1")))
+        .select(key, "p", F.col(value).alias("q_value"))
+    )

@@ -1,0 +1,86 @@
+"""Semantic pins for operators/analytics.py (rolling stats, z-score
+anomalies, exact discrete quantiles)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_streams_app_spark.operators import analytics
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from kafka_streams_app_spark.engine import get_spark
+
+    return get_spark(shuffle_partitions=4)
+
+
+def test_rolling_stats_frame_contents(spark):
+    rows = [("u", i, float(i)) for i in range(1, 6)]  # values 1..5
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    out = {
+        r["seq"]: (r["roll_n"], r["roll_avg"])
+        for r in analytics.rolling_stats(df, "k", ["seq"], "v", n=3).collect()
+    }
+    # trailing-3 inclusive: seq=1 -> [1]; seq=3 -> [1,2,3]; seq=5 -> [3,4,5]
+    assert out[1] == (1, 1.0)
+    assert out[2] == (2, 1.5)
+    assert out[3] == (3, 2.0)
+    assert out[5] == (3, 4.0)
+
+
+def test_rolling_stats_partitions_do_not_leak(spark):
+    rows = [("a", 1, 10.0), ("b", 2, 99.0), ("a", 3, 20.0)]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    out = {
+        (r["k"], r["seq"]): r["roll_avg"]
+        for r in analytics.rolling_stats(df, "k", ["seq"], "v", n=10).collect()
+    }
+    assert out[("a", 3)] == 15.0  # b's 99 never enters a's frame
+    assert out[("b", 2)] == 99.0
+
+
+def test_zscore_flags_outlier_and_skips_constant_key(spark):
+    rows = (
+        [("t", i, 10.0) for i in range(20)]
+        + [("t", 99, 30.0)]
+        + [("c", i, 5.0) for i in range(5)]  # zero variance -> no output
+    )
+    df = spark.createDataFrame(rows, "k string, id int, v double")
+    out = analytics.zscore_anomalies(df, "k", "id", "v", z=3.0).collect()
+    assert [r["id"] for r in out] == [99]
+    r = out[0]
+    # population moments: mean = (20*10+30)/21, var = s2/n - mean^2
+    n, s1, s2 = 21, 20 * 10.0 + 30.0, 20 * 100.0 + 900.0
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    assert math.isclose(r["zscore"], (30.0 - mean) / math.sqrt(var))
+
+
+def test_group_quantiles_disc_exact_indices(spark):
+    rows = [("k", i, float(v)) for i, v in enumerate([40, 10, 30, 20])]
+    df = spark.createDataFrame(rows, "k string, id int, v double")
+    out = {
+        r["p"]: r["q_value"]
+        for r in analytics.group_quantiles_disc(
+            df, "k", "v", "id", [0.0, 0.5, 1.0]
+        ).collect()
+    }
+    # sorted values [10,20,30,40], n-1=3: idx 0 / floor(1.5)=1 / 3
+    assert out == {0.0: 10.0, 0.5: 20.0, 1.0: 40.0}
+
+
+def test_group_quantiles_disc_tiebreak_total_order(spark):
+    # duplicate values: the picked VALUE is deterministic regardless of
+    # which duplicate the tiebreaker ranks first
+    rows = [("k", i, 7.0) for i in range(4)] + [("k", 9, 1.0)]
+    df = spark.createDataFrame(rows, "k string, id int, v double")
+    out = {
+        r["p"]: r["q_value"]
+        for r in analytics.group_quantiles_disc(df, "k", "v", "id", [0.5]).collect()
+    }
+    assert out == {0.5: 7.0}
