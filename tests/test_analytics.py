@@ -84,3 +84,47 @@ def test_group_quantiles_disc_tiebreak_total_order(spark):
         for r in analytics.group_quantiles_disc(df, "k", "v", "id", [0.5]).collect()
     }
     assert out == {0.5: 7.0}
+
+
+# --- executed-plan hygiene (same contract as test_plan_hygiene_r6) ---
+
+
+def _events(spark):
+    from kafka_streams_app_spark.sources.catalog import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "events")
+
+
+def test_rolling_stats_single_exchange_no_python(spark):
+    from kafka_streams_app_spark.plans import plan_report
+
+    out = analytics.rolling_stats(
+        _events(spark), "user_id", ["ts", "event_id"], "value", n=10
+    )
+    r = plan_report(out)
+    assert r["exchanges"] == 1  # the key shuffle; frame evals in-partition
+    assert r["python_evals"] == 0 and r["rowwise_python"] == 0
+
+
+def test_zscore_broadcasts_stats_fact_side_never_shuffled(spark):
+    from kafka_streams_app_spark.plans import plan_report
+
+    out = analytics.zscore_anomalies(
+        _events(spark), "event_type", "event_id", "value", z=2.5
+    )
+    r = plan_report(out)
+    assert r["broadcast_joins"] == 1 and r["shuffle_joins"] == 0
+    # exchanges belong to the stats aggregate only, never the fact scan
+    assert r["exchanges"] <= 2
+    assert r["python_evals"] == 0 and r["rowwise_python"] == 0
+
+
+def test_group_quantiles_single_window_exchange(spark):
+    from kafka_streams_app_spark.plans import plan_report
+
+    out = analytics.group_quantiles_disc(
+        _events(spark), "event_type", "value", "event_id", [0.5, 0.9]
+    )
+    r = plan_report(out)
+    assert r["exchanges"] == 1  # rank + count share one window exchange
+    assert r["python_evals"] == 0 and r["rowwise_python"] == 0

@@ -56,6 +56,13 @@ QUERIES = [
     "text_gopher_repetition",  # scan-stage list exprs, zero shuffle
     "embedding_dim_stats",   # posexplode + per-dim agg over embeddings
     "corpus_chunk",          # split+sequence+explode, scan stage (r7 op)
+    # r11 analytics: the build shifts user_id per replica (rolling keys
+    # x mult, rows/key constant -> linear) but keeps event_type fixed
+    # (zscore/quantiles groups stay 5, rows/group x mult -> the
+    # hot-key-partition-sort shape group_quantiles_disc documents)
+    "events_rolling_avg",
+    "events_zscore",
+    "events_quantiles",
 ]
 
 ID_SHIFT = 1_000_000_000
