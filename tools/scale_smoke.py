@@ -63,6 +63,11 @@ QUERIES = [
     "events_rolling_avg",
     "events_zscore",
     "events_quantiles",
+    # r10 ops: ID_SHIFT % 10 == 0 keeps the contract query's doc_id%10
+    # ref/new bands intact per replica, and replicas are content-
+    # disjoint, so cross-corpus dup volume grows linearly with mult
+    "dedup_cross_corpus",
+    "mix_sources",
 ]
 
 ID_SHIFT = 1_000_000_000
