@@ -1407,6 +1407,32 @@ def _q_s_ktable_latest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s_zscore_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental running z-score (streaming/zscore.py): per-record
+    anomaly flag vs the per-event_type moments seen so far, exact
+    integer fixed-point (zsq_e6). The streaming twin of events_zscore;
+    the oracle replays the cumulative moments in HUGEINT."""
+    from kafka_streams_app_spark.streaming import zscore as SZ
+
+    cols = ["event_type", "event_id", "value"]
+    if tws_available(spark):
+        ev = SZ.with_micro_units(
+            load_stream(spark, sf, "events").select(*cols), "value"
+        )
+        out = SZ.zscore_running_stream(
+            ev, ["event_type"], "event_id", "value", z=(5, 2)
+        )
+        res = run_available_now(spark, out, _sink(), "update")
+    else:
+        ev = SZ.with_micro_units(
+            load_table(spark, sf, "events").select(*cols), "value"
+        )
+        res = SZ.zscore_running_batch(
+            ev, ["event_type"], "event_id", "value", z=(5, 2)
+        )
+    return res.select("event_type", "event_id", "value", "n", "zsq_e6")
+
+
 def _q_s_ktable_latest_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """S2 incremental via the BUCKETED MapState layout
     (streaming/ktable.py:_LatestPerKeyBucketed, n_buckets=16): the TWS
@@ -2897,6 +2923,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM islands GROUP BY user_id, sid
         HAVING max(ts) + INTERVAL 3600 SECOND <= (SELECT max(ts) FROM events)
     """),
+    "s_zscore_running": (_q_s_zscore_running, """
+        WITH m AS (
+          SELECT event_type, event_id, value,
+                 CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS u,
+                 SUM(CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS HUGEINT))
+                   OVER w AS s1,
+                 SUM(CAST(CAST(value * value AS DECIMAL(30,6)) * 1000000
+                          AS HUGEINT)) OVER w AS s2,
+                 CAST(count(*) OVER w AS HUGEINT) AS n
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_type, event_id, value,
+               CAST(n AS BIGINT) AS n,
+               CAST((u*n - s1)*(u*n - s1) * 1000000
+                    // (1000000*n*s2 - s1*s1) AS BIGINT) AS zsq_e6
+        FROM m
+        WHERE 1000000*n*s2 - s1*s1 > 0
+          AND (u*n - s1)*(u*n - s1) * 4 >= (1000000*n*s2 - s1*s1) * 25
+    """),
     "s_ktable_latest": (_q_s_ktable_latest, """
         SELECT user_id, event_id, value FROM (
           SELECT user_id, event_id, value, row_number() OVER (
@@ -3223,6 +3270,7 @@ _FRONT = [
     # (1) new in r10/r11, never sampled
     "dedup_cross_corpus", "mix_sources",
     "events_rolling_avg", "events_zscore", "events_quantiles",
+    "s_zscore_running",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -3244,13 +3292,12 @@ _FRONT = [
     "s_ktable_latest_bucketed", "s_pk_join_incremental",
     "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",
     "tpch_q1_pricing", "tpch_q5_local_revenue",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume", "tpch_q10_returned_revenue",
+    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
     "tpch_q13_custdist", "tpch_q18_large_orders", "tpch_q3_top_revenue",
-    # slot 51+: the 7 deferred r8-signed entries lead the tail
+    # slot 51+: the 8 deferred r8-signed entries lead the tail
     "multimodal_frames", "multimodal_meta", "multimodal_resize",
     "multimodal_features", "multimodal_bmp_decode",
-    "tpch_q4_priority", "tpch_q14_promo",
+    "tpch_q4_priority", "tpch_q14_promo", "tpch_q10_returned_revenue",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]
