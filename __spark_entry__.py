@@ -1433,6 +1433,30 @@ def _q_s_zscore_running(spark: SparkSession, sf: str) -> DataFrame:
     return res.select("event_type", "event_id", "value", "n", "zsq_e6")
 
 
+def _q_s_rolling_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental trailing-10 rolling average (streaming/rolling.py):
+    per-key ring of exact micro-unit ints in transformWithState state.
+    The streaming twin of events_rolling_avg — SAME oracle, row for
+    row: the double arithmetic replays the oracle's operation order on
+    the exact integer ring sum."""
+    from kafka_streams_app_spark.streaming import rolling as SR
+    from kafka_streams_app_spark.streaming import zscore as SZ
+
+    cols = ["user_id", "event_id", "value"]
+    if tws_available(spark):
+        ev = SZ.with_micro_units(
+            load_stream(spark, sf, "events").select(*cols), "value"
+        )
+        out = SR.rolling_avg_stream(ev, ["user_id"], "event_id", "value", n=10)
+        res = run_available_now(spark, out, _sink(), "update")
+    else:
+        ev = SZ.with_micro_units(
+            load_table(spark, sf, "events").select(*cols), "value"
+        )
+        res = SR.rolling_avg_batch(ev, ["user_id"], "event_id", "value", n=10)
+    return res.select("user_id", "event_id", "value", "roll_n", "roll_avg")
+
+
 def _q_s_ktable_latest_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """S2 incremental via the BUCKETED MapState layout
     (streaming/ktable.py:_LatestPerKeyBucketed, n_buckets=16): the TWS
@@ -2923,6 +2947,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM islands GROUP BY user_id, sid
         HAVING max(ts) + INTERVAL 3600 SECOND <= (SELECT max(ts) FROM events)
     """),
+    "s_rolling_avg": (_q_s_rolling_avg, """
+        SELECT user_id, event_id, value,
+               CAST(count(*) OVER w AS BIGINT) AS roll_n,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                 / count(*) OVER w AS roll_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """),
     "s_zscore_running": (_q_s_zscore_running, """
         WITH m AS (
           SELECT event_type, event_id, value,
@@ -3258,19 +3291,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    decontam_exact_ac (Rabin-Karp matcher rewrite, pipeline.py).
 # 3. The 7 r6-stale entries the r9 rotation misplaced past slot 50:
 #    extras_* x6 + t1_wordcount.
-# 4. NEW r11 analytics entries (events_rolling_avg/zscore/quantiles).
-# 5. Fill to exactly 50 with 37 of the 44 r8-signed tail entries
-#    (tpch_* x8, dedup/sim/text families, s_fk/s_pk/s_ktable
-#    incrementals, q3_range_scan). The 7 leftovers (multimodal_meta/
-#    resize/features/bmp_decode/frames — rows-only checks —
-#    tpch_q4_priority, tpch_q14_promo; all code untouched since their
-#    last signing) lead the demoted tail and rotate in next round
-#    with the r9-signed 47.
+# 4. NEW r11 entries: the batch analytics trio (events_rolling_avg/
+#    zscore/quantiles) and their incremental streaming twins
+#    (s_zscore_running, s_rolling_avg).
+# 5. Fill to exactly 50 with 35 of the 44 r8-signed tail entries
+#    (tpch_* x6, dedup/sim/text families, s_fk/s_pk/s_ktable
+#    incrementals, q3_range_scan). The 9 leftovers (multimodal_meta/
+#    resize/features/bmp_decode/frames — rows-only checks — and
+#    tpch_q4/q7/q10/q14; all code untouched since their last signing)
+#    lead the demoted tail and rotate in next round with the
+#    r9-signed 47.
 _FRONT = [
     # (1) new in r10/r11, never sampled
     "dedup_cross_corpus", "mix_sources",
     "events_rolling_avg", "events_zscore", "events_quantiles",
-    "s_zscore_running",
+    "s_zscore_running", "s_rolling_avg",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -3292,12 +3327,13 @@ _FRONT = [
     "s_ktable_latest_bucketed", "s_pk_join_incremental",
     "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",
     "tpch_q1_pricing", "tpch_q5_local_revenue",
-    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
+    "tpch_q6_forecast_revenue",
     "tpch_q13_custdist", "tpch_q18_large_orders", "tpch_q3_top_revenue",
     # slot 51+: the 8 deferred r8-signed entries lead the tail
     "multimodal_frames", "multimodal_meta", "multimodal_resize",
     "multimodal_features", "multimodal_bmp_decode",
     "tpch_q4_priority", "tpch_q14_promo", "tpch_q10_returned_revenue",
+    "tpch_q7_nation_volume",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]
