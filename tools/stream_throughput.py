@@ -223,6 +223,37 @@ def main() -> None:
             ),
             "update",
         ))
+        # r11 analytics state machines: per-key running moments
+        # (3 scalars/key) and the trailing-n ring — the lightest TWS
+        # states in the repo; their rates bound what the framework
+        # overhead itself allows at this key cardinality.
+        from kafka_streams_app_spark.streaming import rolling as SR
+        from kafka_streams_app_spark.streaming import zscore as SZ
+
+        ev7 = SZ.with_micro_units(
+            stream_events(spark, events_path).select(
+                "event_type", "event_id", "value"
+            ),
+            "value",
+        )
+        shapes.append((
+            "zscore_running_tws",
+            SZ.zscore_running_stream(
+                ev7, ["event_type"], "event_id", "value", z=(5, 2)
+            ),
+            "update",
+        ))
+        ev8 = SZ.with_micro_units(
+            stream_events(spark, events_path).select(
+                "user_id", "event_id", "value"
+            ),
+            "value",
+        )
+        shapes.append((
+            "rolling_avg_tws",
+            SR.rolling_avg_stream(ev8, ["user_id"], "event_id", "value", n=10),
+            "update",
+        ))
     else:
         print(json.dumps({"shape": "ktable_latest_tws", "skipped": "no TWS protobuf"}))
 
