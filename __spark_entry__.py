@@ -1917,6 +1917,126 @@ def _q_tpch_q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (6-way star + conditional-share ratio): NATION_3
+    suppliers' revenue share within ASIA-customer orders, by order
+    year. All five dims broadcast; the only shuffle is
+    lineitem⋈orders. share = two DECIMAL sums in one aggregate, ONE
+    double division."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    supplier = load_table(spark, sf, "supplier")
+    nc = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    ns = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_vol.cast("decimal(30,6)")).cast("double")
+                / F.sum(vol.cast("decimal(30,6)")).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _q_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (aggregate view + equality-to-max): supplier(s)
+    whose 1998 shipment revenue equals the maximum. The revenue agg
+    shuffles once on suppkey; the one-row max side is broadcast back —
+    the same moment-broadcast shape as events_zscore."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(30,6)")
+        ).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("supplier_no", "s_name", "total_revenue")
+    )
+
+
+def _q_tpch_q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated per-key average threshold): yearly
+    revenue that would be lost by not filling orders below 20% of a
+    part's average order quantity, for one brand. The per-part avg is
+    a partial-aggregated groupBy broadcast back onto the fact rows —
+    the fact side never shuffles."""
+    part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf, "lineitem")
+    fact = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = fact.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    small = fact.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("_pk")).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty")
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+def _q_tpch_q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global scalar threshold + anti join): customers
+    with above-average positive balance and no RECENT orders (none
+    since 2000-01-01 — the synthetic data gives every customer some
+    order, so classic no-orders-ever selects zero rows; the recency
+    variant keeps the identical plan shape non-trivial), counted per
+    nation. The one-row global average broadcasts onto the customer
+    scan; the anti join's order-key side is date-pruned at the scan."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    idle = rich.join(
+        orders.select(F.col("o_custkey")),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        agg.exact_sum("c_acctbal").alias("totacctbal"),
+    )
+
+
 def _q_tpch_q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer in
     one quarter, top 20 — fact filter + join + agg, then a broadcast
@@ -3221,6 +3341,67 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         GROUP BY 1, 2, 3
     """),
+    "tpch_q8_market_share": (_q_tpch_q8_market_share, """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1.0 - l_discount)
+                      ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    """),
+    "tpch_q15_top_supplier": (_q_tpch_q15_top_supplier, """
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l_shipdate < TIMESTAMP '1999-01-01'
+          GROUP BY 1
+        )
+        SELECT supplier_no, s_name, total_revenue
+        FROM rev JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """),
+    "tpch_q17_small_quantity": (_q_tpch_q17_small_quantity, """
+        WITH fact AS (
+          SELECT l_quantity, l_extendedprice, p_partkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#1'
+        ), avg_qty AS (
+          SELECT p_partkey AS pk,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                   / count(*) AS aq
+          FROM fact GROUP BY 1
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                 / 7.0 AS avg_yearly
+        FROM fact JOIN avg_qty ON p_partkey = pk
+        WHERE l_quantity < 0.2 * aq
+    """),
+    "tpch_q22_idle_customers": (_q_tpch_q22_idle_customers, """
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                         / count(*)
+                FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1
+    """),
     "tpch_q10_returned_revenue": (_q_tpch_q10_returned_revenue, """
         WITH rev AS (
           SELECT o_custkey,
@@ -3292,20 +3473,23 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # 3. The 7 r6-stale entries the r9 rotation misplaced past slot 50:
 #    extras_* x6 + t1_wordcount.
 # 4. NEW r11 entries: the batch analytics trio (events_rolling_avg/
-#    zscore/quantiles) and their incremental streaming twins
-#    (s_zscore_running, s_rolling_avg).
-# 5. Fill to exactly 50 with 35 of the 44 r8-signed tail entries
+#    zscore/quantiles), their incremental streaming twins
+#    (s_zscore_running, s_rolling_avg), and the four new TPC-H
+#    headliners (q8/q15/q17/q22 shapes).
+# 5. Fill to exactly 50 with 31 of the 44 r8-signed tail entries
 #    (tpch_* x6, dedup/sim/text families, s_fk/s_pk/s_ktable
-#    incrementals, q3_range_scan). The 9 leftovers (multimodal_meta/
-#    resize/features/bmp_decode/frames — rows-only checks — and
-#    tpch_q4/q7/q10/q14; all code untouched since their last signing)
-#    lead the demoted tail and rotate in next round with the
-#    r9-signed 47.
+#    incrementals, q3_range_scan). The 13 leftovers (multimodal x5 —
+#    rows-only checks — tpch_q4/q7/q10/q14, text_winnowing,
+#    text_tfidf_topk, decontam_exact, corpus_line_scrub; all code
+#    untouched since their last signing) lead the demoted tail and
+#    rotate in next round with the r9-signed 47.
 _FRONT = [
     # (1) new in r10/r11, never sampled
     "dedup_cross_corpus", "mix_sources",
     "events_rolling_avg", "events_zscore", "events_quantiles",
     "s_zscore_running", "s_rolling_avg",
+    "tpch_q8_market_share", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity", "tpch_q22_idle_customers",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -3318,10 +3502,9 @@ _FRONT = [
     "dedup_clusters", "dedup_winnowing",
     "embedding_dim_stats", "sim_ivf_topk",
     "text_stats", "text_language_id", "text_quality", "text_bpe_count",
-    "text_winnowing", "text_gopher_repetition", "text_tfidf_topk",
+    "text_gopher_repetition",
     "text_pii_scrub",
-    "decontam_exact",
-    "corpus_line_dedup", "corpus_line_scrub",
+    "corpus_line_dedup",
     "sample_stratified", "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental", "s_ktable_latest",
     "s_ktable_latest_bucketed", "s_pk_join_incremental",
@@ -3334,6 +3517,8 @@ _FRONT = [
     "multimodal_features", "multimodal_bmp_decode",
     "tpch_q4_priority", "tpch_q14_promo", "tpch_q10_returned_revenue",
     "tpch_q7_nation_volume",
+    "text_winnowing", "text_tfidf_topk", "decontam_exact",
+    "corpus_line_scrub",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]
