@@ -655,6 +655,45 @@ def _q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source", "epoch")
 
 
+def _q_pipeline_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END training-data pipeline: exact dedup -> benchmark
+    decontamination -> quality floor -> weighted source mixing ->
+    sequence packing, all composed from the individually-oracled
+    stages (dedup_exact, decontam_exact, mix_sources, pack_sequences)
+    — the capstone: a user's whole preprocessing DAG as ONE plan.
+    Shuffle budget at scale: dedup's md5 agg, the packing window's
+    per-lang exchange, plus one semi/anti join pair on doc_id; spans
+    and the mix arithmetic are broadcast/scan-stage."""
+    docs = load_table(spark, sf, "documents")
+    reps = dedup.dedup_exact(docs, "text", "doc_id").select("doc_id")
+    base = docs.join(reps, "doc_id", "left_semi")
+    spans = docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.length("text") >= 60)
+    ).select(
+        F.col("doc_id").alias("span_id"),
+        F.substring("text", 11, 40).alias("span"),
+    )
+    hits = pipeline.decontaminate_exact(base, spans).select("doc_id")
+    clean = base.join(hits, "doc_id", "left_anti")
+    sized = clean.select(
+        "doc_id", "lang", "source", T.token_count("text").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 5)
+    mixed = pipeline.mix_sources(
+        sized, "source",
+        {"src0": 2.0, "src1": 0.5, "src2": 1.25, "src3": 0.0, "src4": 3.5},
+        "doc_id", seed=7,
+    )
+    inst = mixed.withColumn(
+        "inst_key", F.col("doc_id") * 8 + F.col("epoch")
+    )
+    packed = pipeline.pack_sequences(
+        inst, "lang", "inst_key", "n_tokens", capacity=2048
+    )
+    return packed.select(
+        "doc_id", "epoch", "lang", "n_tokens", "bin_id", "bin_offset"
+    )
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return dedup.dedup_ngram_jaccard(docs, "text", "doc_id", k=3, threshold=0.8)
@@ -2316,6 +2355,63 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                     CAST(epoch AS VARCHAR) || ':7'), 1, 15) AS BIGINT)
               % 10000 < ft
     """),
+    "pipeline_end_to_end": (_q_pipeline_end_to_end, r"""
+        WITH reps AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), base AS (
+          SELECT d.doc_id, d.text, d.lang, d.source
+          FROM documents d JOIN reps USING (doc_id)
+        ), sp AS (
+          SELECT DISTINCT substring(text, 11, 40) AS span
+          FROM documents
+          WHERE doc_id % 20 = 0 AND length(text) >= 60
+            AND length(substring(text, 11, 40)) > 0
+        ), clean AS (
+          SELECT b.* FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM sp
+                            WHERE position(sp.span IN b.text) > 0)
+        ), sized AS (
+          SELECT doc_id, lang, source,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                      x -> x <> '')) AS INT) AS n_tokens
+          FROM clean
+        ), q AS (
+          SELECT * FROM sized WHERE n_tokens >= 5
+        ), w AS (
+          SELECT doc_id, lang, n_tokens,
+                 CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                             WHEN 'src2' THEN 1 WHEN 'src4' THEN 3
+                             ELSE 0 END AS nf,
+                 CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 5000
+                             WHEN 'src2' THEN 2500 WHEN 'src4' THEN 5000
+                             ELSE 0 END AS ft
+          FROM q
+          WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        ), e AS (
+          SELECT doc_id, lang, n_tokens, nf, ft,
+                 unnest(range(0, nf + 1)) AS epoch
+          FROM w
+        ), mixed AS (
+          SELECT doc_id, lang, n_tokens, CAST(epoch AS INT) AS epoch,
+                 doc_id * 8 + epoch AS inst_key
+          FROM e
+          WHERE epoch < nf
+             OR CAST('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR) || ':' ||
+                      CAST(epoch AS VARCHAR) || ':7'), 1, 15) AS BIGINT)
+                % 10000 < ft
+        ), c AS (
+          SELECT doc_id, epoch, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY inst_key
+                                          ROWS UNBOUNDED PRECEDING)
+                      - n_tokens AS BIGINT) AS start
+          FROM mixed
+        )
+        SELECT doc_id, epoch, lang, n_tokens,
+               CAST(floor(start / 2048) AS BIGINT) AS bin_id,
+               start % 2048 AS bin_offset
+        FROM c
+    """),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _JACCARD_PAIRS.format(thr=0.8)),
     "dedup_containment": (_q_dedup_containment, "WITH " + _SHINGLES + r""",
         ex AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE len(s) > 0),
@@ -3474,15 +3570,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    extras_* x6 + t1_wordcount.
 # 4. NEW r11 entries: the batch analytics trio (events_rolling_avg/
 #    zscore/quantiles), their incremental streaming twins
-#    (s_zscore_running, s_rolling_avg), and the four new TPC-H
-#    headliners (q8/q15/q17/q22 shapes).
-# 5. Fill to exactly 50 with 31 of the 44 r8-signed tail entries
+#    (s_zscore_running, s_rolling_avg), the four new TPC-H
+#    headliners (q8/q15/q17/q22 shapes), and the pipeline_end_to_end
+#    capstone.
+# 5. Fill to exactly 50 with 30 of the 44 r8-signed tail entries
 #    (tpch_* x6, dedup/sim/text families, s_fk/s_pk/s_ktable
-#    incrementals, q3_range_scan). The 13 leftovers (multimodal x5 —
+#    incrementals, q3_range_scan). The 14 leftovers (multimodal x5 —
 #    rows-only checks — tpch_q4/q7/q10/q14, text_winnowing,
-#    text_tfidf_topk, decontam_exact, corpus_line_scrub; all code
-#    untouched since their last signing) lead the demoted tail and
-#    rotate in next round with the r9-signed 47.
+#    text_tfidf_topk, decontam_exact, corpus_line_scrub,
+#    dedup_winnowing; all code untouched since their last signing)
+#    lead the demoted tail and rotate in next round with the
+#    r9-signed 47.
 _FRONT = [
     # (1) new in r10/r11, never sampled
     "dedup_cross_corpus", "mix_sources",
@@ -3490,6 +3588,7 @@ _FRONT = [
     "s_zscore_running", "s_rolling_avg",
     "tpch_q8_market_share", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity", "tpch_q22_idle_customers",
+    "pipeline_end_to_end",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -3499,7 +3598,7 @@ _FRONT = [
     # (4) r8-signed fill (40 of 44)
     "q3_range_scan",
     "dedup_containment", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters", "dedup_winnowing",
+    "dedup_clusters",
     "embedding_dim_stats", "sim_ivf_topk",
     "text_stats", "text_language_id", "text_quality", "text_bpe_count",
     "text_gopher_repetition",
@@ -3518,7 +3617,7 @@ _FRONT = [
     "tpch_q4_priority", "tpch_q14_promo", "tpch_q10_returned_revenue",
     "tpch_q7_nation_volume",
     "text_winnowing", "text_tfidf_topk", "decontam_exact",
-    "corpus_line_scrub",
+    "corpus_line_scrub", "dedup_winnowing",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]
