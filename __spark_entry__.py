@@ -2144,6 +2144,170 @@ def _q_tpch_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated-min subquery -> min-per-group
+    broadcast-back): for each SMALL size-10 part, the supplier(s)
+    offering it at the minimum observed price. The testdata has no
+    partsupp table, so the (part, supplier, price) offer list derives
+    from lineitem — same plan skeleton: per-part min is a partial
+    aggregate broadcast back onto the offer rows, supplier and nation
+    payloads broadcast onto the survivors. The offer list dedups
+    BEFORE the min-join (a part+supplier pair ships many lineitems),
+    keeping the join input one row per offer."""
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_size") == 10) & (F.col("p_type") == "SMALL")
+    )
+    li = load_table(spark, sf, "lineitem")
+    offers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey", "l_extendedprice")
+        .dropDuplicates(["p_partkey", "l_suppkey", "l_extendedprice"])
+    )
+    mins = offers.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    return (
+        offers.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", F.col("n_name").alias("nation"),
+                "s_acctbal", "min_price")
+    )
+
+
+def _q_tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (5-way star + expression profit, nation x year
+    rollup): profit on 'widget' parts per supplier nation per order
+    year. No partsupp/ps_supplycost in the testdata, so cost is proxied
+    by 10% of the part's retail price per unit — the part join stays
+    load-bearing (its payload feeds the profit expression), preserving
+    Q9's plan: one lineitem⋈orders shuffle, every dim broadcast,
+    DECIMAL-exact profit sum."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    part = load_table(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount.cast("decimal(30,6)")).cast("double")
+             .alias("sum_profit"))
+    )
+
+
+def _q_tpch_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (global-fraction HAVING): per-part inventory
+    value among NATION_7 suppliers, keeping parts whose value exceeds
+    0.1% of the nation's total. The value rows aggregate once on
+    partkey; the one-row global total is broadcast back — the scalar-
+    subquery-in-HAVING plan. Offer rows derive from lineitem (no
+    partsupp): value = sum(extendedprice * quantity) over the
+    nation-restricted shipments."""
+    li = load_table(spark, sf, "lineitem")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    restricted = (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = restricted.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(val.cast("decimal(30,6)")).cast("double").alias("part_value")
+    )
+    total = restricted.agg(
+        F.sum(val.cast("decimal(30,6)")).cast("double").alias("_total")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("_total"))
+        .select("p_key", "part_value")
+    )
+
+
+def _q_tpch_q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (distinct-count groups + supplier exclusion
+    anti-join): how many distinct suppliers ship each surviving
+    (brand, type, size) combination, excluding a brand, a type, and
+    all negative-balance suppliers (the 'complaints' analogue — a
+    deterministic column predicate instead of Q16's comment LIKE).
+    The part-supplier link derives from lineitem; the pair list is
+    deduped before counting so the count-distinct agg sees one row
+    per (group, supplier)."""
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    li = load_table(spark, sf, "lineitem")
+    bad_supp = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0.0)
+    pairs = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .dropDuplicates()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+def _q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (three OR-ed conjunction blocks over a
+    broadcast join): revenue from shipments matching any of three
+    (brand, size-range, quantity-range) clauses. The disjunction sits
+    in ONE filter after the broadcast part join — Catalyst keeps the
+    whole predicate in the codegen stage and pushes the common
+    p_size >= 1 bound to the part scan; zero shuffles before the
+    single-row aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.filter(clause).agg(
+        F.sum(rev.cast("decimal(30,6)")).cast("double").alias("revenue")
+    )
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- stateless transforms (T1-T5 + branch/merge) ---
     "t1_wordcount": (_q_t1_wordcount, "WITH " + _TOKS + """
@@ -3554,6 +3718,75 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
     """),
+    "tpch_q2_min_cost_supplier": (_q_tpch_q2_min_cost_supplier, """
+        WITH offers AS (
+          SELECT DISTINCT p_partkey, p_name, l_suppkey, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size = 10 AND p_type = 'SMALL'
+        ), mins AS (
+          SELECT p_partkey AS pk, min(l_extendedprice) AS min_price
+          FROM offers GROUP BY 1
+        )
+        SELECT p_partkey, p_name, s_name, n_name AS nation, s_acctbal,
+               min_price
+        FROM offers
+        JOIN mins ON p_partkey = pk AND l_extendedprice = min_price
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    """),
+    "tpch_q9_product_profit": (_q_tpch_q9_product_profit, """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             - 0.1 * p_retailprice * l_quantity
+                             AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """),
+    "tpch_q11_important_parts": (_q_tpch_q11_important_parts, """
+        WITH restricted AS (
+          SELECT l_partkey, l_extendedprice * l_quantity AS val
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'
+        )
+        SELECT l_partkey AS p_key,
+               CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) AS part_value
+        FROM restricted
+        GROUP BY 1
+        HAVING CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE)
+               > 0.001 * (SELECT CAST(SUM(CAST(val AS DECIMAL(30,6)))
+                                      AS DOUBLE) FROM restricted)
+    """),
+    "tpch_q16_supplier_cnt": (_q_tpch_q16_supplier_cnt, """
+        WITH pairs AS (
+          SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+            AND p_size IN (1, 5, 10, 15, 20, 25)
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0.0)
+        )
+        SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+        FROM pairs GROUP BY 1, 2, 3
+    """),
+    "tpch_q19_disjunctive_revenue": (_q_tpch_q19_disjunctive_revenue, """
+        SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """),
 }
 
 # --- driver-sample ordering (r11 rotation) ---
@@ -3570,17 +3803,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    extras_* x6 + t1_wordcount.
 # 4. NEW r11 entries: the batch analytics trio (events_rolling_avg/
 #    zscore/quantiles), their incremental streaming twins
-#    (s_zscore_running, s_rolling_avg), the four new TPC-H
-#    headliners (q8/q15/q17/q22 shapes), and the pipeline_end_to_end
-#    capstone.
-# 5. Fill to exactly 50 with 30 of the 44 r8-signed tail entries
-#    (tpch_* x6, dedup/sim/text families, s_fk/s_pk/s_ktable
-#    incrementals, q3_range_scan). The 14 leftovers (multimodal x5 —
-#    rows-only checks — tpch_q4/q7/q10/q14, text_winnowing,
-#    text_tfidf_topk, decontam_exact, corpus_line_scrub,
-#    dedup_winnowing; all code untouched since their last signing)
-#    lead the demoted tail and rotate in next round with the
-#    r9-signed 47.
+#    (s_zscore_running, s_rolling_avg), the NINE new TPC-H
+#    headliners (q8/q15/q17/q22, then q2/q9/q11/q16/q19 shapes), and
+#    the pipeline_end_to_end capstone.
+# 5. Fill to exactly 50 with 25 of the 44 r8-signed tail entries
+#    (tpch_q3, dedup/sim/text families, s_fk/s_pk/s_ktable
+#    incrementals, q3_range_scan). The leftovers (multimodal x5 —
+#    rows-only checks — tpch_q1/q4/q5/q6/q7/q10/q13/q14/q18,
+#    text_winnowing, text_tfidf_topk, decontam_exact,
+#    corpus_line_scrub, dedup_winnowing; all code untouched since
+#    their last signing) lead the demoted tail and rotate in next
+#    round with the r9-signed entries.
 _FRONT = [
     # (1) new in r10/r11, never sampled
     "dedup_cross_corpus", "mix_sources",
@@ -3589,6 +3822,9 @@ _FRONT = [
     "tpch_q8_market_share", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity", "tpch_q22_idle_customers",
     "pipeline_end_to_end",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_important_parts", "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive_revenue",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -3608,10 +3844,13 @@ _FRONT = [
     "s_fk_join_left_incremental", "s_ktable_latest",
     "s_ktable_latest_bucketed", "s_pk_join_incremental",
     "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",
+    "tpch_q3_top_revenue",
+    # slot 51+: deferred r8-signed entries lead the tail (the 5 tpch
+    # fills demoted when the five new-in-r11 TPC-H shapes — q2/q9/q11/
+    # q16/q19, never green — took their window slots)
     "tpch_q1_pricing", "tpch_q5_local_revenue",
     "tpch_q6_forecast_revenue",
-    "tpch_q13_custdist", "tpch_q18_large_orders", "tpch_q3_top_revenue",
-    # slot 51+: the 8 deferred r8-signed entries lead the tail
+    "tpch_q13_custdist", "tpch_q18_large_orders",
     "multimodal_frames", "multimodal_meta", "multimodal_resize",
     "multimodal_features", "multimodal_bmp_decode",
     "tpch_q4_priority", "tpch_q14_promo", "tpch_q10_returned_revenue",
