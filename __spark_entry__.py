@@ -2151,29 +2151,31 @@ def _q_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     partsupp table, so the (part, supplier, price) offer list derives
     from lineitem — same plan skeleton: per-part min is a partial
     aggregate broadcast back onto the offer rows, supplier and nation
-    payloads broadcast onto the survivors. The offer list dedups
-    BEFORE the min-join (a part+supplier pair ships many lineitems),
-    keeping the join input one row per offer."""
+    payloads broadcast onto the survivors; the offer-distinct runs on
+    the min-price survivors only (a part+supplier pair ships many
+    lineitems, and min over dup rows == min over distinct offers)."""
     part = load_table(spark, sf, "part").filter(
         (F.col("p_size") == 10) & (F.col("p_type") == "SMALL")
     )
     li = load_table(spark, sf, "lineitem")
-    offers = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .select("p_partkey", "p_name", "l_suppkey", "l_extendedprice")
-        .dropDuplicates(["p_partkey", "l_suppkey", "l_extendedprice"])
-    )
-    mins = offers.groupBy(F.col("p_partkey").alias("_pk")).agg(
+    fact = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("p_partkey", "p_name", "l_suppkey", "l_extendedprice")
+    # min-per-part BEFORE any dedup — min over duplicate offer rows is
+    # min over distinct offers, so the expensive distinct runs only on
+    # the min-price survivors (tiny), not the full fact
+    mins = fact.groupBy(F.col("p_partkey").alias("_pk")).agg(
         F.min("l_extendedprice").alias("min_price")
     )
     supplier = load_table(spark, sf, "supplier")
     nation = load_table(spark, sf, "nation")
     return (
-        offers.join(
+        fact.join(
             F.broadcast(mins),
             (F.col("p_partkey") == F.col("_pk"))
             & (F.col("l_extendedprice") == F.col("min_price")),
         )
+        .dropDuplicates(["p_partkey", "l_suppkey", "l_extendedprice"])
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("p_partkey", "p_name", "s_name", F.col("n_name").alias("nation"),
