@@ -120,12 +120,51 @@ def run_available_now(
     spark: SparkSession, source_df_build, sink_name: str, output_mode: str = "append"
 ) -> DataFrame:
     """Run a streaming query over already-materialized input with
-    Trigger.AvailableNow and return the memory-sink table once finished.
+    Trigger.AvailableNow and return the result once finished.
 
     Used to evaluate a streaming plan to completion over a static
     dataset — the batch-equivalence path the correctness oracle checks.
+
+    Sink selection (SPARK_GRAFT_STREAM_SINK env, default "memory"):
+
+    - "memory": the original path — results accumulate in a driver-heap
+      memory-sink table. Right for tests and sf0.01 gates (tiny results,
+      zero I/O), but every table lives for the session and the big
+      streaming entries' changelogs are driver-resident (the r9/r11
+      sf0.1 gate OOM: one long-lived session accumulating every entry's
+      sink plus a 1.5 GiB FK changelog needed a 56 GiB driver).
+    - "parquet": foreachBatch appends each micro-batch to a temp parquet
+      dir — written BY THE EXECUTORS, read back as a distributed scan,
+      so the driver never holds the result regardless of SF. Batch
+      semantics match the memory sink exactly: append/update modes
+      append each batch's emitted rows; complete mode overwrites with
+      the final state. The big-SF gate runbook sets this (paired with
+      GATE_COMPARE=stream the whole verification path is driver-flat).
     """
+    sink = os.environ.get("SPARK_GRAFT_STREAM_SINK", "memory")
     checkpoint = tempfile.mkdtemp(prefix=f"{sink_name}_ckpt_")
+    if sink == "parquet":
+        out_dir = tempfile.mkdtemp(prefix=f"{sink_name}_out_")
+        wrote = {"any": False}
+        write_mode = "overwrite" if output_mode == "complete" else "append"
+
+        def _write_batch(bdf: DataFrame, _bid: int) -> None:
+            bdf.write.mode(write_mode).parquet(out_dir)
+            wrote["any"] = True
+
+        with stream_shuffle_partitions(spark):
+            q = (
+                source_df_build.writeStream.foreachBatch(_write_batch)
+                .outputMode(output_mode)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        if not wrote["any"]:
+            return spark.createDataFrame([], source_df_build.schema)
+        return spark.read.parquet(out_dir)
     with stream_shuffle_partitions(spark):
         q = (
             source_df_build.writeStream.format("memory")

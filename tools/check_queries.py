@@ -199,6 +199,18 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {ex}")
             record(name, "fail", f"spark error: {ex}", time.time() - t0)
             n_fail += 1
+            # a JVM death (OOM) would cascade-fail every later entry on
+            # the dead session (the r11 sf0.1 chunk-1 casualty shape) —
+            # probe and rebuild so one bad entry costs one verdict
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:  # noqa: BLE001
+                print("-- spark session dead; rebuilding JVM --")
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+                spark = get_spark(shuffle_partitions=8)
             continue
         el = time.time() - t0
         if name not in oracles:
