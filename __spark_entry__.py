@@ -501,6 +501,50 @@ def _q_j2_interval_join_left(spark: SparkSession, sf: str) -> DataFrame:
     return j.select("l_event_id", "r_event_id")
 
 
+def _q_j_outer_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-OUTER windowed stream-stream join — completes the interval
+    join mode matrix (inner j1 / left j2 / self j3). Kafka Streams'
+    KStream.outerJoin carries the same semantics: unmatched LEFT rows
+    emit (left, null) and unmatched RIGHT rows emit (null, right) once
+    their window expires. The reference app never calls outerJoin (its
+    tests stop at leftJoin, TopologiesTest.scala:500-506), so this is a
+    parity extra of the DSL surface, same plan as j1/j2 with
+    how='full'."""
+    l = _ev_sub(spark, sf, "purchase", "l")
+    r = _ev_sub(spark, sf, "click", "r")
+    j = joins.interval_join(
+        l, r, [("l_user_id", "r_user_id")], "l_ts", "r_ts", 21600, 21600,
+        how="full",
+    )
+    return j.select("l_event_id", "r_event_id")
+
+
+def _q_s_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-outer interval join through the STREAMING runtime: both
+    sides watermarked, unmatched rows on either side emit their
+    null-padded row once the GLOBAL watermark (min over both inputs)
+    passes their join-window end. Rows whose window is still open at
+    end-of-stream never emit — the oracle applies the same close rule
+    to both unmatched sides (the s_interval_join_left cutoff,
+    symmetrized)."""
+    ev = load_stream(spark, sf, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    j = SW.interval_join_stream(
+        l, r, [("l_user_id", "r_user_id")], "l_ts", "r_ts", 21600, 21600,
+        watermark_s=0, how="fullOuter",
+    ).select("l_event_id", "r_event_id")
+    return run_available_now(spark, j, _sink(), "append")
+
+
 def _q_j3_self_join_windowed(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     l = ev.select(
@@ -2399,6 +2443,34 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
           ON l.user_id = r.user_id
          AND r.ts BETWEEN l.ts - INTERVAL 21600 SECOND AND l.ts + INTERVAL 21600 SECOND
     """),
+    "j_outer_windowed": (_q_j_outer_windowed, """
+        SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 21600 SECOND AND l.ts + INTERVAL 21600 SECOND
+    """),
+    "s_interval_join_outer": (_q_s_interval_join_outer, """
+        WITH wm AS (
+          SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click')) AS w
+        )
+        SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 21600 SECOND AND l.ts + INTERVAL 21600 SECOND
+        WHERE (l.event_id IS NOT NULL AND r.event_id IS NOT NULL)
+           -- a null-padded row is emitted once the GLOBAL watermark
+           -- (min over both inputs' max event time) passes strictly
+           -- beyond that row's join-window end — same close rule as
+           -- s_interval_join_left, applied to BOTH unmatched sides
+           OR (r.event_id IS NULL
+               AND l.ts + INTERVAL 21600 SECOND < (SELECT w FROM wm))
+           OR (l.event_id IS NULL
+               AND r.ts + INTERVAL 21600 SECOND < (SELECT w FROM wm))
+    """),
     "j3_self_join_windowed": (_q_j3_self_join_windowed, """
         SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
         FROM events l JOIN events r
@@ -3827,6 +3899,7 @@ _FRONT = [
     "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
     "tpch_q11_important_parts", "tpch_q16_supplier_cnt",
     "tpch_q19_disjunctive_revenue",
+    "j_outer_windowed", "s_interval_join_outer",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -3842,17 +3915,19 @@ _FRONT = [
     "text_gopher_repetition",
     "text_pii_scrub",
     "corpus_line_dedup",
-    "sample_stratified", "pack_sequences", "pipeline_hash_split",
+    "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental", "s_ktable_latest",
     "s_ktable_latest_bucketed", "s_pk_join_incremental",
     "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",
+    # slot 51+: deferred r8-signed entries lead the tail (7 fills
+    # demoted when the never-green r11 additions — TPC-H q2/q9/q11/
+    # q16/q19 and the full-outer windowed join pair — took their
+    # window slots)
     "tpch_q3_top_revenue",
-    # slot 51+: deferred r8-signed entries lead the tail (the 5 tpch
-    # fills demoted when the five new-in-r11 TPC-H shapes — q2/q9/q11/
-    # q16/q19, never green — took their window slots)
     "tpch_q1_pricing", "tpch_q5_local_revenue",
     "tpch_q6_forecast_revenue",
     "tpch_q13_custdist", "tpch_q18_large_orders",
+    "sample_stratified",
     "multimodal_frames", "multimodal_meta", "multimodal_resize",
     "multimodal_features", "multimodal_bmp_decode",
     "tpch_q4_priority", "tpch_q14_promo", "tpch_q10_returned_revenue",
