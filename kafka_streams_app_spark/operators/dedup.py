@@ -481,8 +481,16 @@ def dedup_embedding_cosine(
     cost) CONSTANT as the corpus grows — the linear-cost 100 TB
     setting. The trade is recall: each extra plane cuts per-table
     collision probability by the pair's angular factor, so production
-    corpora should raise n_tables (or multi-probe) alongside; the
-    smoke records the measured recall on the synthetic corpus. Auto
+    corpora should raise n_tables (or multi-probe) alongside.
+    MEASURED at the 100x smoke scale (200k vecs, auto-p=12,
+    tools/scale_smoke.py recall100 — artifacts/scale_smoke_r11/
+    recall100.jsonl): realistic near-dups (cos ~ 0.9996) recall 1.0 at
+    n_tables=8 AND 16 (400/400 planted twins); THRESHOLD-BOUNDARY
+    pairs (cos scattered just above 0.9 — the pairs the dial actually
+    fights for) recall 0.813 at 8 tables -> 0.956 at 16 tables for
+    1.39x the wall (64 -> 89 s). Deploy rule: 8 tables when the
+    near-dup band is all that matters; 16 when boundary pairs at the
+    threshold carry value. Auto
     mode derives p deterministically from n, so an oracle that knows n
     replays identical buckets. Auto mode also verifies candidates
     INLINE in the bucket join (constant occupancy => dup factor ~1,
