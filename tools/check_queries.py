@@ -158,9 +158,12 @@ def main() -> int:
     spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # driver testdata tables are single parquet FILES; scale-smoke
+        # builds are Spark-written DIRECTORIES of part files — DuckDB
+        # needs a glob for the latter
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
 
