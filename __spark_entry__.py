@@ -855,6 +855,19 @@ def _q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_sim_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-quantizer clustering bounds
+    the pairwise-cosine work to within-cluster pairs; drop every vector
+    with a smaller-id same-cluster neighbor at cosine >= 0.3; survivors
+    carry their cluster id (operators/similarity.py:semdedup). The
+    DuckDB twin replays the exact-integer assignment and the greedy
+    drop rule."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.semdedup(
+        emb, "vec_id", "embedding", threshold=0.3, centroid_mod=(17, 3)
+    )
+
+
 def _q_extras_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     """LEFT SEMI (EXISTS) — free Spark extension beyond the reference
     surface (SURVEY §2.5 'no semi/anti joins'): customers with >=1
@@ -2799,6 +2812,38 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
               FROM s)
         SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 10
     """),
+    # SemDeDup: the IVF assignment CTE reused, then the greedy
+    # lowest-id-survives drop rule inside each cluster
+    "sim_semdedup": (_q_sim_semdedup, """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 [CAST(floor(x * 1000000.0) AS BIGINT)
+                  FOR x IN embedding::DOUBLE[]] AS q
+          FROM embeddings
+        ),
+        c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % 17 = 3),
+        ad AS (
+          SELECT e.vec_id, e.v, c.cid,
+                 list_sum([(e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])
+                           FOR i IN range(1, len(e.q) + 1)]) AS dist
+          FROM e CROSS JOIN c
+        ),
+        assign AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ad)
+          WHERE rn = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id FROM assign a
+          JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE round(list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v))
+                     * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3
+        )
+        SELECT vec_id, cid AS cluster_id FROM assign
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """),
     # --- text analysis (north-star) ---
     "text_stats": (_q_text_stats, "WITH " + _TOKS + r""",
         pr AS (
@@ -3900,6 +3945,8 @@ _FRONT = [
     "tpch_q11_important_parts", "tpch_q16_supplier_cnt",
     "tpch_q19_disjunctive_revenue",
     "j_outer_windowed", "s_interval_join_outer",
+    # (1b) new in this r11 continuation session, never sampled
+    "sim_semdedup",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -3918,8 +3965,12 @@ _FRONT = [
     "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental", "s_ktable_latest",
     "s_ktable_latest_bucketed", "s_pk_join_incremental",
-    "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",
-    # slot 51+: deferred r8-signed entries lead the tail (7 fills
+    "s_pk_join_bucketed", "s_fk_join_bucketed",
+    # slot 51+: deferred r8-signed entries lead the tail (fills
+    # demoted one-per-new-entry as this session's additions take
+    # window slots; s_fk_join_incremental demoted for sim_semdedup)
+    "s_fk_join_incremental",
+    # (older tail note: 7 fills
     # demoted when the never-green r11 additions — TPC-H q2/q9/q11/
     # q16/q19 and the full-outer windowed join pair — took their
     # window slots)

@@ -53,3 +53,62 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert len(hits) / len(e) > 0.3  # >> 4/29 random-probe baseline
     for pair in hits:  # cosine values identical where both report the pair
         assert abs(e[pair] - a[pair]) < 1e-12
+
+
+# --- SemDeDup (r11 continuation) --------------------------------------------
+
+def _semdedup_fixture(spark):
+    """Two deterministic centroids (vec_id % 5 == 0 -> ids 0 and 5:
+    A=[1,0,0,0], B=[0,1,0,0]) plus planted twins and a cross-cluster
+    boundary pair. Hand-checked assignments/cosines (4-dim, exact):
+
+      cluster 0: ids 0, 1 (cos(0,1)=.99995 twin), 2, 3, 4, 8, 9
+                 (8/9 tie-break to the lowest cid; cos(8,9)=1.0)
+      cluster 5: ids 5, 6 (cos(5,6)=.99995 twin), 7
+      ids 3=[.55,.45,..] / 7=[.45,.55,..]: cos=.98 but OPPOSITE sides
+      of the Voronoi boundary — the paper-documented recall miss.
+    """
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.6, 0.0, 0.35, 0.0]),
+        (3, [0.55, 0.45, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (6, [0.01, 0.995, 0.0, 0.0]),
+        (7, [0.45, 0.55, 0.0, 0.0]),
+        (8, [0.0, 0.0, 0.6, 0.8]),
+        (9, [0.0, 0.0, 0.6, 0.8]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_greedy_drop_and_boundary_miss(spark):
+    from kafka_streams_app_spark.operators.similarity import semdedup
+
+    emb = _semdedup_fixture(spark)
+    out = {
+        r["vec_id"]: r["cluster_id"]
+        for r in semdedup(
+            emb, "vec_id", "embedding", threshold=0.9, centroid_mod=(5, 0)
+        ).collect()
+    }
+    # twins 1 (vs 0), 6 (vs 5), 9 (vs 8) dropped; the boundary pair
+    # (3, 7) survives in SEPARATE clusters despite cos=.98 — the
+    # documented SemDeDup recall trade
+    assert out == {0: 0, 2: 0, 3: 0, 4: 0, 8: 0, 5: 5, 7: 5}
+
+
+def test_semdedup_threshold_binds(spark):
+    from kafka_streams_app_spark.operators.similarity import semdedup
+
+    emb = _semdedup_fixture(spark)
+    kept = {
+        r["vec_id"]
+        for r in semdedup(
+            emb, "vec_id", "embedding", threshold=0.99999, centroid_mod=(5, 0)
+        ).collect()
+    }
+    # only the bit-exact duplicate pair (8, 9) crosses .99999 after the
+    # 6dp rounding (the .99995 twins round BELOW it) -> only 9 drops
+    assert kept == {0, 1, 2, 3, 4, 5, 6, 7, 8}
