@@ -1046,6 +1046,19 @@ def _q_corpus_line_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.scrub_boilerplate(chunked, boiler)
 
 
+def _q_corpus_scrub_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style cross-doc duplicated-span scrubbing (Lee et
+    al. 2022): tokens covered by an 8-token run that appears in >= 2
+    documents are cut; output is the reassembled text plus removal
+    counts (operators/pipeline.py:scrub_duplicated_spans). All-JVM
+    plan; the DuckDB twin replays the md5-derived shingle hashes, the
+    distinct-per-doc df counter, and the covered-position filter."""
+    docs = load_table(spark, sf, "documents")
+    return pipeline.scrub_duplicated_spans(
+        docs, "text", "doc_id", k=8, min_df=2
+    )
+
+
 def _q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprint sketch sizes per doc (rolling-hash
     fingerprinting, Schleimer et al.) over md5-derived token hashes so
@@ -3013,6 +3026,38 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  AS chunk_text
         FROM chunks
     """),
+    # ExactSubstr scrub: duplicated k-shingle hashes -> covered starts
+    # -> per-position filter, replayed end to end
+    "corpus_scrub_dup_spans": (_q_corpus_scrub_dup_spans, "WITH " + _TOKS + r""",
+        st AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        occ AS (
+          SELECT doc_id, u.i AS i,
+                 CAST('0x' || substring(md5(array_to_string(
+                   list_slice(t, u.i, u.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+          FROM st, unnest(range(1, n - 6)) AS u(i)
+          WHERE n >= 8
+        ),
+        dup AS (
+          SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ)
+          GROUP BY h HAVING count(*) >= 2
+        ),
+        cov AS (
+          SELECT DISTINCT o.doc_id, g.p FROM occ o JOIN dup USING (h),
+               unnest(generate_series(o.i, o.i + 7)) AS g(p)
+        ),
+        covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id),
+        outq AS (
+          SELECT s.doc_id, CAST(s.n AS INT) AS n_tokens,
+                 [s.t[i] FOR i IN range(1, s.n + 1)
+                  IF NOT list_contains(coalesce(c.ps, CAST([] AS BIGINT[])), i)]
+                   AS keep
+          FROM st s LEFT JOIN covl c USING (doc_id)
+        )
+        SELECT doc_id, n_tokens,
+               CAST(n_tokens - len(keep) AS INT) AS n_removed,
+               coalesce(array_to_string(keep, ' '), '') AS scrubbed_text
+        FROM outq
+    """),
     "corpus_line_dedup": (_q_corpus_line_dedup, "WITH " + _TOKS + r""",
         chunks AS (
           SELECT doc_id,
@@ -3946,7 +3991,7 @@ _FRONT = [
     "tpch_q19_disjunctive_revenue",
     "j_outer_windowed", "s_interval_join_outer",
     # (1b) new in this r11 continuation session, never sampled
-    "sim_semdedup",
+    "sim_semdedup", "corpus_scrub_dup_spans",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -3965,11 +4010,12 @@ _FRONT = [
     "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental", "s_ktable_latest",
     "s_ktable_latest_bucketed", "s_pk_join_incremental",
-    "s_pk_join_bucketed", "s_fk_join_bucketed",
+    "s_pk_join_bucketed",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
-    # window slots; s_fk_join_incremental demoted for sim_semdedup)
-    "s_fk_join_incremental",
+    # window slots; s_fk_join_incremental demoted for sim_semdedup,
+    # s_fk_join_bucketed for corpus_scrub_dup_spans)
+    "s_fk_join_bucketed", "s_fk_join_incremental",
     # (older tail note: 7 fills
     # demoted when the never-green r11 additions — TPC-H q2/q9/q11/
     # q16/q19 and the full-outer windowed join pair — took their

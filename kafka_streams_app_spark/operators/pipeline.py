@@ -915,3 +915,93 @@ def bigram_lm_likelihood(
         F.expr("sum(_occ * _p_e9) div sum(_occ)").cast("long")
         .alias("score_e9"),
     )
+
+
+def scrub_duplicated_spans(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style cross-document span scrubbing (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): remove from every document each token covered
+    by a k-token run that also appears in at least min_df - 1 OTHER
+    documents. The paper cuts duplicated substrings (not whole
+    documents) because verbatim passages recur inside otherwise-unique
+    pages; we operate at token granularity with the shared \\W+
+    tokenizer so the result is engine-portable.
+
+    Approximation vs the paper's suffix array: a token is removed iff
+    it lies inside a duplicated k-shingle, which marks exactly the
+    tokens of every cross-doc duplicated run of length >= k (any such
+    run is a union of its k-windows, each of which is itself
+    duplicated) — identical output to the suffix-array method at run
+    granularity k, without a global suffix sort.
+
+    Plan at scale (the suffix-array step is the one that does NOT
+    distribute): shingle hashes are md5-derived 60-bit ints computed in
+    the scan stage; duplicated hashes come from ONE map-side-combined
+    hash agg over per-doc DISTINCT hashes (within-doc repetition never
+    inflates the exchange); occurrences join the duplicated set
+    co-partitioned on the hash; covered starts aggregate back on
+    doc_id; the final token filter is a JVM lambda over the token
+    array. No Python in the plan, no global sort, shuffles: hash agg +
+    hash join + doc_id agg/join.
+
+    Output: doc_id (id_col), n_tokens, n_removed, scrubbed_text.
+    Documents shorter than k tokens pass through untouched.
+    """
+    from kafka_streams_app_spark.functions.text import tokens
+
+    base = ensure_parallelism(corpus).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    starts = F.sequence(F.lit(1), F.col("_n") - k + 1)
+    sh = F.when(
+        F.col("_n") >= k,
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("i"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(F.col("_t"), i, k), " ")),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long").alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,h:long>>"))
+    occ = base.withColumn("_sh", sh)
+    # per-doc DISTINCT hashes feed the df counter: the exchange carries
+    # each (doc, shingle) once even when a doc repeats a run internally
+    dup = (
+        occ.select(F.explode(F.array_distinct("_sh.h")).alias("_h"))
+        .groupBy("_h").count()
+        .filter(F.col("count") >= min_df)
+        .select("_h")
+    )
+    hits = (
+        occ.select(id_col, F.explode("_sh").alias("_s"))
+        .join(dup, F.col("_s.h") == F.col("_h"))
+        .groupBy(id_col)
+        .agg(F.collect_set(F.col("_s.i")).alias("_starts"))
+    )
+    keep = F.filter(
+        F.col("_t"),
+        lambda x, i: ~F.exists(
+            F.col("_starts"), lambda p: (p <= i + 1) & (i + 1 < p + k)
+        ),
+    )
+    return (
+        occ.join(hits, id_col, "left")
+        .withColumn("_starts", F.coalesce("_starts", F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.col("_n").cast("int").alias("n_tokens"),
+            (F.col("_n") - F.size(keep)).cast("int").alias("n_removed"),
+            F.array_join(keep, " ").alias("scrubbed_text"),
+        )
+    )

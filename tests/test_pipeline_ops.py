@@ -757,3 +757,85 @@ class TestBigramLmLikelihood:
             for r in pipeline.bigram_lm_likelihood(docs).collect()
         }
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# scrub_duplicated_spans (ExactSubstr-style, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def _scrub_spans_reference(docs: list[tuple[int, str]], k: int, min_df: int):
+    """Python twin: duplicated k-token runs across >= min_df distinct
+    docs; every covered token removed."""
+    toks = {
+        d: [t for t in T.SPLIT_ASCII_RE.split(s.lower()) if t]
+        for d, s in docs
+    }
+    df_count: dict[tuple, set] = {}
+    for d, t in toks.items():
+        for i in range(len(t) - k + 1):
+            df_count.setdefault(tuple(t[i : i + k]), set()).add(d)
+    dup = {s for s, ds in df_count.items() if len(ds) >= min_df}
+    out = {}
+    for d, t in toks.items():
+        cov = set()
+        for i in range(len(t) - k + 1):
+            if tuple(t[i : i + k]) in dup:
+                cov.update(range(i, i + k))
+        keep = [t[i] for i in range(len(t)) if i not in cov]
+        out[d] = (len(t), len(t) - len(keep), " ".join(keep))
+    return out
+
+
+def test_scrub_duplicated_spans_hand_computed(spark):
+    """A 8-token run shared by docs 1/2 is cut from both (mid-doc in 2);
+    a unique doc and a doc shorter than k pass through; a run repeated
+    only WITHIN one doc does not count toward min_df."""
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x a b c d e f g h y"),
+        (3, "q w e r t y u i o p"),
+        (4, "a b c"),
+        (5, "p q r s t u v w p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["scrubbed_text"])
+        for r in pipeline.scrub_duplicated_spans(df, "text", "doc_id", k=8).collect()
+    }
+    assert out[1] == (10, 8, "i j")
+    assert out[2] == (11, 8, "x x y")
+    assert out[3] == (10, 0, "q w e r t y u i o p")
+    assert out[4] == (3, 0, "a b c")
+    assert out[5][1] == 0  # within-doc repeat: df=1, kept
+    assert out == _scrub_spans_reference(docs, 8, 2)
+
+
+def test_scrub_duplicated_spans_long_run_union(spark):
+    """A shared 10-token run = union of its three 8-windows: all ten
+    tokens go, not just the first window."""
+    shared = "one two three four five six seven eight nine ten"
+    docs = [(1, f"{shared} tailA"), (2, f"headB {shared}")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_removed"], r["scrubbed_text"])
+        for r in pipeline.scrub_duplicated_spans(df, "text", "doc_id", k=8).collect()
+    }
+    assert out[1] == (10, "taila")
+    assert out[2] == (10, "headb")
+
+
+def test_scrub_duplicated_spans_random_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(411)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["scrubbed_text"])
+        for r in pipeline.scrub_duplicated_spans(df, "text", "doc_id", k=4).collect()
+    }
+    assert got == _scrub_spans_reference(docs, 4, 2)
