@@ -290,6 +290,55 @@ def _dedup_emb_lsh_auto_sql(
     """
 
 
+def _kmeans_sql(iters: int = 2, mod: int = 17, rem: int = 3) -> str:
+    """Unrolled Lloyd: `iters` centroid-update rounds (each = one
+    assignment CTE + one update CTE) + the FINAL assignment under the
+    refined centroids — mirroring kmeans_lloyd()'s loop exactly.
+    Exact-int L2 assignment (ties -> lowest cid), per-dim HUGEINT
+    sums, floor-div centroid update via (s - ((s%n)+n)%n)/n
+    (non-negative remainder => true floor, matching Python's //),
+    empty clusters keep the previous centroid."""
+    it = """
+a{n} AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT e.vec_id, e.q, c.cid, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_sum([(e.q[i]-c.cq[i])*(e.q[i]-c.cq[i])
+                         FOR i IN range(1, len(e.q)+1)]), c.cid) AS rn
+    FROM e CROSS JOIN c{m} c)
+  WHERE rn = 1
+)"""
+    upd = """
+s{n} AS (
+  SELECT cid, u.pos AS pos, sum(u.v) AS s, count(*) AS n
+  FROM (SELECT cid, unnest(list_transform(generate_series(1, len(q)),
+               i -> {{'pos': i, 'v': q[i]}})) AS u FROM a{n})
+  GROUP BY cid, u.pos
+),
+c{n} AS (
+  SELECT c{m}.cid, coalesce(m.nq, c{m}.cq) AS cq
+  FROM c{m} LEFT JOIN (
+    SELECT cid, list(CAST((s - ((s % n) + n) % n) / n AS BIGINT)
+                     ORDER BY pos) AS nq
+    FROM s{n} GROUP BY cid) m USING (cid)
+)"""
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id,
+         [CAST(floor(x * 1000000.0) AS BIGINT)
+          FOR x IN embedding::DOUBLE[]] AS q
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % {mod} = {rem})"""]
+    for n in range(1, iters + 2):
+        parts.append("," + it.format(n=n, m=n - 1))
+        if n <= iters:
+            parts.append("," + upd.format(n=n, m=n - 1))
+    return (
+        "".join(parts) + f"\nSELECT vec_id, cid AS cluster_id FROM a{iters + 1}"
+    )
+
+
 def _lsh_ann_md5_sql(
     k: int = 10, n_planes: int = 6, n_tables: int = 8, dim: int = 64
 ) -> str:
@@ -865,6 +914,19 @@ def _q_sim_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.semdedup(
         emb, "vec_id", "embedding", threshold=0.3, centroid_mod=(17, 3)
+    )
+
+
+def _q_cluster_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd k-means, 2 exact-integer refinement rounds
+    over the deterministic-sample codebook
+    (operators/similarity.py:kmeans_lloyd) — per-iteration driver
+    traffic is m*d partial sums, never n. The DuckDB twin unrolls the
+    identical rounds (floor-div centroid means, empty-cluster carry)
+    and matches the final assignment bit-for-bit."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.kmeans_lloyd(
+        emb, "vec_id", "embedding", centroid_mod=(17, 3), iters=2
     )
 
 
@@ -2857,6 +2919,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT vec_id, cid AS cluster_id FROM assign
         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
     """),
+    # Lloyd k-means: the oracle unrolls the same 2 refinement rounds
+    "cluster_kmeans": (_q_cluster_kmeans, _kmeans_sql(iters=2)),
     # --- text analysis (north-star) ---
     "text_stats": (_q_text_stats, "WITH " + _TOKS + r""",
         pr AS (
@@ -3991,7 +4055,7 @@ _FRONT = [
     "tpch_q19_disjunctive_revenue",
     "j_outer_windowed", "s_interval_join_outer",
     # (1b) new in this r11 continuation session, never sampled
-    "sim_semdedup", "corpus_scrub_dup_spans",
+    "sim_semdedup", "corpus_scrub_dup_spans", "cluster_kmeans",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4010,12 +4074,12 @@ _FRONT = [
     "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental", "s_ktable_latest",
     "s_ktable_latest_bucketed", "s_pk_join_incremental",
-    "s_pk_join_bucketed",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
-    # s_fk_join_bucketed for corpus_scrub_dup_spans)
-    "s_fk_join_bucketed", "s_fk_join_incremental",
+    # s_fk_join_bucketed for corpus_scrub_dup_spans, s_pk_join_bucketed
+    # for cluster_kmeans)
+    "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",
     # (older tail note: 7 fills
     # demoted when the never-green r11 additions — TPC-H q2/q9/q11/
     # q16/q19 and the full-outer windowed join pair — took their

@@ -396,3 +396,62 @@ def semdedup(
     return base.join(dropped, "_id", "left_anti").select(
         F.col("_id").alias(id_col), F.col("_cl").alias("cluster_id")
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_mod: tuple[int, int] = (17, 3),
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd k-means in EXACT integer arithmetic — the
+    clustering primitive under SemDeDup/IVF-style curation (centroid
+    refinement moves the codebook toward the data's density; the
+    deterministic-sample init is the standard k-means|| stand-in at
+    sqrt(n) centroids).
+
+    Every quantity any engine must reproduce is an integer: vectors
+    are floor(v*1e6) int64; assignment is exact int L2 with ties to
+    the lowest centroid id; the updated centroid is the per-dimension
+    FLOOR-DIV mean of its members (sum//n — floor semantics, which
+    DuckDB replays as (s - ((s%n)+n)%n)/n); an emptied cluster keeps
+    its previous centroid. So the DuckDB oracle unrolls the same
+    iterations and matches bit-for-bit.
+
+    Per-iteration distributed cost: one Arrow-batched assignment pass
+    (no shuffle) + one map-side-combined (cluster, dim) agg whose
+    output is m*d rows — the only driver traffic, bounded by the
+    codebook size, never by n. This is textbook distributed Lloyd:
+    at 1000 executors each pass is embarrassingly parallel and the
+    reduce is m*d partial sums. int64 is safe to ~9e12 members per
+    cluster at |q| <= 1e6.
+
+    Output: (id_col, cluster_id) after `iters` refinements, cluster_id
+    = the INITIAL sample row's id (stable labels across iterations).
+    """
+    cids, cmat = _int_codebook(corpus, id_col, vec_col, centroid_mod)
+    base = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    qarr = F.transform(F.col("_v"), lambda x: F.floor(x * 1e6).cast("long"))
+    row_of = {int(c): j for j, c in enumerate(cids)}
+    for _ in range(iters):
+        assign = _nearest_cid_udf(cids, cmat)
+        stats = (
+            base.withColumn("_cl", assign(F.col("_v")))
+            .select("_cl", F.posexplode(qarr).alias("_pos", "_q"))
+            .groupBy("_cl", "_pos")
+            .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        nxt = cmat.copy()
+        for r in stats:
+            nxt[row_of[int(r["_cl"])], int(r["_pos"])] = (
+                int(r["_s"]) // int(r["_n"])
+            )
+        cmat = nxt
+    assign = _nearest_cid_udf(cids, cmat)
+    return base.withColumn("_cl", assign(F.col("_v"))).select(
+        F.col("_id").alias(id_col), F.col("_cl").alias("cluster_id")
+    )

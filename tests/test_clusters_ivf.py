@@ -112,3 +112,98 @@ def test_semdedup_threshold_binds(spark):
     # only the bit-exact duplicate pair (8, 9) crosses .99999 after the
     # 6dp rounding (the .99995 twins round BELOW it) -> only 9 drops
     assert kept == {0, 1, 2, 3, 4, 5, 6, 7, 8}
+
+
+# --- kmeans_lloyd (r11 continuation) -----------------------------------------
+
+def _kmeans_reference(rows, mod, rem, iters):
+    """Pure-python exact-integer Lloyd twin (floor-div means, ties to
+    lowest centroid id, empty clusters keep their centroid)."""
+    q = {i: [int(__import__("math").floor(x * 1e6)) for x in v] for i, v in rows}
+    cids = sorted(i for i in q if i % mod == rem)
+    cmat = {c: list(q[c]) for c in cids}
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            best = min(
+                cids,
+                key=lambda c: (sum((a - b) ** 2 for a, b in zip(v, cmat[c])), c),
+            )
+            out[i] = best
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        for c in cids:
+            memb = [q[i] for i in q if a[i] == c]
+            if memb:
+                n = len(memb)
+                cmat[c] = [sum(col) // n for col in zip(*memb)]
+    return assign()
+
+
+def test_kmeans_lloyd_matches_exact_python_replay(spark):
+    import random
+
+    from kafka_streams_app_spark.operators.similarity import kmeans_lloyd
+
+    rng = random.Random(1107)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_lloyd(
+            df, "vec_id", "embedding", centroid_mod=(7, 2), iters=2
+        ).collect()
+    }
+    assert got == _kmeans_reference(rows, 7, 2, 2)
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
+    """Duplicate centroid rows: ties go to the lowest cid, so the
+    higher twin's cluster is empty in round 1 — it must KEEP its
+    centroid (not crash / not NaN). The kept centroid then wins the
+    exact-duplicate points BACK in round 2 (cluster 0's mean drifted
+    toward the far point): if the empty cluster had been dropped,
+    label 3 could never reappear."""
+    from kafka_streams_app_spark.operators.similarity import kmeans_lloyd
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (3, [1.0, 0.0]),   # duplicate of centroid 0 -> cluster 3 empty
+        (1, [0.9, 0.1]),
+        (2, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_lloyd(
+            df, "vec_id", "embedding", centroid_mod=(3, 0), iters=2
+        ).collect()
+    }
+    assert got == _kmeans_reference(rows, 3, 0, 2)
+    assert got[0] == 3 and got[3] == 3  # carried centroid reclaims its twins
+
+
+def test_kmeans_lloyd_floor_division_is_floor_not_truncate(spark):
+    """Negative coordinate sums: mean must floor toward -inf (python
+    //), not truncate toward zero — q values {0, -3} average to -2
+    under floor (truncation would say -1)."""
+    from kafka_streams_app_spark.operators.similarity import kmeans_lloyd
+
+    rows = [
+        (0, [0.0, 0.0]),            # centroid, q [0, 0]
+        (1, [-0.000003, 0.0]),      # q [-3, 0] -> c0 mean [-2, 0] floored
+        (5, [1.0, 1.0]),            # far centroid keeps the pair apart
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_lloyd(
+            df, "vec_id", "embedding", centroid_mod=(5, 0), iters=1
+        ).collect()
+    }
+    assert got == _kmeans_reference(rows, 5, 0, 1)
