@@ -1108,6 +1108,20 @@ def _q_corpus_line_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.scrub_boilerplate(chunked, boiler)
 
 
+def _q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style target-likeness selection: hashed-unigram Laplace
+    models for target (lang='en' docs) vs raw (all docs), exact
+    fixed-point likelihood-ratio score per doc, top-200 kept
+    (operators/pipeline.py:dsir_score). The DuckDB twin replays the
+    bucket models, the HUGEINT floor-div ratios, and the ordered
+    selection."""
+    docs = load_table(spark, sf, "documents")
+    return pipeline.dsir_score(
+        docs, docs.filter(F.col("lang") == "en"),
+        "text", "doc_id", n_buckets=1024, top_n=200,
+    )
+
+
 def _q_corpus_scrub_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """ExactSubstr-style cross-doc duplicated-span scrubbing (Lee et
     al. 2022): tokens covered by an 8-token run that appears in >= 2
@@ -3090,6 +3104,46 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  AS chunk_text
         FROM chunks
     """),
+    # DSIR selection: bucket models, HUGEINT floor-div ratios, ordered
+    # top-200 — the whole selection replayed
+    "dsir_select": (_q_dsir_select, "WITH " + _TOKS + r""",
+        rawo AS (
+          SELECT doc_id,
+                 CAST('0x' || substring(md5(u.x), 1, 15) AS BIGINT)
+                   % 1024 AS b
+          FROM (SELECT doc_id, unnest(t) AS x FROM toks) AS u
+        ),
+        tgo AS (
+          SELECT CAST('0x' || substring(md5(u.x), 1, 15) AS BIGINT)
+                   % 1024 AS b
+          FROM (SELECT unnest(list_filter(
+                  string_split_regex(lower(d.text), '\W+'), x -> x <> ''))
+                  AS x
+                FROM documents d WHERE d.lang = 'en') AS u
+        ),
+        rc AS (SELECT b, count(*) AS rc FROM rawo GROUP BY b),
+        tc AS (SELECT b, count(*) AS tc FROM tgo GROUP BY b),
+        m AS (
+          SELECT coalesce(rc.b, tc.b) AS b,
+                 coalesce(rc.rc, 0) AS rc, coalesce(tc.tc, 0) AS tc
+          FROM rc FULL OUTER JOIN tc ON rc.b = tc.b
+        ),
+        tot AS (SELECT sum(rc) + 1024 AS dr, sum(tc) + 1024 AS dt FROM m),
+        ratio AS (
+          SELECT b,
+                 CAST((CAST(tc + 1 AS HUGEINT) * dr * 1000000)
+                      // ((rc + 1) * dt) AS BIGINT) AS ratio_e6
+          FROM m CROSS JOIN tot
+        ),
+        sc AS (
+          SELECT o.doc_id, count(*) AS n_tokens,
+                 CAST(sum(CAST(ratio_e6 AS HUGEINT)) // count(*)
+                      AS BIGINT) AS score_e6
+          FROM rawo o JOIN ratio USING (b) GROUP BY o.doc_id
+        )
+        SELECT doc_id, n_tokens, score_e6 FROM sc
+        ORDER BY score_e6 DESC, doc_id LIMIT 200
+    """),
     # ExactSubstr scrub: duplicated k-shingle hashes -> covered starts
     # -> per-position filter, replayed end to end
     "corpus_scrub_dup_spans": (_q_corpus_scrub_dup_spans, "WITH " + _TOKS + r""",
@@ -4056,6 +4110,7 @@ _FRONT = [
     "j_outer_windowed", "s_interval_join_outer",
     # (1b) new in this r11 continuation session, never sampled
     "sim_semdedup", "corpus_scrub_dup_spans", "cluster_kmeans",
+    "dsir_select",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4073,12 +4128,13 @@ _FRONT = [
     "corpus_line_dedup",
     "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental", "s_ktable_latest",
-    "s_ktable_latest_bucketed", "s_pk_join_incremental",
+    "s_ktable_latest_bucketed",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
     # s_fk_join_bucketed for corpus_scrub_dup_spans, s_pk_join_bucketed
-    # for cluster_kmeans)
+    # for cluster_kmeans, s_pk_join_incremental for dsir_select)
+    "s_pk_join_incremental",
     "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",
     # (older tail note: 7 fills
     # demoted when the never-green r11 additions — TPC-H q2/q9/q11/

@@ -1005,3 +1005,91 @@ def scrub_duplicated_spans(
             F.array_join(keep, " ").alias("scrubbed_text"),
         )
     )
+
+
+def dsir_score(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    top_n: int | None = None,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every corpus document by how target-like its hashed
+    bag-of-words is, and optionally keep the top slice — the standard
+    "make 100 TB of crawl look like the curated target" selection
+    stage.
+
+    The paper's importance weight is the likelihood ratio of two
+    hashed-n-gram models. We keep the ratio in EXACT fixed-point
+    integer arithmetic (no logs — log is not correctly-rounded IEEE,
+    so cross-engine bit-equality would be luck): per token with hashed
+    bucket b,
+        ratio_e6(b) = floor(1e6 * (t_b+1) * Dr / ((r_b+1) * Dt))
+    (Laplace-smoothed target/raw unigram models over md5-derived
+    portable buckets; Dr/Dt = total tokens + n_buckets), and per doc
+        score_e6 = floor(mean of its tokens' ratio_e6)
+    — the linearized (arithmetic-mean) form of the paper's per-token
+    geometric mean, monotone in target-likeness and replayable by any
+    engine with md5 + big-integer division.
+
+    Plan at scale: both models are ONE map-side-combined agg each,
+    output bounded by n_buckets; the totals row and the n_buckets-row
+    ratio table broadcast onto the token stream (no shuffle of text);
+    per-doc scoring is one map-side-combinable agg on id_col; top_n
+    selection is TakeOrderedAndProject (distributed heap, never a
+    global sort). Raw-model counts come from `corpus` itself; `target`
+    is any DataFrame with text_col (typically a curated subset or an
+    external high-quality corpus).
+
+    Output: (id_col, n_tokens, score_e6), zero-token documents
+    excluded; with top_n, the top_n rows by (score_e6 DESC, id ASC).
+    """
+    from kafka_streams_app_spark.functions.text import tokens
+
+    raw_occ = ensure_parallelism(corpus).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    ).withColumn("_b", portable_bucket(F.col("_tok"), n_buckets))
+    tgt_occ = target.select(
+        F.explode(tokens(F.col(text_col))).alias("_tok")
+    ).select(portable_bucket(F.col("_tok"), n_buckets).alias("_b"))
+    rc = raw_occ.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    tc = tgt_occ.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    model = (
+        rc.join(tc, "_b", "full_outer")
+        .select(
+            "_b",
+            F.coalesce("_rc", F.lit(0)).alias("_rc"),
+            F.coalesce("_tc", F.lit(0)).alias("_tc"),
+        )
+    )
+    tot = model.agg(
+        (F.sum("_rc") + n_buckets).cast("decimal(38,0)").alias("_dr"),
+        (F.sum("_tc") + n_buckets).cast("decimal(38,0)").alias("_dt"),
+    )
+    # exact floor-div: decimal '/' rounds at result scale, so divide
+    # only after subtracting the remainder (same idiom as
+    # bigram_lm_likelihood's p_e9)
+    a = (F.col("_tc") + 1).cast("decimal(38,0)") * F.col("_dr") * F.lit(1_000_000)
+    b = (F.col("_rc") + 1).cast("decimal(38,0)") * F.col("_dt")
+    ratio = model.crossJoin(F.broadcast(tot)).select(
+        "_b", ((a - F.pmod(a, b)) / b).cast("long").alias("_ratio_e6")
+    )
+    scored = (
+        raw_occ.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(
+                "CAST(sum(CAST(_ratio_e6 AS DECIMAL(38,0)))"
+                " div count(1) AS LONG)"
+            ).alias("score_e6"),
+        )
+    )
+    if top_n is not None:
+        scored = scored.orderBy(
+            F.col("score_e6").desc(), F.col(id_col)
+        ).limit(top_n)
+    return scored

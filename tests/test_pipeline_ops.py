@@ -839,3 +839,107 @@ def test_scrub_duplicated_spans_random_vs_python_reference(spark):
         for r in pipeline.scrub_duplicated_spans(df, "text", "doc_id", k=4).collect()
     }
     assert got == _scrub_spans_reference(docs, 4, 2)
+
+
+# ---------------------------------------------------------------------------
+# dsir_score (DSIR-style selection, Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _dsir_reference(corpus, target, n_buckets, top_n=None):
+    """Exact-integer python twin of dsir_score."""
+    import hashlib
+
+    def buckets(s):
+        return [
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % n_buckets
+            for w in T.SPLIT_ASCII_RE.split(s.lower()) if w
+        ]
+
+    raw = {d: buckets(s) for d, s in corpus}
+    rc: dict[int, int] = {}
+    for bs in raw.values():
+        for b in bs:
+            rc[b] = rc.get(b, 0) + 1
+    tcnt: dict[int, int] = {}
+    for _, s in target:
+        for b in buckets(s):
+            tcnt[b] = tcnt.get(b, 0) + 1
+    dr = sum(rc.values()) + n_buckets
+    dt = sum(tcnt.values()) + n_buckets
+    out = []
+    for d, bs in raw.items():
+        if not bs:
+            continue
+        s = sum(
+            (1_000_000 * (tcnt.get(b, 0) + 1) * dr) // ((rc[b] + 1) * dt)
+            for b in bs
+        )
+        out.append((d, len(bs), s // len(bs)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:top_n] if top_n is not None else sorted(out)
+
+
+def test_dsir_score_target_like_docs_outscore(spark):
+    """Docs written in the target's vocabulary must outscore docs in a
+    disjoint vocabulary, and every value must match the exact-integer
+    python twin (incl. the empty doc being excluded)."""
+    corpus = [
+        (1, "alpha beta alpha beta gamma"),
+        (2, "zz ww zz ww qq"),
+        (3, "alpha beta"),
+        (4, ""),
+    ]
+    target = [(100, "alpha beta gamma alpha"), (101, "beta gamma")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["score_e6"])
+        for r in pipeline.dsir_score(cdf, tdf, n_buckets=64).collect()
+    )
+    ref = _dsir_reference(corpus, target, 64)
+    assert got == ref
+    by_id = {d: s for d, _, s in got}
+    assert by_id[1] > by_id[2] and by_id[3] > by_id[2]
+    assert 4 not in by_id
+
+
+def test_dsir_score_top_n_order_and_tiebreak(spark):
+    """top_n returns exactly the (score DESC, doc_id ASC) head — ties
+    (identical docs) resolve by id, so the cut is deterministic."""
+    # junk docs appear as often as the target-like ones so their raw
+    # counts match — otherwise Laplace smoothing inflates raw-singleton
+    # tokens (ratio ~ Dr/((rc+1)*Dt)) above genuinely target-like text
+    corpus = [(i, "same text here") for i in range(6)] + [
+        (10 + i, "unrelated junk words") for i in range(6)
+    ]
+    target = [(0, "same text")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["n_tokens"], r["score_e6"])
+        for r in pipeline.dsir_score(cdf, tdf, n_buckets=64, top_n=4).collect()
+    ]
+    assert got == _dsir_reference(corpus, target, 64, top_n=4)
+    assert [d for d, _, _ in got] == [0, 1, 2, 3]
+
+
+def test_dsir_score_random_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(2302)
+    vocab = [f"tok{i}" for i in range(40)]
+    corpus = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for d in range(50)
+    ]
+    target = [
+        (d, " ".join(rng.choice(vocab[:12]) for _ in range(rng.randint(1, 25))))
+        for d in range(8)
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["score_e6"])
+        for r in pipeline.dsir_score(cdf, tdf, n_buckets=32).collect()
+    )
+    assert got == _dsir_reference(corpus, target, 32)
