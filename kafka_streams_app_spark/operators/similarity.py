@@ -321,13 +321,22 @@ def _nearest_cid_udf(cids: "np.ndarray", cmat: "np.ndarray"):
     floor(v*1e6) quantization, ties -> lowest centroid id (cids is
     sorted, argmin takes the first minimum) — any engine reproduces
     the identical assignment, which is what lets the DuckDB oracle
-    replay the clustering bit-for-bit."""
+    replay the clustering bit-for-bit.
+
+    Distances use the matmul expansion ||q||^2 - 2 q.c + ||c||^2 —
+    identical exact int64 values to the (q-c)^2 broadcast form, but
+    O(batch x m) transient memory instead of the O(batch x m x d)
+    diff cube (at a 3k-row codebook and 10k-row Arrow batches the cube
+    is GBs per core; the matmul products peak at |q.c| <= d x 1e12,
+    far inside int64)."""
+    cT = cmat.T.copy()
+    cc = (cmat.astype(np.int64) ** 2).sum(axis=1)
 
     @pandas_udf("long")
     def assign(vs: "pd.Series") -> "pd.Series":
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         q = np.floor(m * 1e6).astype(np.int64)
-        d = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        d = (q ** 2).sum(axis=1)[:, None] - 2 * (q @ cT) + cc[None, :]
         return pd.Series(cids[np.argmin(d, axis=1)])
 
     return assign

@@ -69,6 +69,12 @@ QUERIES = [
     # disjoint, so cross-corpus dup volume grows linearly with mult
     "dedup_cross_corpus",
     "mix_sources",
+    # r11-continuation ops: replicas are content-disjoint, so duplicated
+    # 8-token runs exist only WITHIN a replica -> scrub volume linear;
+    # dsir's bucket models are n_buckets-bounded regardless of corpus
+    # size -> pure token-stream scaling
+    "corpus_scrub_dup_spans",
+    "dsir_select",
 ]
 
 ID_SHIFT = 1_000_000_000
@@ -123,6 +129,40 @@ def build(spark, mult: int) -> str:
     for t in ("region", "nation", "customer", "supplier", "part", "orders"):
         shutil.copy(f"{BASE}/{t}.parquet", out / f"{t}.parquet")
     return str(out)
+
+
+def _semdedup_runner(mod_at_big: int):
+    """semdedup under a chosen codebook dial at the big scale.
+
+    The codebook size m is SemDeDup's scale trade (mirror of LSH's
+    n_planes): assignment costs n*m matmul work, within-cluster
+    verification costs ~n^2/m pair work. mod 17 at 10x grows m with n
+    (constant occupancy: verification linear, assignment quadratic);
+    mod 170 at 10x holds m (assignment linear, verification pair count
+    x100 within each replica-disjoint slice... except cross-replica
+    cosines are ~0 here, so only the threshold filter output stays
+    flat while pair VOLUME grows). Both dials measured; the deploy
+    rule goes to SCALE.md."""
+    from kafka_streams_app_spark.operators.similarity import semdedup
+
+    def run(spark, d):
+        mod = 17 if d == BASE else mod_at_big
+        emb = load_table(spark, d, "embeddings")
+        return semdedup(
+            emb, "vec_id", "embedding", threshold=0.3, centroid_mod=(mod, 3)
+        )
+
+    return run
+
+
+def _kmeans_runner(spark, d):
+    """kmeans_lloyd at the contract dial (mod 17): codebook grows with
+    n, so each of the 3 assignment passes is the n*m matmul shape —
+    the quantity this smoke watches."""
+    from kafka_streams_app_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, d, "embeddings")
+    return kmeans_lloyd(emb, "vec_id", "embedding", centroid_mod=(17, 3), iters=2)
 
 
 def _union_all(dfs):
@@ -605,12 +645,19 @@ def main() -> None:
         recall100_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:]  # substring filters over runner names
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     big_dir = build(spark, mult)
     queries = entry_mod.queries()
     runners = [(n, queries[n]) for n in QUERIES]
     runners.append(("sim_lsh_ann_topk[fixed 50-query set]", _ann_fixed_queries))
+    runners.append(("sim_semdedup[mod 17: occupancy const]", _semdedup_runner(17)))
+    runners.append(("sim_semdedup[mod 170 at 10x: codebook const]",
+                    _semdedup_runner(170)))
+    runners.append(("cluster_kmeans[mod 17, 2 iters]", _kmeans_runner))
+    if only:
+        runners = [(n, f) for n, f in runners if any(s in n for s in only)]
     for name, fn in runners:
         fn(spark, BASE).write.format("noop").mode("overwrite").save()  # warm
         base_s = timed(fn, spark, BASE)
