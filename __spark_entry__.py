@@ -500,6 +500,26 @@ def _q_a2_windowed_count(spark: SparkSession, sf: str) -> DataFrame:
     return agg.windowed_count(ev, "ts", ["event_type"], 10)
 
 
+def _q_a5_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Unique users per event_type per 60 s window, EXACT two-stage
+    distinct aggregate (operators/aggregations.py:
+    windowed_distinct_count); approx=True is the documented HLL sketch
+    dial at 100 TB (no cross-engine bit contract, so the oracle pins
+    the exact path)."""
+    ev = load_table(spark, sf, "events")
+    return agg.windowed_distinct_count(ev, "ts", ["event_type"], "user_id", 60)
+
+
+def _q_a6_windowed_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-3 heavy-hitter users per event_type per 300 s window,
+    deterministic tie-break (operators/aggregations.py:
+    windowed_topn_values)."""
+    ev = load_table(spark, sf, "events")
+    return agg.windowed_topn_values(
+        ev, "ts", ["event_type"], "user_id", 300, n=3
+    )
+
+
 def _q_a3_windowed_sum(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return agg.windowed_agg(
@@ -2491,6 +2511,25 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT {_win_start('ts', 10)} AS window_start_s, event_type, count(*) AS cnt
         FROM events GROUP BY 1, 2
     """),
+    "a5_windowed_distinct": (_q_a5_windowed_distinct, f"""
+        SELECT {_win_start('ts', 60)} AS window_start_s, event_type,
+               count(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY 1, 2
+    """),
+    "a6_windowed_topn": (_q_a6_windowed_topn, f"""
+        WITH c AS (
+          SELECT {_win_start('ts', 300)} AS window_start_s, event_type,
+                 user_id AS value, count(*) AS cnt
+          FROM events GROUP BY 1, 2, 3
+        ), r AS (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY window_start_s, event_type
+            ORDER BY cnt DESC, CAST(value AS VARCHAR)) AS INT) AS rank
+          FROM c
+        )
+        SELECT window_start_s, event_type, value, cnt, rank
+        FROM r WHERE rank <= 3
+    """),
     "a3_windowed_sum": (_q_a3_windowed_sum, f"""
         SELECT {_win_start('ts', 60)} AS window_start_s, event_type,
                CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
@@ -4110,7 +4149,7 @@ _FRONT = [
     "j_outer_windowed", "s_interval_join_outer",
     # (1b) new in this r11 continuation session, never sampled
     "sim_semdedup", "corpus_scrub_dup_spans", "cluster_kmeans",
-    "dsir_select",
+    "dsir_select", "a5_windowed_distinct", "a6_windowed_topn",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4127,13 +4166,14 @@ _FRONT = [
     "text_pii_scrub",
     "corpus_line_dedup",
     "pack_sequences", "pipeline_hash_split",
-    "s_fk_join_left_incremental", "s_ktable_latest",
-    "s_ktable_latest_bucketed",
+    "s_fk_join_left_incremental",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
     # s_fk_join_bucketed for corpus_scrub_dup_spans, s_pk_join_bucketed
-    # for cluster_kmeans, s_pk_join_incremental for dsir_select)
+    # for cluster_kmeans, s_pk_join_incremental for dsir_select,
+    # s_ktable_latest_bucketed/s_ktable_latest for a5/a6)
+    "s_ktable_latest", "s_ktable_latest_bucketed",
     "s_pk_join_incremental",
     "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",
     # (older tail note: 7 fills

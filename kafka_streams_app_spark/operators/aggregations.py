@@ -23,7 +23,7 @@ a 32-partition Spark sum bit-matches a single-threaded oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -98,6 +98,77 @@ def session_count(
         df.groupBy(w.alias("w"), *keys)
         .agg(F.count(F.lit(1)).alias(out))
         .select(*keys, F.unix_seconds(F.col("w.start")).alias("session_start_s"), out)
+    )
+
+
+def windowed_distinct_count(
+    df: DataFrame, ts: str, keys: list[str], value: str,
+    duration_s: int, approx: bool = False, rsd: float = 0.05,
+    out: str = "n_distinct",
+) -> DataFrame:
+    """Windowed DISTINCT cardinality per key (e.g. unique users per
+    event_type per window) — the other classic windowed aggregate next
+    to count/sum.
+
+    Exact mode: Spark plans count_distinct as a two-stage aggregate —
+    partial de-dup of (key, window, value) map-side, then the count on
+    the co-partitioned stream — so the exchange carries distinct
+    triples, not events. approx=True is the 100 TB sketch dial:
+    approx_count_distinct (HyperLogLog++) keeps the agg single-pass
+    with one fixed-size sketch per (key, window) through map-side
+    combine; rsd trades sketch bytes for error. The oracle checks the
+    exact path (a sketch has no cross-engine bit contract).
+
+    Output: window_start_s BIGINT, *keys, n_distinct BIGINT.
+    """
+    w = F.window(ts, f"{duration_s} seconds")
+    agg = (
+        F.approx_count_distinct(value, rsd) if approx
+        else F.count_distinct(F.col(value))
+    )
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(agg.alias(out))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            *keys, out,
+        )
+    )
+
+
+def windowed_topn_values(
+    df: DataFrame, ts: str, keys: list[str], value: str,
+    duration_s: int, n: int = 3,
+) -> DataFrame:
+    """Exact top-n heavy hitters per (key, window): the values with the
+    highest occurrence counts inside each window, rank-stable (ties ->
+    lower value first, cast to string for a total order).
+
+    Plan: one map-side-combined hash agg on (key, window, value), then
+    a rank window inside each (key, window) partition — two exchanges,
+    both carrying aggregated rows. At 100 TB with ultra-wide value
+    domains the sketch dial is a space-saving/count-min summary per
+    partition merged at the reducer (approximate counts, exact top-set
+    with high probability); this exact form is correct at any scale,
+    just shuffle-heavier.
+
+    Output: window_start_s BIGINT, *keys, value, cnt, rank.
+    """
+    w = F.window(ts, f"{duration_s} seconds")
+    counted = (
+        df.groupBy(w.alias("w"), *keys, F.col(value).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            *keys, "value", "cnt",
+        )
+    )
+    rank_w = Window.partitionBy("window_start_s", *keys).orderBy(
+        F.col("cnt").desc(), F.col("value").cast("string")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= n)
     )
 
 

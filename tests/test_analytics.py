@@ -128,3 +128,82 @@ def test_group_quantiles_single_window_exchange(spark):
     r = plan_report(out)
     assert r["exchanges"] == 1  # rank + count share one window exchange
     assert r["python_evals"] == 0 and r["rowwise_python"] == 0
+
+
+# --- windowed distinct-count + top-n heavy hitters (r11 continuation) -------
+
+def _events_fixture(spark):
+    """Two 60 s windows of 'click' + one of 'view'; user 7 repeats
+    within a window (distinct must collapse it, top-n must count it)."""
+    rows = [
+        # window [0, 60): click users 7,7,8 -> distinct 2; view user 9
+        ("2024-01-01 00:00:05", "click", 7),
+        ("2024-01-01 00:00:10", "click", 7),
+        ("2024-01-01 00:00:20", "click", 8),
+        ("2024-01-01 00:00:30", "view", 9),
+        # window [60, 120): click users 7,10 -> distinct 2
+        ("2024-01-01 00:01:05", "click", 7),
+        ("2024-01-01 00:01:50", "click", 10),
+    ]
+    return spark.createDataFrame(
+        rows, "ts_s string, event_type string, user_id long"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "user_id")
+
+
+def test_windowed_distinct_count_exact(spark):
+    from kafka_streams_app_spark.operators.aggregations import (
+        windowed_distinct_count,
+    )
+
+    ev = _events_fixture(spark)
+    out = {
+        (r["window_start_s"], r["event_type"]): r["n_distinct"]
+        for r in windowed_distinct_count(
+            ev, "ts", ["event_type"], "user_id", 60
+        ).collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert out == {
+        (base, "click"): 2,
+        (base, "view"): 1,
+        (base + 60, "click"): 2,
+    }
+
+
+def test_windowed_distinct_count_approx_dial_runs(spark):
+    """The HLL dial returns a plausible cardinality (no bit contract,
+    so only sanity-bounded: exact=2 per click window, rsd=0.05 keeps
+    tiny sets exact in practice)."""
+    from kafka_streams_app_spark.operators.aggregations import (
+        windowed_distinct_count,
+    )
+
+    ev = _events_fixture(spark)
+    out = windowed_distinct_count(
+        ev, "ts", ["event_type"], "user_id", 60, approx=True
+    ).collect()
+    assert {r["n_distinct"] for r in out} <= {1, 2, 3}
+    assert len(out) == 3
+
+
+def test_windowed_topn_counts_and_tiebreak(spark):
+    """User 7 (2 hits) ranks above 8/9/10 (1 hit each); the 1-hit tie
+    resolves by the STRING order of the value ('10' < '8' < '9'
+    lexicographically) — pinned so both engines cut identically."""
+    from kafka_streams_app_spark.operators.aggregations import (
+        windowed_topn_values,
+    )
+
+    ev = _events_fixture(spark)
+    out = sorted(
+        (r["event_type"], r["rank"], r["value"], r["cnt"])
+        for r in windowed_topn_values(
+            ev, "ts", ["event_type"], "user_id", 3600, n=3
+        ).collect()
+    )
+    assert out == [
+        ("click", 1, 7, 3),
+        ("click", 2, 10, 1),
+        ("click", 3, 8, 1),
+        ("view", 1, 9, 1),
+    ]
