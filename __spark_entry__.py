@@ -807,6 +807,20 @@ def _q_pipeline_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dedup_minhash_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy decontamination / incremental near-dedup: MinHash-LSH
+    candidate pairs BETWEEN the new-ingest band and the reference band
+    (same corpus split as dedup_cross_corpus, so the %10==2 overlap
+    surfaces as jac=1.0 self-pairs plus whatever genuine near-dups
+    exist), exact-Jaccard verified
+    (operators/dedup.py:dedup_minhash_lsh_cross). Oracle = brute-force
+    cross Jaccard (recall ~1 at 0.8 by the 64x2 band construction)."""
+    docs = load_table(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 < 3)
+    new = docs.filter(F.col("doc_id") % 10 >= 2)
+    return dedup.dedup_minhash_lsh_cross(new, ref, "text", "doc_id")
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return dedup.dedup_ngram_jaccard(docs, "text", "doc_id", k=3, threshold=0.8)
@@ -2815,6 +2829,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         WHERE containment >= 0.6
     """),
     "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _JACCARD_PAIRS.format(thr=0.8)),
+    # cross-corpus near-dup twin: brute-force Jaccard between the two
+    # bands (x from new, y from ref; no ordering constraint — a doc in
+    # both bands self-pairs at jac 1.0, the contamination signal)
+    "dedup_minhash_lsh_cross": (_q_dedup_minhash_cross, "WITH " + _SHINGLES + r""",
+        exn AS (SELECT doc_id, unnest(s) AS sg FROM sh
+                WHERE len(s) > 0 AND doc_id % 10 >= 2),
+        exr AS (SELECT doc_id, unnest(s) AS sg FROM sh
+                WHERE len(s) > 0 AND doc_id % 10 < 3),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+        pairs AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+          FROM exn x JOIN exr y ON x.sg = y.sg
+          GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jac
+        FROM pairs p
+        JOIN sizes na ON p.doc_a = na.doc_id
+        JOIN sizes nb ON p.doc_b = nb.doc_id
+        WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.8
+    """),
     "dedup_simhash": (_q_dedup_simhash, _simhash_md5_sql(3)),
     # recursive CTE walks the same near-dup graph the Spark side closes
     # with min-label propagation
@@ -4150,6 +4185,7 @@ _FRONT = [
     # (1b) new in this r11 continuation session, never sampled
     "sim_semdedup", "corpus_scrub_dup_spans", "cluster_kmeans",
     "dsir_select", "a5_windowed_distinct", "a6_windowed_topn",
+    "dedup_minhash_lsh_cross",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4166,13 +4202,14 @@ _FRONT = [
     "text_pii_scrub",
     "corpus_line_dedup",
     "pack_sequences", "pipeline_hash_split",
-    "s_fk_join_left_incremental",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
     # s_fk_join_bucketed for corpus_scrub_dup_spans, s_pk_join_bucketed
     # for cluster_kmeans, s_pk_join_incremental for dsir_select,
-    # s_ktable_latest_bucketed/s_ktable_latest for a5/a6)
+    # s_ktable_latest_bucketed/s_ktable_latest for a5/a6,
+    # s_fk_join_left_incremental for dedup_minhash_lsh_cross)
+    "s_fk_join_left_incremental",
     "s_ktable_latest", "s_ktable_latest_bucketed",
     "s_pk_join_incremental",
     "s_pk_join_bucketed", "s_fk_join_bucketed", "s_fk_join_incremental",

@@ -864,3 +864,81 @@ def dedup_winnowing(
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return pairs.filter(F.col("n_shared") >= min_shared)
+
+
+def dedup_minhash_lsh_cross(
+    new: DataFrame,
+    ref: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-corpus NEAR-duplicate pairs: every (new, ref) document
+    pair with shingle-Jaccard >= threshold — the fuzzy companion to
+    dedup_cross_corpus (exact text equality) and the near-dup form of
+    benchmark decontamination: a training doc that paraphrases or
+    lightly edits an eval/ref doc shares most of its shingles even
+    though no exact span or full-text hash matches.
+
+    Same machinery as dedup_minhash_lsh, two-sided: both corpora get
+    the fused shingle+band-key Arrow pass (one tokenize each), band
+    keys from the SAME permutation family hash both sides into a
+    shared bucket space, candidates are the cross band-join (new x ref
+    only — never new x new), and exact Jaccard over xxhash64 shingle
+    sets verifies each candidate. Recall at the threshold follows the
+    same 64-band/2-row construction as the self variant (miss
+    probability (1 - j^2)^64, ~1e-10 at j = 0.8).
+
+    Scale: cost is sum over buckets of |new bucket| x |ref bucket| —
+    linear in each corpus at bounded occupancy, and the ref side is
+    typically benchmark/curated-sized. Both sig caches are released
+    before returning (eager materialization, as in dedup_minhash_lsh).
+
+    Output: doc_a (new id), doc_b (ref id), jac DOUBLE. A document
+    present in both corpora pairs with itself at jac 1.0 — that IS the
+    contamination signal, not an artifact to filter.
+    """
+    ss = _shingle_sig_udf(k)
+
+    def prep(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        return (
+            ensure_parallelism(df)
+            .select(F.col(id_col).alias(out_id), ss(F.col(text)).alias("_ss"))
+            .filter(F.size("_ss.sh") > 0)
+            .select(
+                out_id,
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(F.col("_ss.sh"), lambda s: F.xxhash64(s))
+                    )
+                ).alias(out_sh),
+                F.col("_ss.bh").alias("_bh"),
+            )
+            .persist()
+        )
+
+    a = prep(new, "doc_a", "_sa")
+    b = prep(ref, "doc_b", "_sb")
+    cand = (
+        a.select("doc_a", F.explode("_bh").alias("bh"))
+        .join(b.select("doc_b", F.explode("_bh").alias("bh")), "bh")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    joined = (
+        cand.join(a.select("doc_a", "_sa"), "doc_a")
+        .join(b.select("doc_b", "_sb"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = inter.cast("double") / union
+    try:
+        return (
+            joined.select("doc_a", "doc_b", jac.alias("jac"))
+            .filter((F.col("jac") >= threshold) & (inter > 0))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        a.unpersist()
+        b.unpersist()

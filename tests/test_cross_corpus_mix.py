@@ -194,3 +194,32 @@ class TestMixSources:
         df = spark.createDataFrame(self.ROWS, "doc_id long, source string")
         out = mix_sources(df, "source", {"src0": 1.0}, "doc_id")
         assert out.columns == ["doc_id", "source", "epoch"]
+
+
+# --- dedup_minhash_lsh_cross (fuzzy decontamination, r11 continuation) ------
+
+def test_minhash_cross_pairs_only_across_corpora(spark):
+    """Near-dup and exact pairs appear ONLY between the two corpora:
+    the exact dup WITHIN `new` (docs 1/2) must not pair; the exact
+    ref copy pairs at jac 1.0; the one-token edit pairs at 9/11; the
+    unrelated docs pair with nothing."""
+    from kafka_streams_app_spark.operators.dedup import dedup_minhash_lsh_cross
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and more"
+    new = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(50, base), (51, near), (52, "nothing shared with anything at all")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jac"]
+        for r in dedup_minhash_lsh_cross(new, ref, "text", "doc_id").collect()
+    }
+    assert set(out) == {(1, 50), (2, 50), (1, 51), (2, 51)}
+    assert out[(1, 50)] == 1.0 and out[(2, 50)] == 1.0
+    assert abs(out[(1, 51)] - 9 / 11) < 1e-12
+    assert abs(out[(2, 51)] - 9 / 11) < 1e-12
