@@ -1446,6 +1446,19 @@ def _q_s_windowed_count_closed(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, wc, _sink(), "append")
 
 
+def _q_s_windowed_distinct_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming windowed distinct-user count in append mode — the
+    two-stateful-operator chain (event-time-window dedup -> windowed
+    count) through the real runtime; append emission == closed windows,
+    so the oracle is the batch distinct-count SQL on closed windows
+    (streaming/windows.py:windowed_distinct_count_stream)."""
+    ev = load_stream(spark, sf, "events")
+    wd = SW.windowed_distinct_count_stream(
+        ev, "ts", ["event_type"], "user_id", 60, grace_s=0
+    )
+    return run_available_now(spark, wd, _sink(), "append")
+
+
 def _q_s_count_complete(spark: SparkSession, sf: str) -> DataFrame:
     """A1 streaming continuous count, complete mode == final table."""
     ev = load_stream(spark, sf, "events")
@@ -3573,6 +3586,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
           FROM events GROUP BY 1, 2)
         WHERE window_start_s + 10 <= (SELECT {_epoch_s('max(ts)')} FROM events)
     """),
+    "s_windowed_distinct_closed": (_q_s_windowed_distinct_closed, f"""
+        SELECT * FROM (
+          SELECT {_win_start('ts', 60)} AS window_start_s, event_type,
+                 count(DISTINCT user_id) AS n_distinct
+          FROM events GROUP BY 1, 2)
+        WHERE window_start_s + 60 <= (SELECT {_epoch_s('max(ts)')} FROM events)
+    """),
     "s_count_complete": (_q_s_count_complete, """
         SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
     """),
@@ -4185,7 +4205,7 @@ _FRONT = [
     # (1b) new in this r11 continuation session, never sampled
     "sim_semdedup", "corpus_scrub_dup_spans", "cluster_kmeans",
     "dsir_select", "a5_windowed_distinct", "a6_windowed_topn",
-    "dedup_minhash_lsh_cross",
+    "dedup_minhash_lsh_cross", "s_windowed_distinct_closed",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4201,14 +4221,20 @@ _FRONT = [
     "text_gopher_repetition",
     "text_pii_scrub",
     "corpus_line_dedup",
-    "pack_sequences", "pipeline_hash_split",
+    "pack_sequences",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
     # s_fk_join_bucketed for corpus_scrub_dup_spans, s_pk_join_bucketed
     # for cluster_kmeans, s_pk_join_incremental for dsir_select,
     # s_ktable_latest_bucketed/s_ktable_latest for a5/a6,
-    # s_fk_join_left_incremental for dedup_minhash_lsh_cross)
+    # s_fk_join_left_incremental for dedup_minhash_lsh_cross,
+    # pipeline_hash_split for s_windowed_distinct_closed).
+    # ROTATION NOTE for next round: these 7 demoted entries are the
+    # incremental streaming state machines — the highest-value family
+    # to keep freshly driver-signed; rotate them back into the window
+    # first once this session's 8 additions earn their green rows.
+    "pipeline_hash_split",
     "s_fk_join_left_incremental",
     "s_ktable_latest", "s_ktable_latest_bucketed",
     "s_pk_join_incremental",

@@ -95,6 +95,46 @@ def count_per_key_stream(df: DataFrame, keys: list[str], out: str = "cnt") -> Da
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
 
 
+def windowed_distinct_count_stream(
+    df: DataFrame,
+    ts: str,
+    keys: list[str],
+    value: str,
+    duration_s: int,
+    grace_s: int = 0,
+    out: str = "n_distinct",
+) -> DataFrame:
+    """Streaming windowed DISTINCT cardinality per key — incremental
+    twin of operators/aggregations.py:windowed_distinct_count.
+
+    Spark disallows count_distinct inside a streaming aggregate, so
+    this is the canonical TWO-stateful-operator chain: dropDuplicates
+    keyed on (keys, value, event-time WINDOW column) — the window
+    struct carries event time, so dedup state for a window is evicted
+    once the watermark passes it — followed by the ordinary windowed
+    count over the surviving first-arrivals. State at any moment =
+    distinct triples of the open window horizon on each side, both
+    watermark-bounded; the exchange after dedup carries one row per
+    distinct (key, value, window), never per event.
+
+    Output shape matches the batch twin: window_start_s, *keys, out.
+    """
+    w = F.window(ts, f"{duration_s} seconds")
+    dd = (
+        df.withWatermark(ts, f"{grace_s} seconds")
+        .select(*keys, F.col(value).alias("_v"), w.alias("_w"))
+        .dropDuplicates([*keys, "_v", "_w"])
+    )
+    return (
+        dd.groupBy("_w", *keys)
+        .agg(F.count(F.lit(1)).alias(out))
+        .select(
+            F.unix_seconds(F.col("_w.start")).alias("window_start_s"),
+            *keys, out,
+        )
+    )
+
+
 def dedup_stream(df: DataFrame, keys: list[str], ts: str, horizon_s: int) -> DataFrame:
     """Streaming exact dedup within a watermark horizon: the first record
     per key wins; duplicates arriving within horizon_s are dropped and

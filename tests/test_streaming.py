@@ -208,3 +208,35 @@ def test_stream_stream_left_join_null_key(spark):
         r.pipe([("zzz", "p", ts(2000)), ("zzz", "m", ts(2000))])
         late = {tuple(x) for x in r.drain()}
         assert (None, None) in late            # null key never joins
+
+
+# --- streaming windowed distinct count (two-stateful-operator chain) -------
+
+def test_windowed_distinct_count_stream_cross_batch(spark):
+    """The dedup stage must collapse a repeat (key, value) WITHIN a
+    window even when the duplicate arrives in a LATER micro-batch
+    (state carried between batches), while the same value in the NEXT
+    window counts again. Append emission: a window's row appears only
+    once the watermark (max event time, grace 0) passes its end."""
+    with MicroBatchReplay(
+        spark, EV,
+        lambda src: W.windowed_distinct_count_stream(
+            src, "ts", ["key"], "value", 10, grace_s=0
+        ),
+        output_mode="append",
+    ) as r:
+        # window [0,10): key a values 1,1 -> distinct 1; key b value 7
+        r.pipe([("a", 1, ts(0)), ("b", 7, ts(1))])
+        assert r.drain() == []  # watermark still inside the window
+        r.pipe([("a", 1, ts(3))])  # cross-batch duplicate, same window
+        assert r.drain() == []
+        # window [10,20): a sees value 1 AGAIN (new window -> counts)
+        # and value 2; advancing stream time to 25 closes BOTH [0,10)
+        # and [10,20)
+        r.pipe([("a", 1, ts(12)), ("a", 2, ts(13)), ("a", 9, ts(25))])
+        rows = {tuple(x) for x in r.drain()}
+        assert rows == {
+            (T0S, "a", 1),
+            (T0S, "b", 1),
+            (T0S + 10, "a", 2),
+        }
