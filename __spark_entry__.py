@@ -964,6 +964,18 @@ def _q_cluster_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (vec_id % 100 == 0), the top-5 most-similar vectors under a
+    DIFFERENT label (operators/similarity.py:hard_negatives). Exact
+    baseline; at 100 TB the same rank runs over LSH/IVF candidates."""
+    emb = load_table(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.hard_negatives(
+        emb, anchors, "vec_id", "embedding", "label", k=5
+    )
+
+
 def _q_extras_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     """LEFT SEMI (EXISTS) — free Spark extension beyond the reference
     surface (SURVEY §2.5 'no semi/anti joins'): customers with >=1
@@ -3022,6 +3034,26 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
     # Lloyd k-means: the oracle unrolls the same 2 refinement rounds
     "cluster_kmeans": (_q_cluster_kmeans, _kmeans_sql(iters=2)),
+    "sim_hard_negatives": (_q_sim_hard_negatives, """
+        WITH q AS (SELECT vec_id AS anchor_id, label AS al,
+                          embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id AS negative_id, label AS neg_label,
+                     embedding::DOUBLE[] AS cv FROM embeddings),
+        s AS (SELECT anchor_id, negative_id, neg_label,
+                     list_inner_product(qv, cv)
+                       / (sqrt(list_inner_product(qv, qv))
+                          * sqrt(list_inner_product(cv, cv))) AS cs
+              FROM c, q WHERE neg_label <> al),
+        r AS (SELECT anchor_id, negative_id, neg_label,
+                     CAST(row_number() OVER (
+                       PARTITION BY anchor_id ORDER BY cs DESC, negative_id)
+                       AS INTEGER) AS rank,
+                     round(cs, 6) AS cos_sim
+              FROM s)
+        SELECT anchor_id, negative_id, neg_label, rank, cos_sim
+        FROM r WHERE rank <= 5
+    """),
     # --- text analysis (north-star) ---
     "text_stats": (_q_text_stats, "WITH " + _TOKS + r""",
         pr AS (
@@ -4206,6 +4238,7 @@ _FRONT = [
     "sim_semdedup", "corpus_scrub_dup_spans", "cluster_kmeans",
     "dsir_select", "a5_windowed_distinct", "a6_windowed_topn",
     "dedup_minhash_lsh_cross", "s_windowed_distinct_closed",
+    "sim_hard_negatives",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4221,7 +4254,6 @@ _FRONT = [
     "text_gopher_repetition",
     "text_pii_scrub",
     "corpus_line_dedup",
-    "pack_sequences",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
@@ -4229,12 +4261,13 @@ _FRONT = [
     # for cluster_kmeans, s_pk_join_incremental for dsir_select,
     # s_ktable_latest_bucketed/s_ktable_latest for a5/a6,
     # s_fk_join_left_incremental for dedup_minhash_lsh_cross,
-    # pipeline_hash_split for s_windowed_distinct_closed).
+    # pipeline_hash_split for s_windowed_distinct_closed,
+    # pack_sequences for sim_hard_negatives).
     # ROTATION NOTE for next round: these 7 demoted entries are the
     # incremental streaming state machines — the highest-value family
     # to keep freshly driver-signed; rotate them back into the window
-    # first once this session's 8 additions earn their green rows.
-    "pipeline_hash_split",
+    # first once this session's 9 additions earn their green rows.
+    "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental",
     "s_ktable_latest", "s_ktable_latest_bucketed",
     "s_pk_join_incremental",

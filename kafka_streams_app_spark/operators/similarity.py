@@ -464,3 +464,59 @@ def kmeans_lloyd(
     return base.withColumn("_cl", assign(F.col("_v"))).select(
         F.col("_id").alias(id_col), F.col("_cl").alias("cluster_id")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor, the k corpus vectors MOST similar to it that carry a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable; the informative
+    ones sit just across the decision boundary, i.e. highest cosine
+    under a different label).
+
+    Same distributed shape as cosine_topk: anchors broadcast, corpus
+    scanned once, per-anchor window top-k — no driver collect, no
+    corpus shuffle. The label inequality filters BEFORE the rank, so k
+    negatives survive per anchor even when its nearest neighbors are
+    same-label. At 100 TB compose the same rank over LSH/IVF candidate
+    buckets (lsh_ann_topk/ivf_topk machinery) instead of the full
+    scan; exact form kept here as the oracle-checkable baseline.
+
+    Output: anchor_id, negative_id, neg_label, rank, cos_sim (6dp).
+    """
+    q = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_al"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("neg_label"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("_al"))
+        .select(
+            "anchor_id", "negative_id", "neg_label",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_cs"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_cs").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id", "negative_id", "neg_label", "rank",
+            F.round("_cs", 6).alias("cos_sim"),
+        )
+    )

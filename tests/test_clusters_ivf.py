@@ -207,3 +207,31 @@ def test_kmeans_lloyd_floor_division_is_floor_not_truncate(spark):
         ).collect()
     }
     assert got == _kmeans_reference(rows, 5, 0, 1)
+
+
+# --- hard_negatives (r11 continuation) ---------------------------------------
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    """The anchor's NEAREST vector shares its label, so it must be
+    skipped; ranks order the different-label rest by cosine with the
+    id tie-break; k bounds the output."""
+    from kafka_streams_app_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),    # anchor, label 1
+        (1, [0.99, 0.01], 1),  # nearest overall but SAME label -> excluded
+        (2, [0.9, 0.1], 2),    # best hard negative
+        (3, [0.5, 0.5], 2),
+        (4, [0.0, 1.0], 3),    # orthogonal-ish, worst
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    anchors = emb.filter("vec_id = 0")
+    out = [
+        (r["rank"], r["negative_id"], r["neg_label"])
+        for r in sorted(
+            hard_negatives(emb, anchors, "vec_id", "embedding", "label", k=2)
+            .collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert out == [(1, 2, 2), (2, 3, 2)]  # id 1 skipped, id 4 cut by k=2
