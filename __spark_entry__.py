@@ -1154,6 +1154,16 @@ def _q_corpus_line_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.scrub_boilerplate(chunked, boiler)
 
 
+def _q_sample_fixed_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k deterministic sample per source (k=20, seed=3): md5-of-
+    (seed, id) rank within each stratum, id tie-break
+    (operators/pipeline.py:stratified_fixed_k). The oracle replays the
+    hash order and the rank cut."""
+    docs = load_table(spark, sf, "documents")
+    out = pipeline.stratified_fixed_k(docs, "source", "doc_id", k=20, seed=3)
+    return out.select("doc_id", "source", "sample_rank")
+
+
 def _q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR-style target-likeness selection: hashed-unigram Laplace
     models for target (lang='en' docs) vs raw (all docs), exact
@@ -3223,6 +3233,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  AS chunk_text
         FROM chunks
     """),
+    "sample_fixed_k": (_q_sample_fixed_k, """
+        SELECT doc_id, source, sample_rank FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST('0x' || substring(md5(
+                     '3:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   doc_id) AS INT) AS sample_rank
+          FROM documents)
+        WHERE sample_rank <= 20
+    """),
     # DSIR selection: bucket models, HUGEINT floor-div ratios, ordered
     # top-200 — the whole selection replayed
     "dsir_select": (_q_dsir_select, "WITH " + _TOKS + r""",
@@ -4238,7 +4259,7 @@ _FRONT = [
     "sim_semdedup", "corpus_scrub_dup_spans", "cluster_kmeans",
     "dsir_select", "a5_windowed_distinct", "a6_windowed_topn",
     "dedup_minhash_lsh_cross", "s_windowed_distinct_closed",
-    "sim_hard_negatives",
+    "sim_hard_negatives", "sample_fixed_k",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4253,7 +4274,6 @@ _FRONT = [
     "text_stats", "text_language_id", "text_quality", "text_bpe_count",
     "text_gopher_repetition",
     "text_pii_scrub",
-    "corpus_line_dedup",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
@@ -4262,11 +4282,13 @@ _FRONT = [
     # s_ktable_latest_bucketed/s_ktable_latest for a5/a6,
     # s_fk_join_left_incremental for dedup_minhash_lsh_cross,
     # pipeline_hash_split for s_windowed_distinct_closed,
-    # pack_sequences for sim_hard_negatives).
+    # pack_sequences for sim_hard_negatives, corpus_line_dedup for
+    # sample_fixed_k).
     # ROTATION NOTE for next round: these 7 demoted entries are the
     # incremental streaming state machines — the highest-value family
     # to keep freshly driver-signed; rotate them back into the window
-    # first once this session's 9 additions earn their green rows.
+    # first once this session's 10 additions earn their green rows.
+    "corpus_line_dedup",
     "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental",
     "s_ktable_latest", "s_ktable_latest_bucketed",

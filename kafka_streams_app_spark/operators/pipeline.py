@@ -1101,3 +1101,45 @@ def dsir_score(
             F.col("score_e6").desc(), F.col(id_col)
         ).limit(top_n)
     return scored
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic EXACT-k sample per stratum — the fixed-budget
+    companion to stratified_sample's rate-based draw ("exactly 10k
+    docs per source for the eval slice", not "~0.1% of each").
+
+    Order within a stratum is the md5 of (seed, id): a pure function
+    of the id, so the selected set is stable across runs, cluster
+    sizes, partitionings, AND corpus growth restricted to new ids (an
+    id's rank only changes if ids hashing below it arrive — the same
+    monotonicity argument as hash_split). Ties on the 60-bit hash are
+    broken by the id itself, so selection is a total order even under
+    hash collisions.
+
+    Plan: one shuffle on the stratum, in-partition rank, filter —
+    identical shape to extras_topn_per_group; a stratum's rows must
+    meet to be ranked, there is no cheaper exact form. Skewed strata
+    ride the same partition; at 100 TB pre-aggregate obvious
+    non-candidates away first (e.g. a cheap quality floor) or accept
+    the documented rate-based draw where exactness isn't required.
+
+    Output: the selected rows (all original columns), plus their
+    sample_rank (1..k within the stratum).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -943,3 +943,48 @@ def test_dsir_score_random_vs_python_reference(spark):
         for r in pipeline.dsir_score(cdf, tdf, n_buckets=32).collect()
     )
     assert got == _dsir_reference(corpus, target, 32)
+
+
+# ---------------------------------------------------------------------------
+# stratified_fixed_k
+# ---------------------------------------------------------------------------
+
+def test_stratified_fixed_k_exact_counts_and_determinism(spark):
+    """Exactly k rows per stratum (fewer iff the stratum is smaller);
+    the selected set is a pure function of (seed, ids) — stable across
+    repartitionings; a different seed picks a different set."""
+    import hashlib
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(46)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def run(seed, parts):
+        out = pipeline.stratified_fixed_k(
+            df.repartition(parts), "source", "doc_id", k=5, seed=seed
+        ).collect()
+        return {(r["doc_id"], r["source"], r["sample_rank"]) for r in out}
+
+    a, b = run(3, 2), run(3, 7)
+    assert a == b  # partitioning-independent
+    by_src = {}
+    for _, s, _ in a:
+        by_src[s] = by_src.get(s, 0) + 1
+    assert by_src == {"big": 5, "small": 5}
+    # python twin: md5('3:id') order, id tie-break
+    def ref(seed, stratum):
+        ids = [i for i, s in rows if s == stratum]
+        ids.sort(key=lambda i: (
+            int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16), i))
+        return set(ids[:5])
+    assert {i for i, s, _ in a if s == "big"} == ref(3, "big")
+    assert {i for i, s, _ in a if s == "small"} == ref(3, "small")
+    assert run(4, 2) != a  # seed moves the sample
+
+
+def test_stratified_fixed_k_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, source string"
+    )
+    out = pipeline.stratified_fixed_k(df, "source", "doc_id", k=10).collect()
+    assert len(out) == 3
+    assert sorted(r["sample_rank"] for r in out if r["source"] == "x") == [1, 2]

@@ -166,6 +166,17 @@ def main() -> None:
         SW.windowed_count_stream(ev3, "ts", ["event_type"], 10, grace_s=0),
         "append",
     ))
+    ev3b = stream_events(spark, events_path)
+    shapes.append((
+        # two chained stateful operators (event-time-window dedup ->
+        # windowed count): measures the second state store's cost over
+        # the plain windowed count above
+        "windowed_distinct",
+        SW.windowed_distinct_count_stream(
+            ev3b, "ts", ["event_type"], "user_id", 10, grace_s=0
+        ),
+        "append",
+    ))
     if tws_available(spark):
         # headline row: bucketed MapState layout (128 buckets = 4x cores
         # here), the production-recommended mode — see SCALE.md and
