@@ -532,6 +532,16 @@ def _q_a4_session_count(spark: SparkSession, sf: str) -> DataFrame:
     return agg.session_count(ev, "ts", ["user_id"], 3600)
 
 
+def _q_a7_session_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionized sequence assembly: per-user inactivity-gap sessions
+    emitted as time-ordered event strings — clickstream/conversation ->
+    training-example extraction (operators/aggregations.py:
+    assemble_sessions). Order inside a session is (second, event), a
+    total order both engines replay."""
+    ev = load_table(spark, sf, "events")
+    return agg.assemble_sessions(ev, "ts", ["user_id"], 3600, "event_type")
+
+
 def _q_w3_hopping_count(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return agg.windowed_count(ev, "ts", ["event_type"], 20, slide_s=10)
@@ -2604,6 +2614,26 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT user_id, {_epoch_s('min(ts)')} AS session_start_s, count(*) AS cnt
         FROM islands GROUP BY user_id, sid
     """),
+    "a7_session_assembly": (_q_a7_session_assembly, f"""
+        WITH marked AS (
+          SELECT user_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 3600 SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), islands AS (
+          SELECT user_id, ts, event_type,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id, {_epoch_s('min(ts)')} AS session_start_s,
+               count(*) AS n_events,
+               string_agg(event_type, '>'
+                 ORDER BY epoch_us(ts) // 1000000, event_type) AS sequence
+        FROM islands GROUP BY user_id, sid
+    """),
     "w3_hopping_count": (_q_w3_hopping_count, f"""
         SELECT ws AS window_start_s, event_type, count(*) AS cnt
         FROM (SELECT event_type,
@@ -4259,7 +4289,7 @@ _FRONT = [
     "sim_semdedup", "corpus_scrub_dup_spans", "cluster_kmeans",
     "dsir_select", "a5_windowed_distinct", "a6_windowed_topn",
     "dedup_minhash_lsh_cross", "s_windowed_distinct_closed",
-    "sim_hard_negatives", "sample_fixed_k",
+    "sim_hard_negatives", "sample_fixed_k", "a7_session_assembly",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4273,7 +4303,6 @@ _FRONT = [
     "embedding_dim_stats", "sim_ivf_topk",
     "text_stats", "text_language_id", "text_quality", "text_bpe_count",
     "text_gopher_repetition",
-    "text_pii_scrub",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
@@ -4283,11 +4312,12 @@ _FRONT = [
     # s_fk_join_left_incremental for dedup_minhash_lsh_cross,
     # pipeline_hash_split for s_windowed_distinct_closed,
     # pack_sequences for sim_hard_negatives, corpus_line_dedup for
-    # sample_fixed_k).
+    # sample_fixed_k, text_pii_scrub for a7_session_assembly).
     # ROTATION NOTE for next round: these 7 demoted entries are the
     # incremental streaming state machines — the highest-value family
     # to keep freshly driver-signed; rotate them back into the window
-    # first once this session's 10 additions earn their green rows.
+    # first once this session's 11 additions earn their green rows.
+    "text_pii_scrub",
     "corpus_line_dedup",
     "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental",

@@ -188,3 +188,49 @@ def closed_windows_only(
         .filter(F.col("window_start_s") + duration_s <= F.unix_seconds(F.col("mx")))
         .drop("mx")
     )
+
+
+def assemble_sessions(
+    df: DataFrame, ts: str, keys: list[str], gap_s: int,
+    event_col: str, max_events: int | None = None,
+) -> DataFrame:
+    """Sessionized sequence assembly: group each key's events into
+    inactivity-gap sessions and emit the session's event sequence in
+    time order — the "turn user activity into training examples" step
+    (conversation assembly, clickstream-to-sequence, agent-trajectory
+    extraction all have this shape).
+
+    Determinism: events inside a session are ordered by (ts, event)
+    via array_sort over (epoch, event) structs — a total order even
+    when timestamps collide, so the assembled string is engine-
+    portable. max_events truncates each session AFTER ordering (the
+    training-window cap); n_events always reports the full count.
+
+    Plan: ONE shuffle on (key, session_window) — Spark's session
+    windows merge within partitions before the exchange; collect_list
+    is a partial-aggregating sequence build, and the sort happens once
+    per assembled session, not per event. At 100 TB the bound to watch
+    is events-per-session (a bot key with one infinite session);
+    max_events caps the emitted sequence but not the collected state —
+    put a per-key rate guard upstream if keys are adversarial.
+
+    Output: *keys, session_start_s BIGINT, n_events BIGINT,
+    sequence STRING (events joined by '>').
+    """
+    w = F.session_window(ts, f"{gap_s} seconds")
+    pairs = F.struct(
+        F.unix_seconds(F.col(ts)).alias("t"), F.col(event_col).alias("e")
+    )
+    grouped = df.groupBy(w.alias("w"), *keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(F.collect_list(pairs)).alias("_seq"),
+    )
+    seq = F.transform(F.col("_seq"), lambda s: s["e"])
+    if max_events is not None:
+        seq = F.slice(seq, 1, max_events)
+    return grouped.select(
+        *keys,
+        F.unix_seconds(F.col("w.start")).alias("session_start_s"),
+        "n_events",
+        F.array_join(seq, ">").alias("sequence"),
+    )

@@ -207,3 +207,41 @@ def test_windowed_topn_counts_and_tiebreak(spark):
         ("click", 3, 8, 1),
         ("view", 1, 9, 1),
     ]
+
+
+# --- assemble_sessions (r11 continuation) ------------------------------------
+
+def test_assemble_sessions_order_merge_and_cap(spark):
+    """Events 2s apart with gap 2 merge (inclusive bound); a 3s gap
+    splits; the sequence is (second, event)-ordered with same-second
+    ties broken by the event string; max_events truncates the emitted
+    sequence but n_events reports the full count."""
+    from kafka_streams_app_spark.operators.aggregations import assemble_sessions
+
+    rows = [
+        ("2024-01-01 00:00:00", "u", "b"),
+        ("2024-01-01 00:00:00", "u", "a"),   # same second: 'a' sorts first
+        ("2024-01-01 00:00:02", "u", "c"),   # +2s with gap 2 -> merges
+        ("2024-01-01 00:00:05", "u", "d"),   # +3s -> NEW session
+        ("2024-01-01 00:00:00", "v", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s string, user string, ev string"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user", "ev")
+    out = {
+        (r["user"], r["session_start_s"]): (r["n_events"], r["sequence"])
+        for r in assemble_sessions(df, "ts", ["user"], 2, "ev").collect()
+    }
+    base = 1704067200
+    assert out == {
+        ("u", base): (3, "a>b>c"),
+        ("u", base + 5): (1, "d"),
+        ("v", base): (1, "x"),
+    }
+    capped = {
+        (r["user"], r["session_start_s"]): (r["n_events"], r["sequence"])
+        for r in assemble_sessions(
+            df, "ts", ["user"], 2, "ev", max_events=2
+        ).collect()
+    }
+    assert capped[("u", base)] == (3, "a>b")  # full count, capped sequence
