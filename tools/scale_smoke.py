@@ -534,6 +534,122 @@ def dedup100_main() -> None:
         }), flush=True)
 
 
+def curation100_main() -> None:
+    """100x smoke for the r11-continuation curation family (10x vs
+    100x = 50k vs 500k docs/vectors), recording wall AND the cost
+    driver each operator's scale story names:
+
+    - scrub_duplicated_spans: shingle occurrences / duplicated hashes /
+      covered starts — all linear by the replica-disjoint construction,
+      and STRUCTURALLY free of a pair term (the dup-hash join matches
+      occurrences, it never builds C(df,2) pairs — the quantity that
+      blows up posting-list self-joins).
+    - dedup_minhash_lsh_cross: cross candidate pairs = sum over band
+      buckets of |new| x |ref| — the quantity the band dial bounds.
+    - dsir_select: wall only (models are n_buckets-bounded by
+      construction; the only growing term is the token scan).
+    - semdedup at the FIXED-CODEBOOK deploy rule (m held at ~2.9k by
+      dialing mod 17 -> 170 as n grows 10x): within-cluster candidate
+      pairs are the documented quadratic-in-occupancy trade — measured
+      here instead of asserted.
+    """
+    from kafka_streams_app_spark.operators import pipeline as P
+    from kafka_streams_app_spark.operators.dedup import (
+        _shingle_sig_udf,
+        dedup_minhash_lsh_cross,
+    )
+    from kafka_streams_app_spark.operators.similarity import (
+        _int_codebook,
+        _nearest_cid_udf,
+        semdedup,
+    )
+    from kafka_streams_app_spark.functions.text import tokens
+
+    spark = get_spark(app_name="scale-smoke-curation100")
+    spark.sparkContext.setLogLevel("ERROR")
+    scales = [(10, build_docs(spark, 10)), (100, build_docs(spark, 100))]
+
+    for mult, d in scales:
+        docs = load_table(spark, d, "documents")
+        emb = load_table(spark, d, "embeddings")
+
+        # --- scrub drivers ---------------------------------------------------
+        k = 8
+        base = docs.select(
+            "doc_id", tokens(F.col("text")).alias("_t")
+        ).withColumn("_n", F.size("_t"))
+        occ_n = base.select(
+            (F.when(F.col("_n") >= k, F.col("_n") - k + 1).otherwise(0))
+            .alias("c")
+        ).agg(F.sum("c")).collect()[0][0]
+        t0 = time.time()
+        out = P.scrub_duplicated_spans(docs, "text", "doc_id", k=k)
+        scrubbed = out.filter(F.col("n_removed") > 0).count()
+        wall = time.time() - t0
+        print(json.dumps({
+            "op": "corpus_scrub_dup_spans", "mult": mult, "wall_s": round(wall, 2),
+            "shingle_occurrences": int(occ_n), "docs_scrubbed": int(scrubbed),
+        }))
+
+        # --- cross-minhash candidates ---------------------------------------
+        ref = docs.filter(F.col("doc_id") % 10 < 3)
+        new = docs.filter(F.col("doc_id") % 10 >= 2)
+        ss = _shingle_sig_udf(3)
+
+        def bands(df_side, label):
+            return (
+                df_side.select(F.col("doc_id").alias(label),
+                               ss(F.col("text")).alias("_ss"))
+                .filter(F.size("_ss.sh") > 0)
+                .select(label, F.explode("_ss.bh").alias("bh"))
+            )
+
+        ca = bands(new, "a").groupBy("bh").agg(F.count(F.lit(1)).alias("na"))
+        cb = bands(ref, "b").groupBy("bh").agg(F.count(F.lit(1)).alias("nb"))
+        cand_n = ca.join(cb, "bh").select(
+            F.sum(F.col("na").cast("long") * F.col("nb")).alias("c")
+        ).collect()[0]["c"] or 0
+        t0 = time.time()
+        pairs = dedup_minhash_lsh_cross(new, ref, "text", "doc_id").count()
+        wall = time.time() - t0
+        print(json.dumps({
+            "op": "dedup_minhash_lsh_cross", "mult": mult,
+            "wall_s": round(wall, 2), "band_candidates": int(cand_n),
+            "out_pairs": int(pairs),
+        }))
+
+        # --- dsir ------------------------------------------------------------
+        t0 = time.time()
+        P.dsir_score(docs, docs.filter(F.col("lang") == "en"),
+                     "text", "doc_id", n_buckets=1024, top_n=200).count()
+        print(json.dumps({
+            "op": "dsir_select", "mult": mult,
+            "wall_s": round(time.time() - t0, 2),
+        }))
+
+        # --- semdedup, fixed codebook ----------------------------------------
+        mod = 17 * (mult // 10)  # holds m ~ 2.9k at both scales
+        cids, cmat = _int_codebook(emb, "vec_id", "embedding", (mod, 3))
+        assign = _nearest_cid_udf(cids, cmat)
+        sizes = (
+            emb.select(assign(F.col("embedding").cast("array<double>"))
+                       .alias("_cl"))
+            .groupBy("_cl").agg(F.count(F.lit(1)).alias("n"))
+        )
+        pair_n = sizes.select(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("c")
+        ).collect()[0]["c"] or 0
+        t0 = time.time()
+        kept = semdedup(emb, "vec_id", "embedding", threshold=0.3,
+                        centroid_mod=(mod, 3)).count()
+        wall = time.time() - t0
+        print(json.dumps({
+            "op": "sim_semdedup", "mult": mult, "mod": mod,
+            "n_centroids": int(len(cids)), "wall_s": round(wall, 2),
+            "cluster_pairs": int(pair_n), "survivors": int(kept),
+        }))
+
+
 def recall100_main() -> None:
     """r9 verdict #6: planted-twin recall for the auto-planes embedding
     LSH at the 100x smoke scale (501k vectors), where the auto dial
@@ -643,6 +759,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "recall100":
         recall100_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "curation100":
+        curation100_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names
