@@ -22,6 +22,13 @@ import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+
+def _drop_bid(r: Row) -> Row:
+    d = r.asDict()
+    d.pop("_bid", None)
+    return Row(**d)
 
 
 class MicroBatchReplay:
@@ -37,6 +44,7 @@ class MicroBatchReplay:
         schema: str,
         build,
         output_mode: str = "append",
+        sink: str = "memory",
     ) -> None:
         self.spark = spark
         self.schema = schema
@@ -45,20 +53,79 @@ class MicroBatchReplay:
         self._checkpoint = tempfile.mkdtemp(prefix=f"{self.name}_ckpt_")
         self._drained = 0
         self._complete = output_mode == "complete"
-        # seed an empty file so the source dir exists with the schema
+        self._build = build
+        self._output_mode = output_mode
+        self._sink = sink
+        self._out_dir = None
+        self._seen_bid = -1
+        if sink == "parquet":
+            self._out_dir = tempfile.mkdtemp(prefix=f"{self.name}_out_")
+        self.query = self._start()
+
+    def _start(self):
         src = (
-            spark.readStream.schema(schema)
+            self.spark.readStream.schema(self.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(self._staging)
         )
-        self.query = (
-            build(src)
-            .writeStream.format("memory")
+        out = self._build(src)
+        if self._sink == "parquet":
+            # foreachBatch-parquet: the FAULT-TOLERANT sink — unlike the
+            # memory sink it supports checkpoint recovery (restart()),
+            # works in every output mode, and is written by executors.
+            # Each batch's rows land tagged with the batch id so drain()
+            # can return only new emissions across restarts.
+            out_dir = self._out_dir
+
+            def _write(bdf, bid):
+                bdf.withColumn("_bid", F.lit(bid)).write.mode(
+                    "append"
+                ).parquet(out_dir)
+
+            return (
+                out.writeStream.foreachBatch(_write)
+                .outputMode(self._output_mode)
+                .option("checkpointLocation", self._checkpoint)
+                .start()
+            )
+        return (
+            out.writeStream.format("memory")
             .queryName(self.name)
-            .outputMode(output_mode)
+            .outputMode(self._output_mode)
             .option("checkpointLocation", self._checkpoint)
             .start()
         )
+
+    def restart(self) -> None:
+        """Kill the query and resume from the SAME checkpoint + source
+        — the crash-recovery path (requires sink="parquet": the memory
+        sink refuses checkpoint recovery by design). Operator state
+        (aggregates, dedup sets, window stores) must come back from the
+        checkpoint, and the file source's committed offsets come back
+        with it, so already-processed files are never re-read."""
+        if self._sink != "parquet":
+            raise RuntimeError(
+                "restart() needs MicroBatchReplay(sink='parquet') — the "
+                "memory sink does not support checkpoint recovery"
+            )
+        self.query.stop()
+        self.query = self._start()
+
+    def restart(self) -> None:
+        """Kill the query and resume from the SAME checkpoint + source
+        — the crash-recovery path. Operator state (aggregates, dedup
+        sets, TWS stores) must come back from the checkpoint, and the
+        file source's committed offsets come back with it, so
+        already-processed files are never re-read (no double counting).
+        The memory sink is NOT part of the checkpoint: the resumed
+        query repopulates a fresh sink table, so drain() after restart
+        returns only post-restart emissions (update/append) or the
+        full recovered state (complete)."""
+        self.query.stop()
+        self.spark.catalog.dropTempView(self.name)
+        self.name = f"replay_{uuid.uuid4().hex[:12]}"
+        self._drained = 0
+        self.query = self._start()
 
     def pipe(self, rows: list[tuple] | list[Row]) -> None:
         """Deliver one micro-batch (one parquet file) and process it."""
@@ -67,10 +134,25 @@ class MicroBatchReplay:
         self.query.processAllAvailable()
 
     def table(self) -> DataFrame:
+        if self._sink == "parquet":
+            return self.spark.read.parquet(self._out_dir).drop("_bid")
         return self.spark.table(self.name)
 
     def drain(self) -> list[Row]:
         """Rows emitted since the last drain (all rows in complete mode)."""
+        if self._sink == "parquet":
+            try:
+                rows = self.spark.read.parquet(self._out_dir).collect()
+            except Exception:
+                return []
+            if self._complete:
+                mx = max((r["_bid"] for r in rows), default=-1)
+                return [_drop_bid(r) for r in rows if r["_bid"] == mx]
+            new = [_drop_bid(r) for r in rows if r["_bid"] > self._seen_bid]
+            self._seen_bid = max(
+                (r["_bid"] for r in rows), default=self._seen_bid
+            )
+            return new
         rows = self.table().collect()
         if self._complete:
             return rows
@@ -82,6 +164,8 @@ class MicroBatchReplay:
         self.query.stop()
         shutil.rmtree(self._staging, ignore_errors=True)
         shutil.rmtree(self._checkpoint, ignore_errors=True)
+        if self._out_dir:
+            shutil.rmtree(self._out_dir, ignore_errors=True)
 
     def __enter__(self) -> MicroBatchReplay:
         return self

@@ -240,3 +240,45 @@ def test_windowed_distinct_count_stream_cross_batch(spark):
             (T0S, "b", 1),
             (T0S + 10, "a", 2),
         }
+
+
+# --- checkpoint crash-recovery (r11 continuation) ---------------------------
+
+def test_count_state_survives_restart(spark):
+    """Kill the query mid-stream and resume from the checkpoint: the
+    running count continues from 1 (state restored) and the already-
+    processed file is NOT re-read (a reprocess would emit ('hello', 2)
+    from batch 1's data alone, or worse, double-count to 3)."""
+    with MicroBatchReplay(
+        spark, "word string, ts timestamp",
+        lambda src: W.count_per_key_stream(src, ["word"]),
+        output_mode="update",
+        sink="parquet",
+    ) as r:
+        r.pipe([("hello", ts(0))])
+        assert {tuple(x) for x in r.drain()} == {("hello", 1)}
+        r.restart()
+        r.pipe([("hello", ts(1)), ("world", ts(1))])
+        assert {tuple(x) for x in r.drain()} == {("hello", 2), ("world", 1)}
+
+
+def test_windowed_distinct_dedup_state_survives_restart(spark):
+    """The two-stateful-operator chain recovers BOTH stores: a
+    duplicate of a pre-restart record is still collapsed by the
+    recovered dedup state, and the recovered window state closes with
+    the right distinct count."""
+    with MicroBatchReplay(
+        spark, EV,
+        lambda src: W.windowed_distinct_count_stream(
+            src, "ts", ["key"], "value", 10, grace_s=0
+        ),
+        output_mode="append",
+        sink="parquet",
+    ) as r:
+        r.pipe([("a", 1, ts(0)), ("a", 2, ts(1))])
+        assert r.drain() == []
+        r.restart()
+        # value 1 again post-restart: recovered dedup state drops it;
+        # ts(25) closes window [0,10)
+        r.pipe([("a", 1, ts(3)), ("a", 9, ts(25))])
+        assert {tuple(x) for x in r.drain()} == {(T0S, "a", 2)}
