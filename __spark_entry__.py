@@ -500,6 +500,18 @@ def _q_a2_windowed_count(spark: SparkSession, sf: str) -> DataFrame:
     return agg.windowed_count(ev, "ts", ["event_type"], 10)
 
 
+def _q_a8_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user within a 1-day
+    horizon of the first view (operators/analytics.py:
+    funnel_conversion); the oracle unrolls the same first-occurrence
+    conditional minimums."""
+    ev = load_table(spark, sf, "events")
+    return analytics.funnel_conversion(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], horizon_s=86400,
+    )
+
+
 def _q_a5_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Unique users per event_type per 60 s window, EXACT two-stage
     distinct aggregate (operators/aggregations.py:
@@ -2570,6 +2582,29 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT {_win_start('ts', 10)} AS window_start_s, event_type, count(*) AS cnt
         FROM events GROUP BY 1, 2
     """),
+    "a8_funnel": (_q_a8_funnel, """
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS ts1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), t2 AS (
+          SELECT e.user_id, min(e.ts) AS ts2, any_value(t1.ts1) AS ts1
+          FROM events e JOIN t1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= t1.ts1
+            AND e.ts <= t1.ts1 + INTERVAL 86400 SECOND
+          GROUP BY 1
+        ), t3 AS (
+          SELECT e.user_id, min(e.ts) AS ts3
+          FROM events e JOIN t2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= t2.ts2
+            AND e.ts <= t2.ts1 + INTERVAL 86400 SECOND
+          GROUP BY 1
+        )
+        SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM t1) AS n_keys
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM t2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+    """),
     "a5_windowed_distinct": (_q_a5_windowed_distinct, f"""
         SELECT {_win_start('ts', 60)} AS window_start_s, event_type,
                count(DISTINCT user_id) AS n_distinct
@@ -4290,6 +4325,7 @@ _FRONT = [
     "dsir_select", "a5_windowed_distinct", "a6_windowed_topn",
     "dedup_minhash_lsh_cross", "s_windowed_distinct_closed",
     "sim_hard_negatives", "sample_fixed_k", "a7_session_assembly",
+    "a8_funnel",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4312,12 +4348,13 @@ _FRONT = [
     # s_fk_join_left_incremental for dedup_minhash_lsh_cross,
     # pipeline_hash_split for s_windowed_distinct_closed,
     # pack_sequences for sim_hard_negatives, corpus_line_dedup for
-    # sample_fixed_k, text_pii_scrub for a7_session_assembly).
+    # sample_fixed_k, text_pii_scrub for a7_session_assembly,
+    # text_gopher_repetition for a8_funnel).
     # ROTATION NOTE for next round: these 7 demoted entries are the
     # incremental streaming state machines — the highest-value family
     # to keep freshly driver-signed; rotate them back into the window
-    # first once this session's 11 additions earn their green rows.
-    "text_pii_scrub",
+    # first once this session's 12 additions earn their green rows.
+    "text_gopher_repetition", "text_pii_scrub",
     "corpus_line_dedup",
     "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental",

@@ -141,3 +141,74 @@ def group_quantiles_disc(
         .filter(F.col("_idx") == F.floor(F.col("p") * F.col("_nm1")))
         .select(key, "p", F.col(value).alias("q_value"))
     )
+
+
+def funnel_conversion(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    event_col: str,
+    steps: list[str],
+    horizon_s: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel conversion counts: how many keys complete step 1,
+    then step 2 at-or-after their step-1 completion, and so on — with
+    an optional horizon bounding the whole funnel to within horizon_s
+    of the step-1 completion (the classic product-analytics
+    view -> click -> purchase question).
+
+    Semantics: step i's completion time is the EARLIEST matching event
+    at-or-after step i-1's completion (min over ts >= prev — i.e. the
+    first qualifying occurrence); a key converts at step i iff that
+    minimum exists (and sits inside the horizon). First-occurrence
+    anchoring is deliberate: re-anchoring to later step-1 events finds
+    strictly more conversions but is no longer a funnel, it's a
+    subsequence search.
+
+    Plan: one conditional min-aggregate per step, each co-partitioned
+    on the key (the first agg's exchange is reused by every subsequent
+    join-agg pair under AQE), events scanned once per step with the
+    step predicate pushed to the scan. len(steps) is small and fixed —
+    the per-step scan is the right trade vs. a collect_list fold,
+    which would shuffle every event's payload to build per-key arrays.
+
+    Output: step INT (1-based), step_name STRING, n_keys BIGINT.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    stages: list[DataFrame] = []
+    prev = (
+        df.filter(F.col(event_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(ts).alias("_t"))
+        .withColumn("_t0", F.col("_t"))
+    )
+    stages.append(prev)
+    for s in steps[1:]:
+        ev = df.filter(F.col(event_col) == s).select(
+            key, F.col(ts).alias("_ets")
+        )
+        cond = F.col("_ets") >= F.col("_t")
+        if horizon_s is not None:
+            cond = cond & (
+                F.col("_ets") <= F.col("_t0") + F.expr(f"INTERVAL {horizon_s} SECOND")
+            )
+        prev = (
+            ev.join(prev, key)
+            .filter(cond)
+            .groupBy(key, "_t0")
+            .agg(F.min("_ets").alias("_t"))
+        )
+        stages.append(prev)
+    counts = [
+        st.agg(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        for i, (name, st) in enumerate(zip(steps, stages))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -245,3 +245,63 @@ def test_assemble_sessions_order_merge_and_cap(spark):
         ).collect()
     }
     assert capped[("u", base)] == (3, "a>b")  # full count, capped sequence
+
+
+# --- funnel_conversion (r11 continuation) ------------------------------------
+
+def test_funnel_first_occurrence_and_horizon(spark):
+    """User u1 converts all 3 steps in order; u2's click precedes the
+    first view (no re-anchoring -> stops at step 1); u3's purchase
+    falls outside the horizon of the FIRST view even though a later
+    view would qualify it (first-occurrence anchoring pinned)."""
+    from kafka_streams_app_spark.operators.analytics import funnel_conversion
+
+    rows = [
+        # u1: clean conversion
+        ("2024-01-01 00:00:00", 1, "view"),
+        ("2024-01-01 01:00:00", 1, "click"),
+        ("2024-01-01 02:00:00", 1, "purchase"),
+        # u2: click BEFORE the first view -> not counted at step 2
+        ("2024-01-01 01:00:00", 2, "click"),
+        ("2024-01-01 02:00:00", 2, "view"),
+        # u3: view at t0, click quick, purchase 2 days later (outside
+        # horizon of the first view); second view next day must NOT
+        # re-anchor
+        ("2024-01-01 00:00:00", 3, "view"),
+        ("2024-01-01 00:10:00", 3, "click"),
+        ("2024-01-02 00:00:00", 3, "view"),
+        ("2024-01-03 01:00:00", 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s string, user_id long, event_type string"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type")
+    out = {
+        (r["step"], r["step_name"]): r["n_keys"]
+        for r in funnel_conversion(
+            df, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], horizon_s=86400,
+        ).collect()
+    }
+    assert out == {(1, "view"): 3, (2, "click"): 2, (3, "purchase"): 1}
+
+
+def test_funnel_no_horizon_and_same_ts(spark):
+    """Without a horizon the late purchase converts; a step event at
+    EXACTLY the previous step's timestamp qualifies (>= bound)."""
+    from kafka_streams_app_spark.operators.analytics import funnel_conversion
+
+    rows = [
+        ("2024-01-01 00:00:00", 3, "view"),
+        ("2024-01-01 00:00:00", 3, "click"),   # same instant as the view
+        ("2024-01-09 00:00:00", 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s string, user_id long, event_type string"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type")
+    out = {
+        r["step"]: r["n_keys"]
+        for r in funnel_conversion(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
