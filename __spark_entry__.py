@@ -4338,7 +4338,6 @@ _FRONT = [
     "dedup_clusters",
     "embedding_dim_stats", "sim_ivf_topk",
     "text_stats", "text_language_id", "text_quality", "text_bpe_count",
-    "text_gopher_repetition",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
