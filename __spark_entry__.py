@@ -512,6 +512,14 @@ def _q_a8_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_a9_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix over events
+    (operators/analytics.py:cohort_retention): users cohorted by their
+    first event's epoch week; n_active per (cohort, age) cell."""
+    ev = load_table(spark, sf, "events")
+    return analytics.cohort_retention(ev, "user_id", "ts", period_s=604800)
+
+
 def _q_a5_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Unique users per event_type per 60 s window, EXACT two-stage
     distinct aggregate (operators/aggregations.py:
@@ -2582,6 +2590,20 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT {_win_start('ts', 10)} AS window_start_s, event_type, count(*) AS cnt
         FROM events GROUP BY 1, 2
     """),
+    "a9_cohort_retention": (_q_a9_cohort_retention, """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(epoch_us(ts) // 1000000 AS BIGINT)
+                   // 604800 * 604800 AS per
+          FROM events
+        ),
+        d AS (SELECT DISTINCT user_id, per FROM p),
+        c AS (SELECT user_id, min(per) AS cohort FROM p GROUP BY 1)
+        SELECT cohort AS cohort_start_s,
+               CAST((per - cohort) // 604800 AS INT) AS age,
+               count(*) AS n_active
+        FROM d JOIN c USING (user_id) GROUP BY 1, 2
+    """),
     "a8_funnel": (_q_a8_funnel, """
         WITH t1 AS (
           SELECT user_id, min(ts) AS ts1 FROM events
@@ -4325,7 +4347,7 @@ _FRONT = [
     "dsir_select", "a5_windowed_distinct", "a6_windowed_topn",
     "dedup_minhash_lsh_cross", "s_windowed_distinct_closed",
     "sim_hard_negatives", "sample_fixed_k", "a7_session_assembly",
-    "a8_funnel",
+    "a8_funnel", "a9_cohort_retention",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4337,7 +4359,7 @@ _FRONT = [
     "dedup_containment", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters",
     "embedding_dim_stats", "sim_ivf_topk",
-    "text_stats", "text_language_id", "text_quality", "text_bpe_count",
+    "text_stats", "text_language_id", "text_quality",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
@@ -4348,12 +4370,13 @@ _FRONT = [
     # pipeline_hash_split for s_windowed_distinct_closed,
     # pack_sequences for sim_hard_negatives, corpus_line_dedup for
     # sample_fixed_k, text_pii_scrub for a7_session_assembly,
-    # text_gopher_repetition for a8_funnel).
+    # text_gopher_repetition for a8_funnel, text_bpe_count for
+    # a9_cohort_retention).
     # ROTATION NOTE for next round: these 7 demoted entries are the
     # incremental streaming state machines — the highest-value family
     # to keep freshly driver-signed; rotate them back into the window
-    # first once this session's 12 additions earn their green rows.
-    "text_gopher_repetition", "text_pii_scrub",
+    # first once this session's 13 additions earn their green rows.
+    "text_bpe_count", "text_gopher_repetition", "text_pii_scrub",
     "corpus_line_dedup",
     "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental",

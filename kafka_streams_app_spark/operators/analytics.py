@@ -212,3 +212,44 @@ def funnel_conversion(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    period_s: int = 604800,
+) -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by the period of
+    their FIRST event (epoch-aligned, period_s-wide buckets); for each
+    (cohort, age) cell, how many of the cohort's keys were active
+    age periods after their cohort period — the standard
+    retention-curve input (weekly by default).
+
+    Plan: one min-aggregate on the key (the cohort assignment), joined
+    back onto the key's distinct activity periods — both aggs
+    co-partitioned on the key, the join reuses their exchange; the
+    final cell count is a map-side-combined agg on (cohort, age).
+    Distinct activity periods are computed INSIDE the first shuffle
+    (groupBy key + collect_set of the period), so the join carries one
+    row per key, not per event.
+
+    Output: cohort_start_s BIGINT, age INT (0 = the cohort period),
+    n_active BIGINT. Row (c, 0, n) gives the cohort size by
+    construction (every key is active in its first period).
+    """
+    per = (F.unix_seconds(F.col(ts)) / period_s).cast("long") * period_s
+    by_key = df.groupBy(key).agg(
+        F.min(per).alias("_cohort"),
+        F.collect_set(per).alias("_periods"),
+    )
+    ages = by_key.select(
+        "_cohort",
+        F.explode("_periods").alias("_p"),
+    ).select(
+        F.col("_cohort").alias("cohort_start_s"),
+        ((F.col("_p") - F.col("_cohort")) / period_s).cast("int").alias("age"),
+    )
+    return ages.groupBy("cohort_start_s", "age").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

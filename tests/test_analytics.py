@@ -305,3 +305,34 @@ def test_funnel_no_horizon_and_same_ts(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+# --- cohort_retention (r11 continuation) -------------------------------------
+
+def test_cohort_retention_matrix(spark):
+    """Two cohorts: u1/u2 first-active in week 0 (u1 returns in weeks 1
+    and 3, u2 never), u3 first-active in week 1 (returns week 2).
+    age-0 cells equal the cohort sizes; repeat events inside one week
+    count once."""
+    from kafka_streams_app_spark.operators.analytics import cohort_retention
+
+    wk = 604800
+    base = 1704067200 - (1704067200 % wk)  # week-aligned anchor
+    rows = []
+    def ev(u, week, offset=0):
+        rows.append((u, base + week * wk + offset))
+    ev(1, 0); ev(1, 0, 60)          # duplicate within the week
+    ev(1, 1); ev(1, 3)
+    ev(2, 0)
+    ev(3, 1); ev(3, 2)
+    df = spark.createDataFrame(rows, "user_id long, es long").select(
+        "user_id", F.timestamp_seconds(F.col("es")).alias("ts")
+    )
+    out = {
+        (r["cohort_start_s"], r["age"]): r["n_active"]
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert out == {
+        (base, 0): 2, (base, 1): 1, (base, 3): 1,
+        (base + wk, 0): 1, (base + wk, 1): 1,
+    }
