@@ -1659,6 +1659,18 @@ def _q_s_session_count(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, sc, _sink(), "append")
 
 
+def _q_s_session_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionized sequence assembly through the streaming runtime
+    (append mode): sessions emit their ordered event string once the
+    watermark passes last+gap; the batch oracle keeps the same closed
+    set (streaming/windows.py:assemble_sessions_stream)."""
+    ev = load_stream(spark, sf, "events")
+    sa = SW.assemble_sessions_stream(
+        ev, "ts", ["user_id"], 3600, "event_type", grace_s=0
+    )
+    return run_available_now(spark, sa, _sink(), "append")
+
+
 def _q_s_ktable_latest(spark: SparkSession, sf: str) -> DataFrame:
     """S2 incremental: latest-per-user KTable maintained by the
     transformWithStateInPandas changelog operator; the final view (last
@@ -3843,6 +3855,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM islands GROUP BY user_id, sid
         HAVING max(ts) + INTERVAL 3600 SECOND <= (SELECT max(ts) FROM events)
     """),
+    "s_session_assembly": (_q_s_session_assembly, f"""
+        WITH marked AS (
+          SELECT user_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 3600 SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), islands AS (
+          SELECT user_id, ts, event_type,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id, {_epoch_s('min(ts)')} AS session_start_s,
+               count(*) AS n_events,
+               string_agg(event_type, '>'
+                 ORDER BY epoch_us(ts) // 1000000, event_type) AS sequence
+        FROM islands GROUP BY user_id, sid
+        HAVING max(ts) + INTERVAL 3600 SECOND <= (SELECT max(ts) FROM events)
+    """),
     "s_rolling_avg": (_q_s_rolling_avg, """
         SELECT user_id, event_id, value,
                CAST(count(*) OVER w AS BIGINT) AS roll_n,
@@ -4347,7 +4380,7 @@ _FRONT = [
     "dsir_select", "a5_windowed_distinct", "a6_windowed_topn",
     "dedup_minhash_lsh_cross", "s_windowed_distinct_closed",
     "sim_hard_negatives", "sample_fixed_k", "a7_session_assembly",
-    "a8_funnel", "a9_cohort_retention",
+    "a8_funnel", "a9_cohort_retention", "s_session_assembly",
     # (2) changed in r10
     "decontam_exact_ac",
     # (3) the r6-stale 7
@@ -4359,7 +4392,7 @@ _FRONT = [
     "dedup_containment", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters",
     "embedding_dim_stats", "sim_ivf_topk",
-    "text_stats", "text_language_id", "text_quality",
+    "text_stats", "text_language_id",
     # slot 51+: deferred r8-signed entries lead the tail (fills
     # demoted one-per-new-entry as this session's additions take
     # window slots; s_fk_join_incremental demoted for sim_semdedup,
@@ -4371,12 +4404,12 @@ _FRONT = [
     # pack_sequences for sim_hard_negatives, corpus_line_dedup for
     # sample_fixed_k, text_pii_scrub for a7_session_assembly,
     # text_gopher_repetition for a8_funnel, text_bpe_count for
-    # a9_cohort_retention).
+    # a9_cohort_retention, text_quality for s_session_assembly).
     # ROTATION NOTE for next round: these 7 demoted entries are the
     # incremental streaming state machines — the highest-value family
     # to keep freshly driver-signed; rotate them back into the window
-    # first once this session's 13 additions earn their green rows.
-    "text_bpe_count", "text_gopher_repetition", "text_pii_scrub",
+    # first once this session's 14 additions earn their green rows.
+    "text_quality", "text_bpe_count", "text_gopher_repetition", "text_pii_scrub",
     "corpus_line_dedup",
     "pack_sequences", "pipeline_hash_split",
     "s_fk_join_left_incremental",

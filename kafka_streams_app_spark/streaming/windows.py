@@ -135,6 +135,41 @@ def windowed_distinct_count_stream(
     )
 
 
+def assemble_sessions_stream(
+    df: DataFrame, ts: str, keys: list[str], gap_s: int,
+    event_col: str, grace_s: int = 0, max_events: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/aggregations.py:assemble_sessions:
+    per-key inactivity-gap sessions emitted as (second, event)-ordered
+    sequences once the watermark passes the session end (append mode —
+    a session's sequence is immutable only after it can no longer
+    merge, exactly the point Spark emits it). State per open session =
+    its collected (t, e) pairs, watermark-bounded like every session
+    aggregate; the same adversarial-key caveat as the batch twin
+    applies (max_events caps the emitted sequence, not the state)."""
+    w = F.session_window(ts, f"{gap_s} seconds")
+    pairs = F.struct(
+        F.unix_seconds(F.col(ts)).alias("t"), F.col(event_col).alias("e")
+    )
+    grouped = (
+        df.withWatermark(ts, f"{grace_s} seconds")
+        .groupBy(w.alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(F.collect_list(pairs)).alias("_seq"),
+        )
+    )
+    seq = F.transform(F.col("_seq"), lambda s: s["e"])
+    if max_events is not None:
+        seq = F.slice(seq, 1, max_events)
+    return grouped.select(
+        *keys,
+        F.unix_seconds(F.col("w.start")).alias("session_start_s"),
+        "n_events",
+        F.array_join(seq, ">").alias("sequence"),
+    )
+
+
 def dedup_stream(df: DataFrame, keys: list[str], ts: str, horizon_s: int) -> DataFrame:
     """Streaming exact dedup within a watermark horizon: the first record
     per key wins; duplicates arriving within horizon_s are dropped and

@@ -282,3 +282,28 @@ def test_windowed_distinct_dedup_state_survives_restart(spark):
         # ts(25) closes window [0,10)
         r.pipe([("a", 1, ts(3)), ("a", 9, ts(25))])
         assert {tuple(x) for x in r.drain()} == {(T0S, "a", 2)}
+
+
+# --- streaming session assembly (r11 continuation) ---------------------------
+
+def test_assemble_sessions_stream_merge_and_close(spark):
+    """A session merges across micro-batches (state carry), emits its
+    ordered sequence only once the watermark passes last+gap, and a
+    later same-key session starts fresh."""
+    with MicroBatchReplay(
+        spark, EV,
+        lambda src: W.assemble_sessions_stream(
+            src, "ts", ["key"], 2, "value", grace_s=0
+        ),
+        output_mode="append",
+    ) as r:
+        r.pipe([("a", 2, ts(0))])
+        assert r.drain() == []                        # session still open
+        r.pipe([("a", 1, ts(2))])                     # merges (<= gap)
+        assert r.drain() == []
+        r.pipe([("a", 9, ts(10))])                    # gap 8s: closes it
+        rows = {
+            (x["key"], x["session_start_s"], x["n_events"], x["sequence"])
+            for x in r.drain()
+        }
+        assert rows == {("a", T0S, 2, "2>1")}         # ts order, not value
