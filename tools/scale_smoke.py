@@ -649,6 +649,18 @@ def curation100_main() -> None:
             "cluster_pairs": int(pair_n), "survivors": int(kept),
         }))
 
+        # --- kmeans, fixed codebook -------------------------------------------
+        from kafka_streams_app_spark.operators.similarity import kmeans_lloyd
+
+        t0 = time.time()
+        kmeans_lloyd(emb, "vec_id", "embedding",
+                     centroid_mod=(mod, 3), iters=2).count()
+        print(json.dumps({
+            "op": "cluster_kmeans", "mult": mult, "mod": mod,
+            "n_centroids": int(len(cids)),
+            "wall_s": round(time.time() - t0, 2),
+        }))
+
 
 def recall100_main() -> None:
     """r9 verdict #6: planted-twin recall for the auto-planes embedding
