@@ -1,0 +1,104 @@
+"""Property-based pins (hypothesis): the python twins that the
+hand-written randomized tests check at fixed seeds are re-checked here
+under generated inputs with shrinking — empty strings, punctuation-only
+docs, and repeated tokens are the cases generation finds that fixed
+seeds may not.
+
+Alphabets are printable-ASCII by design: the shared tokenizer is
+ASCII-pinned across Spark/DuckDB/python (functions/text.py
+SPLIT_ASCII_RE docstring) — unicode case-folding differences are a
+documented non-goal, not a latent bug for generation to rediscover.
+
+Each example costs a Spark job, so max_examples stays small; shrinking
+still works on failures.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_streams_app_spark.functions import text as T
+from kafka_streams_app_spark.operators import pipeline
+
+from tests.test_pipeline_ops import _scrub_spans_reference, scrub_reference
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from kafka_streams_app_spark.engine import get_spark
+
+    return get_spark(shuffle_partitions=4)
+
+
+_LINE = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+_WORDS = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), max_size=24
+).map(" ".join)
+
+_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(lines=st.lists(_LINE, min_size=1, max_size=12))
+@_SETTINGS
+def test_scrub_pii_property(spark, lines):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lines)], "id int, line string"
+    )
+    got = {
+        r["id"]: (r["p"]["scrubbed"], r["p"]["n_email"], r["p"]["n_url"],
+                  r["p"]["n_number"])
+        for r in df.select("id", T.scrub_pii("line").alias("p")).collect()
+    }
+    for i, s in enumerate(lines):
+        assert got[i] == scrub_reference(s), repr(s)
+
+
+@given(docs=st.lists(_WORDS, min_size=1, max_size=10))
+@_SETTINGS
+def test_scrub_duplicated_spans_property(spark, docs):
+    """Tiny vocab + short docs maximize cross-doc shingle collisions;
+    k=3 keeps duplicated runs likely. Checks counts AND reassembled
+    text against the exact python twin."""
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["scrubbed_text"])
+        for r in pipeline.scrub_duplicated_spans(
+            df, "text", "doc_id", k=3
+        ).collect()
+    }
+    assert got == _scrub_spans_reference(rows, 3, 2)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-2**62, 2**62), _LINE), min_size=1, max_size=20
+    ),
+    n=st.sampled_from([2, 7, 4096]),
+)
+@_SETTINGS
+def test_portable_bucket_matches_python_twin(spark, vals, n):
+    """The Spark md5 bucket and the driver-side python twin must agree
+    on every value (the IQ facade's ownership decisions depend on it)."""
+    df = spark.createDataFrame(
+        [(i, str(v)) for i, v in enumerate(vals)], "i int, v string"
+    )
+    got = {
+        r["i"]: r["b"]
+        for r in df.select(
+            "i", pipeline.portable_bucket(F.col("v"), n).alias("b")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == pipeline.portable_bucket_py(str(v), n), (v, n)
