@@ -75,6 +75,14 @@ QUERIES = [
     # size -> pure token-stream scaling
     "corpus_scrub_dup_spans",
     "dsir_select",
+    # r11c aggregates: events replication multiplies user_id cardinality
+    # (distinct/top-n/funnel/cohort keys x mult, per-key density fixed)
+    "a5_windowed_distinct",
+    "a6_windowed_topn",
+    "a7_session_assembly",
+    "a8_funnel",
+    "a9_cohort_retention",
+    "sample_fixed_k",
 ]
 
 ID_SHIFT = 1_000_000_000
