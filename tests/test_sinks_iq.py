@@ -110,3 +110,24 @@ def test_key_routing_matches_actual_partition_placement(spark):
     joined = predicted.join(actual, "key")
     assert joined.filter(F.col("partition_id") != F.col("pid")).count() == 0
     assert joined.count() == 1000
+
+
+def test_to_topic_console_runs(spark):
+    """S5: the console/debug sink starts, drains a micro-batch, and
+    terminates cleanly (output goes to driver stdout — the
+    print(Printed.toSysOut) analogue; nothing to assert on content)."""
+    import tempfile
+
+    from kafka_streams_app_spark.streaming.sinks import to_topic
+
+    src_dir = tempfile.mkdtemp(prefix="console_src_")
+    spark.createDataFrame([(1, "x")], "id int, v string").write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = spark.readStream.schema("id int, v string").parquet(src_dir)
+    q = to_topic(stream, "debug_topic", format="console")
+    try:
+        q.processAllAvailable()
+        assert q.isActive
+    finally:
+        q.stop()
