@@ -238,7 +238,9 @@ def cohort_retention(
     n_active BIGINT. Row (c, 0, n) gives the cohort size by
     construction (every key is active in its first period).
     """
-    per = (F.unix_seconds(F.col(ts)) / period_s).cast("long") * period_s
+    # floor division (not toward-zero cast): matches the oracle's
+    # integer `//` for pre-1970 (negative-epoch) timestamps too.
+    per = F.floor(F.unix_seconds(F.col(ts)) / period_s).cast("long") * period_s
     by_key = df.groupBy(key).agg(
         F.min(per).alias("_cohort"),
         F.collect_set(per).alias("_periods"),

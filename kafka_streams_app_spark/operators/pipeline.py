@@ -1073,17 +1073,22 @@ def dsir_score(
             F.coalesce("_tc", F.lit(0)).alias("_tc"),
         )
     )
-    tot = model.agg(
-        (F.sum("_rc") + n_buckets).cast("decimal(38,0)").alias("_dr"),
-        (F.sum("_tc") + n_buckets).cast("decimal(38,0)").alias("_dt"),
-    )
-    # exact floor-div: decimal '/' rounds at result scale, so divide
-    # only after subtracting the remainder (same idiom as
-    # bigram_lm_likelihood's p_e9)
-    a = (F.col("_tc") + 1).cast("decimal(38,0)") * F.col("_dr") * F.lit(1_000_000)
-    b = (F.col("_rc") + 1).cast("decimal(38,0)") * F.col("_dt")
-    ratio = model.crossJoin(F.broadcast(tot)).select(
-        "_b", ((a - F.pmod(a, b)) / b).cast("long").alias("_ratio_e6")
+    # The ratio table is only n_buckets rows, so compute it on the
+    # driver in Python bigints: the numerator (tc+1)*dr*1e6 can exceed
+    # decimal(38,0)'s 38 digits at very large corpora, where Spark's
+    # non-ANSI decimal multiply silently returns NULL — Python ints
+    # are unbounded, so the floor-div is exact at any corpus size.
+    # Driver traffic stays n_buckets-bounded (the 100 TB invariant:
+    # models never scale with the data, only with n_buckets).
+    model_rows = model.collect()
+    dr = sum(r["_rc"] for r in model_rows) + n_buckets
+    dt = sum(r["_tc"] for r in model_rows) + n_buckets
+    ratio = corpus.sparkSession.createDataFrame(
+        [
+            (r["_b"], (r["_tc"] + 1) * dr * 1_000_000 // ((r["_rc"] + 1) * dt))
+            for r in model_rows
+        ],
+        "_b long, _ratio_e6 long",
     )
     scored = (
         raw_occ.join(F.broadcast(ratio), "_b")

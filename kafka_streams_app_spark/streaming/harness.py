@@ -99,32 +99,19 @@ class MicroBatchReplay:
     def restart(self) -> None:
         """Kill the query and resume from the SAME checkpoint + source
         — the crash-recovery path (requires sink="parquet": the memory
-        sink refuses checkpoint recovery by design). Operator state
-        (aggregates, dedup sets, window stores) must come back from the
-        checkpoint, and the file source's committed offsets come back
-        with it, so already-processed files are never re-read."""
+        sink refuses checkpoint recovery outside complete mode, so a
+        memory-sink replay would die at start() with a confusing
+        AnalysisException rather than resume). Operator state
+        (aggregates, dedup sets, TWS/window stores) must come back from
+        the checkpoint, and the file source's committed offsets come
+        back with it, so already-processed files are never re-read
+        (no double counting, no double emission)."""
         if self._sink != "parquet":
             raise RuntimeError(
                 "restart() needs MicroBatchReplay(sink='parquet') — the "
                 "memory sink does not support checkpoint recovery"
             )
         self.query.stop()
-        self.query = self._start()
-
-    def restart(self) -> None:
-        """Kill the query and resume from the SAME checkpoint + source
-        — the crash-recovery path. Operator state (aggregates, dedup
-        sets, TWS stores) must come back from the checkpoint, and the
-        file source's committed offsets come back with it, so
-        already-processed files are never re-read (no double counting).
-        The memory sink is NOT part of the checkpoint: the resumed
-        query repopulates a fresh sink table, so drain() after restart
-        returns only post-restart emissions (update/append) or the
-        full recovered state (complete)."""
-        self.query.stop()
-        self.spark.catalog.dropTempView(self.name)
-        self.name = f"replay_{uuid.uuid4().hex[:12]}"
-        self._drained = 0
         self.query = self._start()
 
     def pipe(self, rows: list[tuple] | list[Row]) -> None:
@@ -135,7 +122,15 @@ class MicroBatchReplay:
 
     def table(self) -> DataFrame:
         if self._sink == "parquet":
-            return self.spark.read.parquet(self._out_dir).drop("_bid")
+            df = self.spark.read.parquet(self._out_dir)
+            if self._complete:
+                # Each batch appends its FULL accumulated snapshot
+                # (tagged _bid); only the latest one is "the table" —
+                # mirror drain()'s max-_bid filter or complete-mode
+                # snapshots would silently concatenate.
+                mx = df.agg(F.max("_bid")).collect()[0][0]
+                df = df.filter(F.col("_bid") == F.lit(mx))
+            return df.drop("_bid")
         return self.spark.table(self.name)
 
     def drain(self) -> list[Row]:
