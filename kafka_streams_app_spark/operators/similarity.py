@@ -485,9 +485,9 @@ def hard_negatives(
     scanned once, per-anchor window top-k — no driver collect, no
     corpus shuffle. The label inequality filters BEFORE the rank, so k
     negatives survive per anchor even when its nearest neighbors are
-    same-label. At 100 TB compose the same rank over LSH/IVF candidate
-    buckets (lsh_ann_topk/ivf_topk machinery) instead of the full
-    scan; exact form kept here as the oracle-checkable baseline.
+    same-label. At 100 TB use hard_negatives_ann — the same rank over
+    LSH candidate buckets instead of the full scan; the exact form
+    here is its recall baseline and oracle twin.
 
     Output: anchor_id, negative_id, neg_label, rank, cos_sim (6dp).
     """
@@ -508,6 +508,81 @@ def hard_negatives(
             "anchor_id", "negative_id", "neg_label",
             cosine(F.col("_qv"), F.col("_cv")).alias("_cs"),
         )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_cs").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id", "negative_id", "neg_label", "rank",
+            F.round("_cs", 6).alias("cos_sim"),
+        )
+    )
+
+
+def hard_negatives_ann(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    plane_fn: str = "gaussian",
+) -> DataFrame:
+    """ANN-candidate hard-negative mining: the same per-anchor
+    highest-cosine-under-a-different-label rank as hard_negatives, but
+    over sign-LSH candidate buckets instead of a full corpus scan —
+    the 100 TB path (per-anchor cost = sum of its bucket sizes, not
+    O(n) per anchor).
+
+    Candidates = corpus vectors sharing a bucket with the anchor in
+    ANY of n_tables hyperplane tables; both sides' bucket ids come
+    from ONE vectorized Arrow pass each (see _bucketed). The label
+    inequality is applied INSIDE the candidate join — before the
+    dedup and the exact-cosine rerank — so same-label near-neighbors
+    never reach the shuffle. With plane_fn='md5' (Rademacher planes
+    over floor(v*1e6) integer dots) the whole approximate pipeline is
+    engine-portable and the DuckDB oracle replays it bit-for-bit;
+    recall vs the exact hard_negatives twin is pinned in
+    tests/test_dedup_similarity.py.
+
+    Output: anchor_id, negative_id, neg_label, rank, cos_sim (6dp).
+    """
+    q = _bucketed(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("_al"),
+            as_double(F.col(vec_col)).alias("_qv"),
+        ),
+        "anchor_id", "_qv", dim, n_planes, n_tables, seed, plane_fn,
+    )
+    c = _bucketed(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("neg_label"),
+            as_double(F.col(vec_col)).alias("_cv"),
+        ),
+        "negative_id", "_cv", dim, n_planes, n_tables, seed, plane_fn,
+    )
+    cand = (
+        c.join(
+            F.broadcast(q),
+            on=(c["_tbl"] == q["_tbl"]) & (c["_bkt"] == q["_bkt"])
+            & (c["negative_id"] != q["anchor_id"])
+            & (c["neg_label"] != q["_al"]),
+        )
+        .select("anchor_id", "negative_id", "neg_label", "_qv", "_cv")
+        .dropDuplicates(["anchor_id", "negative_id"])
+    )
+    scored = cand.select(
+        "anchor_id", "negative_id", "neg_label",
+        cosine(F.col("_qv"), F.col("_cv")).alias("_cs"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("_cs").desc(), F.col("negative_id")

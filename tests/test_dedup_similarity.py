@@ -199,3 +199,71 @@ class TestDedupWinnowing:
         for fn in ("md5", "xxhash64"):
             got = self._pairs(spark, rows, min_shared=1, hash_fn=fn)
             assert [p[:2] for p in got] == [(1, 2)], fn
+
+
+# --- ANN hard negatives (r12) ------------------------------------------------
+
+def _planted_hard_neg_corpus(spark, n_anchors=10, dim=16, seed=7):
+    """n_anchors anchors (ids 0,100,200,...) each with a planted
+    near-duplicate twin (id+1, cos ~0.999) under a DIFFERENT label —
+    the textbook hard negative — plus 200 random background vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_anchors):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((i * 100, f"l{i % 3}", [float(x) for x in v]))
+        twin = v + rng.standard_normal(dim) * 0.01
+        twin /= np.linalg.norm(twin)
+        rows.append((i * 100 + 1, f"l{(i + 1) % 3}", [float(x) for x in twin]))
+    for j in range(200):
+        w = rng.standard_normal(dim)
+        w /= np.linalg.norm(w)
+        # odd ids: background must never match the %100==0 anchor filter
+        rows.append((10_001 + 2 * j, f"l{j % 3}", [float(x) for x in w]))
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+
+def test_hard_negatives_ann_recall_on_planted_twins(spark):
+    """Every anchor's planted different-label near-dup twin (cos~0.999)
+    must come back at rank 1 through the LSH candidate path (sign-LSH
+    at 6 planes x 8 tables catches cos>=0.9 with ~98% per-table-union
+    probability; 10/10 planted twins is the deterministic-seed pin),
+    and no returned negative may share the anchor's label."""
+    emb = _planted_hard_neg_corpus(spark)
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.hard_negatives_ann(
+        emb, anchors, "vec_id", "embedding", "label", dim=16, k=3,
+        plane_fn="md5",
+    ).collect()
+    top1 = {r["anchor_id"]: r["negative_id"] for r in out if r["rank"] == 1}
+    assert top1 == {i * 100: i * 100 + 1 for i in range(10)}
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for r in out:
+        assert r["neg_label"] != labels[r["anchor_id"]]
+        assert r["neg_label"] == labels[r["negative_id"]]
+
+
+def test_hard_negatives_ann_matches_exact_where_found(spark):
+    """ANN hard negatives vs the exact twin on real sf0.001 embeddings:
+    every pair the ANN path reports must carry the exact method's
+    cosine, and ANN recall of the exact top-5 must beat the random-
+    bucket baseline (weak-similarity regime: sign-LSH recall here is
+    structural, not ~1 — see lsh_ann_topk docstring)."""
+    emb = load_table(spark, SF, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.hard_negatives(
+        emb, anchors, "vec_id", "embedding", "label", k=5)
+    ann = similarity.hard_negatives_ann(
+        emb, anchors, "vec_id", "embedding", "label", dim=64, k=5,
+        plane_fn="md5")
+    e = {(r["anchor_id"], r["negative_id"]): r["cos_sim"] for r in exact.collect()}
+    a = {(r["anchor_id"], r["negative_id"]): r["cos_sim"] for r in ann.collect()}
+    hits = set(e) & set(a)
+    assert len(hits) / len(e) > 0.2  # >> the 2^-6-per-table random baseline
+    for pair in hits:
+        assert abs(e[pair] - a[pair]) < 1e-12
