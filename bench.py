@@ -4,6 +4,19 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Each query is materialized through the `noop` data source so the full
 plan executes (a bare .count() would let Catalyst prune computed
 columns). Timings include plan + execution, excluding session startup.
+
+Two groups:
+- HEADLINE (23 queries, frozen since r5): the spine operators
+  (scan->agg, windows, joins) plus the heaviest north-star ops —
+  `value`/`queries` keep their historical meaning so BENCH_rN.json
+  stays comparable across every round.
+- CURATION (r12+): the paper-backed LLM-curation operators whose perf
+  previously lived only in builder-run smokes; reported as separate
+  `curation_total`/`curation_queries` keys in the SAME JSON line so
+  the driver records both without perturbing the headline series.
+
+`python bench.py --group headline|curation` runs one group only (the
+single-group run reports that group's total as `value`).
 """
 
 from __future__ import annotations
@@ -22,7 +35,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the spine operators (scan->agg, windows, joins) plus the
 # heaviest north-star ops (minhash dedup, ANN) — the queries whose cost
-# profile matters at 100 TB.
+# profile matters at 100 TB. FROZEN: do not add entries (new operators
+# get smoke coverage or the curation group; the series must stay
+# comparable round over round).
 HEADLINE = [
     "t1_wordcount",
     "a2_windowed_count",
@@ -49,18 +64,24 @@ HEADLINE = [
     "tpch_q18_large_orders",
 ]
 
+# Curation set (r11 verdict ask #3): the paper-backed pipeline ops.
+CURATION = [
+    "sim_semdedup",
+    "cluster_kmeans",
+    "dsir_select",
+    "corpus_scrub_dup_spans",
+    "dedup_minhash_lsh_cross",
+    "sim_hard_negatives_ann",
+]
 
-def main() -> None:
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
 
-    # Warm-up (not timed): run every headline query once at the smallest
-    # SF. This pays the one-time JVM JIT + Python-worker-pool startup
+def _bench_group(spark, queries, names: list[str]) -> dict[str, float]:
+    # Warm-up (not timed): run every query once at the smallest SF.
+    # This pays the one-time JVM JIT + Python-worker-pool startup
     # outside the measurement, so timings reflect steady-state per-query
     # cost (no result caching — different data directory).
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in names:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # best-of-3, INTERLEAVED: single runs on this box show intermittent
@@ -71,22 +92,39 @@ def main() -> None:
     # the per-query minimum reflects the plan's actual cost.
     per_query: dict[str, float] = {}
     for _ in range(3):
-        for name in HEADLINE:
+        for name in names:
             t0 = time.time()
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             el = time.time() - t0
             if name not in per_query or el < per_query[name]:
                 per_query[name] = el
-    per_query = {n: round(v, 3) for n, v in per_query.items()}
+    return {n: round(v, 3) for n, v in per_query.items()}
 
+
+def main() -> None:
+    group = "all"
+    if "--group" in sys.argv:
+        group = sys.argv[sys.argv.index("--group") + 1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
-        "metric": "headline_total",
-        "value": round(sum(per_query.values()), 3),
-        "unit": "sec",
-        "queries": per_query,
-        "sf": float(sf),
-    }))
+
+    out: dict = {"unit": "sec", "sf": float(sf)}
+    if group in ("all", "headline"):
+        hq = _bench_group(spark, queries, HEADLINE)
+        out.update(
+            metric="headline_total",
+            value=round(sum(hq.values()), 3),
+            queries=hq,
+        )
+    if group in ("all", "curation"):
+        cq = _bench_group(spark, queries, CURATION)
+        out["curation_total"] = round(sum(cq.values()), 3)
+        out["curation_queries"] = cq
+        if group == "curation":
+            out.update(metric="curation_total", value=out["curation_total"])
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

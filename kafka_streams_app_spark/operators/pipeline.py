@@ -997,11 +997,70 @@ def scrub_duplicated_spans(
         .groupBy(id_col)
         .agg(F.collect_set(F.col("_s.i")).alias("_starts"))
     )
-    keep = F.filter(
-        F.col("_t"),
-        lambda x, i: ~F.exists(
-            F.col("_starts"), lambda p: (p <= i + 1) & (i + 1 < p + k)
+    # Covered starts -> disjoint merged intervals -> complement gaps ->
+    # kept tokens by slicing the gaps. The former per-token
+    # `~exists(starts, ...)` filter was O(n_tokens * n_starts) per doc
+    # — quadratic for a fully-duplicated long document (every position
+    # a start). This form is O(n_starts log n_starts) for the sort +
+    # O(n_tokens + n_intervals) for the rebuild: a 100%-duplicated doc
+    # merges to ONE interval and the rebuild is a single slice.
+    # A start p covers token positions [p, p+k-1] (1-based); sorted
+    # starts merge when the next start is <= current end + 1 (adjacent
+    # coverage unions identically to overlapping).
+    _ivl = "array<struct<s:int,e:int>>"
+    merged = F.aggregate(
+        F.array_sort("_starts"),
+        F.array().cast(_ivl),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (p <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    F.greatest(
+                        F.element_at(acc, -1)["e"], p + k - 1
+                    ).alias("e"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                p.alias("s"), (p + k - 1).alias("e")
+            )))
         ),
+    )
+
+    # kept = tokens in the complement gaps of the merged intervals.
+    # The token array is bound as a lambda variable (the CSE guard
+    # again) so the gap slices cannot re-inline the tokenizer.
+    def _kept(t: Column, iv: Column) -> Column:
+        n = F.size(t)
+        gaps = F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size(iv)),
+                lambda j: F.struct(
+                    F.when(j == 0, F.lit(1))
+                    .otherwise(F.get(iv, j - 1)["e"] + 1).alias("s"),
+                    F.when(j == F.size(iv), n)
+                    .otherwise(F.get(iv, j)["s"] - 1).alias("e"),
+                ),
+            ),
+            lambda g: g["s"] <= g["e"],
+        )
+        return F.flatten(
+            F.transform(gaps, lambda g: F.slice(t, g["s"], g["e"] - g["s"] + 1))
+        )
+
+    # both the token array AND the merged-interval array are bound as
+    # lambda-variable struct fields: referenced as plain columns, the
+    # interval aggregate would be re-inlined per gap index by
+    # CollapseProject (the same trap as the tokenizer).
+    keep = F.element_at(
+        F.transform(
+            F.array(F.struct(F.col("_t").alias("t"), merged.alias("iv"))),
+            lambda s: _kept(s["t"], s["iv"]),
+        ),
+        1,
     )
     return (
         occ.join(hits, id_col, "left")

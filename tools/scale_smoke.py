@@ -273,6 +273,66 @@ def longdoc_main() -> None:
         }))
 
 
+def scrubdegen_main() -> None:
+    """Degenerate-doc pin for scrub_duplicated_spans (r11 verdict #7):
+    100%-duplicated documents (every doc an exact twin of another), so
+    EVERY position is a covered start. The former per-token
+    `exists(starts, ...)` filter was O(n_tokens * n_starts) per doc —
+    ~1e10 lambda evaluations at 100k tokens; the interval-merge form
+    collapses the starts to ONE interval and rebuilds in O(n_tokens).
+    10x the tokens must cost ~10x the wall. Prints one JSON line per
+    length plus the ratio."""
+    from kafka_streams_app_spark.operators.pipeline import (
+        scrub_duplicated_spans,
+    )
+
+    spark = get_spark(app_name="scale-smoke-scrubdegen")
+    spark.sparkContext.setLogLevel("ERROR")
+    runs = {}
+    for n_toks in (10_000, 100_000):
+        out = SCRATCH / f"scrubdegen_{n_toks}"
+        if not out.exists():
+            # 16 base texts x 2 exact copies: every 8-shingle in every
+            # doc is cross-doc duplicated (min_df=2) -> 100% coverage
+            spark.range(32).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 16).alias("_base"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_toks - 1)),
+                        lambda i: F.concat(
+                            F.lit("w"), (F.col("id") % 16).cast("string"),
+                            F.lit("_"), i.cast("string"),
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+            ).drop("_base").repartition(32).write.parquet(str(out))
+        df = spark.read.parquet(str(out))
+
+        # correctness of the degenerate case, asserted outside timing:
+        # 100% of every doc's tokens must be removed
+        assert scrub_duplicated_spans(df, "text", "doc_id", k=8).filter(
+            F.col("n_removed") != F.col("n_tokens")
+        ).count() == 0
+
+        def run(df=df):
+            return scrub_duplicated_spans(df, "text", "doc_id", k=8)
+
+        timed(run)  # warm
+        wall = timed(run)
+        runs[n_toks] = wall
+        print(json.dumps({
+            "op": "corpus_scrub_dup_spans[degenerate 100%-dup]",
+            "docs": 32, "n_tokens": n_toks, "wall_s": wall,
+        }))
+    print(json.dumps({
+        "op": "corpus_scrub_dup_spans[degenerate 100%-dup]",
+        "ratio_for_10x_tokens": round(runs[100_000] / runs[10_000], 2)
+        if runs[10_000] else None,
+    }))
+
+
 def decontam_main() -> None:
     """Span-count crossover for exact decontamination (r7 verdict #7):
     the broadcast-NLJ form is O(docs x spans) JVM work; the
@@ -782,6 +842,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "curation100":
         curation100_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "scrubdegen":
+        scrubdegen_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names
