@@ -1017,10 +1017,11 @@ def _q_sim_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     with a smaller-id same-cluster neighbor at cosine >= 0.3; survivors
     carry their cluster id (operators/similarity.py:semdedup). The
     DuckDB twin replays the exact-integer assignment and the greedy
-    drop rule."""
+    drop rule, deriving the same auto codebook modulus
+    (floor(sqrt(n)), the grow-m dial) from its own count(*)."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.semdedup(
-        emb, "vec_id", "embedding", threshold=0.3, centroid_mod=(17, 3)
+        emb, "vec_id", "embedding", threshold=0.3, centroid_mod="auto"
     )
 
 
@@ -3168,7 +3169,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= 10
     """),
     # SemDeDup: the IVF assignment CTE reused, then the greedy
-    # lowest-id-survives drop rule inside each cluster
+    # lowest-id-survives drop rule inside each cluster. The codebook
+    # modulus is the grow-m auto dial: floor(sqrt(n)) from count(*),
+    # bit-identical to Python isqrt for all n < ~4.5e15 (IEEE sqrt is
+    # correctly rounded).
     "sim_semdedup": (_q_sim_semdedup, """
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -3176,7 +3180,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                   FOR x IN embedding::DOUBLE[]] AS q
           FROM embeddings
         ),
-        c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % 17 = 3),
+        mm AS (SELECT GREATEST(CAST(floor(sqrt(count(*))) AS BIGINT), 1)
+                 AS md FROM embeddings),
+        c AS (SELECT vec_id AS cid, q AS cq FROM e, mm
+              WHERE vec_id % mm.md = 3 % mm.md),
         ad AS (
           SELECT e.vec_id, e.v, c.cid,
                  list_sum([(e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])

@@ -347,7 +347,7 @@ def semdedup(
     id_col: str,
     vec_col: str,
     threshold: float = 0.55,
-    centroid_mod: tuple[int, int] = (17, 3),
+    centroid_mod: tuple[int, int] | str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication — cluster the embedding space with a coarse
@@ -365,6 +365,19 @@ def semdedup(
     boundary — the paper accepts that miss; raise centroid_mod's
     modulus to trade recall for cost).
 
+    centroid_mod="auto" (default — the grow-m dial, r11 verdict #8):
+    one count job picks mod = max(isqrt(n), 1), so the codebook is
+    ~sqrt(n) rows (the driver collect stays bounded as the corpus
+    grows) and mean occupancy is ~sqrt(n) — the O(n^1.5) sweet spot
+    the paragraph above names, now enforced instead of advised. The
+    oracle derives the same mod via floor(sqrt(count(*))): IEEE-754
+    sqrt is correctly rounded (unlike log), so Python's exact isqrt
+    and the SQL double sqrt agree for all n < ~4.5e15 (the first
+    regime where 1/(2*sqrt(n)) can fall under half an ulp). A fixed
+    (mod, rem) tuple remains the hold-m deploy rule for when
+    assignment cost, not verification, dominates (SCALE.md
+    §curation100).
+
     Plan at scale: ONE bounded codebook collect, one Arrow-batched
     assignment pass (no shuffle), one self-join shuffled on the
     cluster id (clusters are the unit of parallelism), one left-anti
@@ -377,6 +390,11 @@ def semdedup(
     from kafka_streams_app_spark.engine import ensure_parallelism
     from kafka_streams_app_spark.functions.vectors import dot
 
+    if centroid_mod == "auto":
+        import math
+
+        mod = max(math.isqrt(max(corpus.count(), 1)), 1)
+        centroid_mod = (mod, 3 % mod)
     cids, cmat = _int_codebook(corpus, id_col, vec_col, centroid_mod)
     assign = _nearest_cid_udf(cids, cmat)
     base = ensure_parallelism(corpus).select(

@@ -18,3 +18,11 @@ Modules:
 - sinks: stream writers (S3/S5) + the foreachBatch state mirror that
   backs interactive queries over live state (M5).
 """
+
+# Vectorized TWS input grouping (see _tws_fastpath's docstring): this
+# import-time install is what gets the patch into the PYTHON WORKER —
+# unpickling any of this package's StatefulProcessors imports this
+# package there before the first load_stream call.
+from kafka_streams_app_spark.streaming import _tws_fastpath as _twsfp
+
+_twsfp.install()

@@ -767,6 +767,7 @@ class FKJoinReplay:
         right_tombstone: str,
         how: str = "inner",
         n_buckets: int | None = None,
+        sink: str = "memory",
     ) -> None:
         self.spark = spark
         name = f"fkjoin_{uuid.uuid4().hex[:12]}"
@@ -779,25 +780,31 @@ class FKJoinReplay:
         self._left_replay_schema = left_schema
         self._left_staging = tempfile.mkdtemp(prefix=f"{name}_lsrc_")
         self._dirs.append(self._left_staging)
-        left_src = (
-            spark.readStream.schema(left_schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(self._left_staging)
-        )
-        left_view = ktable_changelog_stream(
-            left_src, [pk], "seq", left_payload, left_tombstone,
-            n_buckets=n_buckets,
-        )
-        self.q1 = (
-            left_view.writeStream.format("parquet")
-            .option("path", inter_dir)
-            .option("checkpointLocation", ckpt1)
-            .outputMode("append")
-            .start()
-        )
+        def _build_left_view() -> DataFrame:
+            left_src = (
+                spark.readStream.schema(left_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(self._left_staging)
+            )
+            return ktable_changelog_stream(
+                left_src, [pk], "seq", left_payload, left_tombstone,
+                n_buckets=n_buckets,
+            )
+
+        def _start_q1():
+            return (
+                _build_left_view().writeStream.format("parquet")
+                .option("path", inter_dir)
+                .option("checkpointLocation", ckpt1)
+                .outputMode("append")
+                .start()
+            )
+
+        self._start_q1 = _start_q1
+        self.q1 = _start_q1()
         # parquet sink needs at least one committed batch before a reader
         # can infer anything; we pass the schema explicitly instead.
-        inter_schema = StructType(left_view.schema.fields)
+        inter_schema = StructType(_build_left_view().schema.fields)
 
         # query 2: intermediate + right staging -> join changelog
         def build(right_src: DataFrame) -> DataFrame:
@@ -819,8 +826,28 @@ class FKJoinReplay:
                 n_buckets=n_buckets,
             )
 
-        self._right = MicroBatchReplay(spark, right_schema, build, "update")
+        self._right = MicroBatchReplay(
+            spark, right_schema, build, "update", sink=sink
+        )
         self.seq = 0
+
+    def restart(self) -> None:
+        """Crash-recovery for the WHOLE 2-stage pipeline: kill both
+        queries and resume each from its own checkpoint (requires
+        sink='parquet' — the join query's memory sink refuses
+        checkpoint recovery). Query 1's ktable state, query 2's two
+        join stores AND the committed offsets of the left staging,
+        right staging and intermediate ("subscription response")
+        parquet sources all come back from the checkpoints, so
+        committed inputs are never re-read and nothing is re-emitted."""
+        if self._right._sink != "parquet":
+            raise RuntimeError(
+                "restart() needs FKJoinReplay(sink='parquet') — the "
+                "memory sink does not support checkpoint recovery"
+            )
+        self.q1.stop()
+        self._right.restart()
+        self.q1 = self._start_q1()
 
     def _next_seq(self) -> int:
         self.seq += 1

@@ -236,3 +236,58 @@ def test_restart_does_not_recount_processed_files(spark):
     finally:
         for d in (staging, checkpoint, out_dir):
             shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_fk_pipeline_survives_restart(spark, n_buckets):
+    """r11 verdict #6: the FULL 2-stage FK-join pipeline (ktable
+    changelog query -> intermediate "subscription response" parquet ->
+    stateful join query) resumed from its checkpoints must (a) not
+    re-read committed inputs, (b) not double-emit anything — the drain
+    right after restart is EMPTY, (c) have both join stores AND the
+    query-1 ktable state back: a post-restart right update joins the
+    pre-restart subscription, and a post-restart FK move retracts via
+    the pre-restart left value exactly once."""
+    from kafka_streams_app_spark.streaming.fk_join import FKJoinReplay
+    from kafka_streams_app_spark.streaming.replay import tws_available
+
+    if not tws_available(spark):
+        pytest.skip("TWS protobuf unavailable in this session")
+
+    LEFT = "pk string, fk string, name string, is_delete boolean, seq long"
+    RIGHT = "rk string, rank int, is_delete boolean, seq long"
+    with FKJoinReplay(
+        spark, LEFT, RIGHT,
+        pk="pk", fk="fk", left_payload=["fk", "name"],
+        left_tombstone="is_delete",
+        right_key="rk", right_payload=["rank"], right_tombstone="is_delete",
+        how="left", n_buckets=n_buckets, sink="parquet",
+    ) as p:
+        p.pipe_left([("3 bands", "adidas", "3 bands", False)])
+        assert p.drain() == [("3 bands", "upsert", "3 bands", None)]
+        p.pipe_right([("adidas", 3, False)])
+        assert p.drain() == [("3 bands", "upsert", "3 bands", 3)]
+
+        # ---- crash both queries, resume from the same checkpoints ----
+        p.restart()
+        # (a)+(b): committed inputs not re-read, nothing re-emitted
+        assert p.drain() == []
+
+        # (c1) right store recovered: a right update joins the
+        # subscription written before the crash
+        p.pipe_right([("adidas", 5, False)])
+        assert p.drain() == [("3 bands", "upsert", "3 bands", 5)]
+
+        # (c2) ktable + subscription state recovered: an FK move issues
+        # exactly one unsubscribe(adidas)+subscribe(puma) pair computed
+        # against the PRE-crash left value — one upsert, rank of puma
+        p.pipe_right([("puma", 7, False)])
+        assert p.drain() == []  # no subscriber yet
+        p.pipe_left([("3 bands", "puma", "3 bands", False)])
+        assert p.drain() == [("3 bands", "upsert", "3 bands", 7)]
+
+        # (c3) delete crosses the recovered state exactly once
+        p.pipe_left([("3 bands", None, None, True)])
+        assert p.drain() == [("3 bands", "delete", None, None)]
+        p.pipe_left([("3 bands", None, None, True)])
+        assert p.drain() == []

@@ -717,6 +717,35 @@ def curation100_main() -> None:
             "cluster_pairs": int(pair_n), "survivors": int(kept),
         }))
 
+        # --- semdedup, auto codebook (grow-m dial, r11 verdict #8) -----------
+        # mod = isqrt(n) -> ~sqrt(n) centroids AND ~sqrt(n) occupancy:
+        # within-cluster pairs grow ~n^1.5 (10x data -> ~31.6x pairs),
+        # sub-quadratic vs the held-m x100 above.
+        import math
+
+        n_vec = emb.count()
+        amod = max(math.isqrt(n_vec), 1)
+        a_cids, a_cmat = _int_codebook(
+            emb, "vec_id", "embedding", (amod, 3 % amod))
+        a_assign = _nearest_cid_udf(a_cids, a_cmat)
+        a_sizes = (
+            emb.select(a_assign(F.col("embedding").cast("array<double>"))
+                       .alias("_cl"))
+            .groupBy("_cl").agg(F.count(F.lit(1)).alias("n"))
+        )
+        a_pair_n = a_sizes.select(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("c")
+        ).collect()[0]["c"] or 0
+        t0 = time.time()
+        a_kept = semdedup(emb, "vec_id", "embedding", threshold=0.3,
+                          centroid_mod="auto").count()
+        wall = time.time() - t0
+        print(json.dumps({
+            "op": "sim_semdedup[auto grow-m]", "mult": mult, "mod": amod,
+            "n_centroids": int(len(a_cids)), "wall_s": round(wall, 2),
+            "cluster_pairs": int(a_pair_n), "survivors": int(a_kept),
+        }))
+
         # --- kmeans, fixed codebook -------------------------------------------
         from kafka_streams_app_spark.operators.similarity import kmeans_lloyd
 
