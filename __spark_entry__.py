@@ -379,6 +379,58 @@ def _lsh_ann_md5_sql(
     """
 
 
+def _pq_topk_sql(
+    k: int = 5, m: int = 8, dsub: int = 8, mod: int = 17, rem: int = 3
+) -> str:
+    """DuckDB twin of pq_topk: replays the per-subspace codebooks
+    (deterministic id-sample), the exact-int L2 code assignment
+    (ties -> lowest cid), the query LUTs and the ADC ranking
+    bit-for-bit. `d` below is both the assignment table and the LUT:
+    code assignment takes the row-number-1 row per (vec, subspace);
+    ADC joins each corpus code to the QUERY's distance row for the
+    same (subspace, centroid)."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             [CAST(floor(x * 1000000.0) AS BIGINT)
+              FOR x IN embedding::DOUBLE[]] AS q
+      FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % {mod} = {rem}),
+    sub AS (SELECT unnest(range(0, {m})) AS j),
+    d AS (
+      SELECT e.vec_id, s.j, cb.cid,
+             CAST(list_sum(
+               [(e.q[s.j * {dsub} + i] - cb.cq[s.j * {dsub} + i])
+                * (e.q[s.j * {dsub} + i] - cb.cq[s.j * {dsub} + i])
+                FOR i IN range(1, {dsub + 1})]) AS BIGINT) AS dist
+      FROM e CROSS JOIN sub s CROSS JOIN cb
+    ),
+    code AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM d)
+      WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS query_id FROM e WHERE vec_id % 100 = 0),
+    adc AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(qd.dist) AS BIGINT) AS adc_dist
+      FROM code c
+      CROSS JOIN qs q
+      JOIN d qd ON qd.vec_id = q.query_id AND qd.j = c.j AND qd.cid = c.cid
+      WHERE c.vec_id <> q.query_id
+      GROUP BY q.query_id, c.vec_id
+    ),
+    r AS (SELECT query_id, neighbor_id, adc_dist,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+                   AS INTEGER) AS rank
+          FROM adc)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM r WHERE rank <= {k}
+    """
+
+
 def _hard_neg_ann_md5_sql(
     k: int = 5, n_planes: int = 6, n_tables: int = 8, dim: int = 64
 ) -> str:
@@ -1047,6 +1099,20 @@ def _q_sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     anchors = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.hard_negatives(
         emb, anchors, "vec_id", "embedding", "label", k=5
+    )
+
+
+def _q_sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace
+    exact-int codebooks, m=8 codes per vector, ADC lookup-table scan
+    over the compressed codes (operators/similarity.py:pq_topk) — the
+    memory-bandwidth ANN next to LSH and IVF. The DuckDB twin replays
+    codebooks, codes, LUTs and the (adc, id) ranking bit-for-bit."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.pq_topk(
+        emb, queries_df, "vec_id", "embedding", dim=64, k=5, m=8,
+        centroid_mod=(17, 3),
     )
 
 
@@ -3231,6 +3297,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # ANN (sign-LSH candidate) hard negatives — the 100 TB path
     "sim_hard_negatives_ann": (
         _q_sim_hard_negatives_ann, _hard_neg_ann_md5_sql(k=5)),
+    # Product-quantization ANN: compressed-code ADC scan (Jégou 2011)
+    "sim_pq_topk": (_q_sim_pq_topk, _pq_topk_sql(k=5)),
     # --- text analysis (north-star) ---
     "text_stats": (_q_text_stats, "WITH " + _TOKS + r""",
         pr AS (
@@ -4426,7 +4494,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    rotate in r13, which fully retires the >2-round staleness debt.
 _FRONT = [
     # (1) new in r12, never sampled
-    "sim_hard_negatives_ann",
+    "sim_hard_negatives_ann", "sim_pq_topk",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",
@@ -4451,7 +4519,8 @@ _FRONT = [
     "t2_mapvalues_square", "t3_selectkey_rekey", "t4_groupby_mapper",
     "t5_groupbykey_count", "branch_merge",
     "a1_count_per_key", "a2_windowed_count", "a3_windowed_sum",
-    "a4_session_count",
+    # (a4_session_count demoted one-for-one when sim_pq_topk landed;
+    # it rotates with the rest of the r9 tail in r13)
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -235,3 +235,88 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
         )
     ]
     assert out == [(1, 2, 2), (2, 3, 2)]  # id 1 skipped, id 4 cut by k=2
+
+
+# --- product quantization (r12) ----------------------------------------------
+
+def test_pq_planted_duplicate_at_rank_one(spark):
+    """An exact duplicate of the query vector quantizes to identical
+    codes in every subspace, so its ADC equals the query's OWN
+    quantization error — the minimum any vector can score against this
+    query (ADC is asymmetric: query-to-centroid, never
+    query-to-neighbor). The twin must come back at rank 1 with exactly
+    that error, computed independently here."""
+    import numpy as np
+    from kafka_streams_app_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(120):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    # query 100 gets an exact twin at id 7 (neither is a codebook id:
+    # 7 % 17 != 3 and 100 % 17 != 3)
+    rows[7] = (7, rows[100][1])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(
+        emb, emb.filter("vec_id = 100"), "vec_id", "embedding",
+        dim=16, k=3, m=4, centroid_mod=(17, 3),
+    ).collect()
+    top1 = [r for r in out if r["rank"] == 1][0]
+    assert top1["neighbor_id"] == 7
+
+    # independent quantization-error reference
+    qz = {i: np.floor(np.asarray(v) * 1e6).astype(np.int64)
+          for i, v in rows}
+    cids = sorted(i for i in qz if i % 17 == 3)
+    csub = np.stack([qz[i] for i in cids]).reshape(len(cids), 4, 4)
+    csub = csub.transpose(1, 0, 2)
+    qs = qz[100].reshape(4, 4)
+    d = ((qs[:, None, :] - csub) ** 2).sum(axis=2)          # (4, nc)
+    self_err = int(d[np.arange(4), d.argmin(axis=1)].sum())
+    assert top1["adc_dist"] == self_err
+
+
+def test_pq_rank_structure_and_numpy_reference(spark, sf_dir):
+    """On real embeddings: ranks contiguous from 1 per query, ADC
+    non-decreasing with rank, self excluded — and every returned
+    adc_dist equals an independent numpy recomputation (codebook ->
+    codes -> LUT -> sum) bit-for-bit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from kafka_streams_app_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), "vec_id",
+        "embedding", dim=64, k=5, m=8, centroid_mod=(17, 3),
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist"]))
+    assert by_q
+    for ranked in by_q.values():
+        ranked.sort()
+        assert [x[0] for x in ranked] == list(range(1, len(ranked) + 1))
+        dists = [x[1] for x in ranked]
+        assert dists == sorted(dists)
+
+    # independent reference
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    qz = {i: np.floor(v * 1e6).astype(np.int64) for i, v in rows.items()}
+    cids = sorted(i for i in rows if i % 17 == 3)
+    cmat = np.stack([qz[i] for i in cids])            # (nc, 64)
+    csub = cmat.reshape(len(cids), 8, 8).transpose(1, 0, 2)
+
+    def sub_d(x):                                      # (8, nc)
+        xs = x.reshape(8, 8)
+        return ((xs[:, None, :] - csub) ** 2).sum(axis=2)
+
+    codes = {i: sub_d(q).argmin(axis=1) for i, q in qz.items()}
+    for r in out:
+        lut = sub_d(qz[r["query_id"]])
+        ref = int(lut[np.arange(8), codes[r["neighbor_id"]]].sum())
+        assert r["adc_dist"] == ref
