@@ -1102,6 +1102,29 @@ def _q_sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ktable_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 table-history view of the per-user changelog
+    (operators/ktable.py:table_history): every version with its
+    [valid_from, valid_to) interval, 'error' events as tombstones
+    (they close the interval and emit no row — Kafka delete
+    semantics). The point-in-time/audit extension of S2's
+    latest-per-key view; value is floor-quantized for the exact-int
+    oracle hash."""
+    ev = load_table(spark, sf, "events")
+    hist = ktable.table_history(
+        ev.select(
+            "user_id", "event_id", "event_type",
+            F.floor(F.col("value") * 1e6).cast("long").alias("value_e6"),
+        ),
+        keys=["user_id"], order_by="event_id",
+        payload=["event_type", "value_e6"],
+        tombstone=F.col("event_type") == "error",
+    )
+    return hist.select(
+        "user_id", "event_type", "value_e6", "valid_from", "valid_to"
+    )
+
+
 def _q_sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): per-subspace
     exact-int codebooks, m=8 codes per vector, ADC lookup-table scan
@@ -3299,6 +3322,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_sim_hard_negatives_ann, _hard_neg_ann_md5_sql(k=5)),
     # Product-quantization ANN: compressed-code ADC scan (Jégou 2011)
     "sim_pq_topk": (_q_sim_pq_topk, _pq_topk_sql(k=5)),
+    # SCD2 table history: per-key validity intervals via one lead window
+    "ktable_history": (_q_ktable_history, """
+        WITH h AS (
+          SELECT user_id, event_type,
+                 CAST(floor(value * 1000000.0) AS BIGINT) AS value_e6,
+                 event_id AS valid_from,
+                 lead(event_id) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS valid_to
+          FROM events
+        )
+        SELECT user_id, event_type, value_e6, valid_from, valid_to
+        FROM h WHERE event_type <> 'error'
+    """),
     # --- text analysis (north-star) ---
     "text_stats": (_q_text_stats, "WITH " + _TOKS + r""",
         pr AS (
@@ -4494,7 +4530,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    rotate in r13, which fully retires the >2-round staleness debt.
 _FRONT = [
     # (1) new in r12, never sampled
-    "sim_hard_negatives_ann", "sim_pq_topk",
+    "sim_hard_negatives_ann", "sim_pq_topk", "ktable_history",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",
@@ -4518,9 +4554,10 @@ _FRONT = [
     "sim_cosine_topk",
     "t2_mapvalues_square", "t3_selectkey_rekey", "t4_groupby_mapper",
     "t5_groupbykey_count", "branch_merge",
-    "a1_count_per_key", "a2_windowed_count", "a3_windowed_sum",
-    # (a4_session_count demoted one-for-one when sim_pq_topk landed;
-    # it rotates with the rest of the r9 tail in r13)
+    "a1_count_per_key", "a2_windowed_count",
+    # (a4_session_count and a3_windowed_sum demoted one-for-one when
+    # sim_pq_topk and ktable_history landed; they rotate with the rest
+    # of the r9 tail in r13)
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

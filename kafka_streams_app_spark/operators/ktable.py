@@ -14,7 +14,7 @@ row per (partition, key), not the full changelog. The incremental
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,3 +45,46 @@ def latest_per_key(
     if tombstone is not None:
         snap = snap.filter(~tombstone)
     return snap
+
+
+def table_history(
+    df: DataFrame,
+    keys: list[str],
+    order_by: str,
+    payload: list[str] | None = None,
+    tombstone: Column | None = None,
+) -> DataFrame:
+    """SCD2 "table history" view of a changelog: EVERY version of every
+    key with its validity interval [valid_from, valid_to) in changelog
+    order — the point-in-time/audit view Kafka Streams' KTable lacks
+    (its store holds only the latest value; Flink calls this a temporal
+    table, Kimball calls it a type-2 slowly-changing dimension). A
+    consumer can reconstruct the table AS OF any sequence s by
+    filtering valid_from <= s < coalesce(valid_to, +inf).
+
+    Semantics: each record opens an interval at its own order_by value
+    and closes the PREVIOUS record's interval (lead over the per-key
+    changelog order). A tombstone closes the current interval and opens
+    none — deleted spans simply have no covering row, and a later
+    upsert starts a fresh interval (Kafka resurrect semantics).
+
+    Plan at scale: ONE shuffle on the key for the lead window —
+    identical exchange shape to the latest_per_key aggregate; no
+    self-join (the naive "join each version to the next" doubles the
+    exchange). The live version per key is the row with valid_to NULL.
+
+    Output: keys, payload..., valid_from, valid_to (NULL = live).
+    """
+    payload = payload or [
+        c for c in df.columns if c not in keys and c != order_by
+    ]
+    w = Window.partitionBy(*keys).orderBy(order_by)
+    out = df.withColumn("_vt", F.lead(order_by).over(w))
+    if tombstone is not None:
+        out = out.filter(~tombstone)
+    return out.select(
+        *keys,
+        *payload,
+        F.col(order_by).alias("valid_from"),
+        F.col("_vt").alias("valid_to"),
+    )

@@ -303,3 +303,63 @@ def test_wordcount_punct_leading(spark):
     df = spark.createDataFrame([("!hello, world",)], "line string")
     words = stateless.flat_map_values_split(df, "line", out_col="word")
     assert rows_set(words, "word") == {("hello",), ("world",)}
+
+
+# --- SCD2 table history (r12) -------------------------------------------------
+
+def test_table_history_intervals_tombstones_resurrect(spark):
+    """Each version's interval closes at the NEXT record's seq (delete
+    included — the tombstone closes but emits nothing), a later upsert
+    resurrects with a fresh interval, and the live version per key is
+    exactly the one with valid_to NULL."""
+    from kafka_streams_app_spark.operators.ktable import table_history
+    from pyspark.sql import functions as F
+
+    rows = [
+        # key a: v1 -> v2 -> delete -> v3 (resurrect, live)
+        ("a", 1, "v1", False), ("a", 2, "v2", False),
+        ("a", 3, None, True), ("a", 4, "v3", False),
+        # key b: one live version
+        ("b", 1, "w1", False),
+        # key c: deleted and never resurrected
+        ("c", 1, "x1", False), ("c", 2, None, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, seq long, payload string, is_del boolean")
+    out = {
+        (r["k"], r["valid_from"]): (r["payload"], r["valid_to"])
+        for r in table_history(
+            df, ["k"], "seq", ["payload"], tombstone=F.col("is_del")
+        ).collect()
+    }
+    assert out == {
+        ("a", 1): ("v1", 2),
+        ("a", 2): ("v2", 3),   # closed BY the tombstone's seq
+        ("a", 4): ("v3", None),  # resurrected, live
+        ("b", 1): ("w1", None),
+        ("c", 1): ("x1", 2),   # closed by delete; no live row for c
+    }
+
+
+def test_table_history_asof_reconstruction_matches_latest(spark):
+    """Filtering the history to valid_from <= s < valid_to at the max
+    seq must reproduce latest_per_key exactly (the as-of contract)."""
+    from kafka_streams_app_spark.operators.ktable import (
+        latest_per_key, table_history,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = ev.select("user_id", "event_id", "event_type")
+    hist = table_history(df, ["user_id"], "event_id", ["event_type"])
+    live = {
+        (r["user_id"], r["event_type"])
+        for r in hist.filter(F.col("valid_to").isNull()).collect()
+    }
+    latest = {
+        (r["user_id"], r["event_type"])
+        for r in latest_per_key(
+            df, ["user_id"], ["event_id"], ["event_type"]
+        ).collect()
+    }
+    assert live == latest and len(live) > 0
