@@ -431,6 +431,105 @@ def _pq_topk_sql(
     """
 
 
+def _ivfpq_topk_sql(
+    k: int = 5, m: int = 8, dsub: int = 8,
+    coarse_mod: int = 17, coarse_rem: int = 3,
+    pq_mod: int = 13, pq_rem: int = 5, nprobe: int = 4,
+) -> str:
+    """DuckDB twin of ivfpq_topk (IVFADC): replays the coarse
+    assignment, the residual-space PQ codebook (the pq-sample's
+    residuals, indexed in ascending-id order exactly like the Spark
+    side's sorted codebook), the per-vector residual codes, the
+    query's nprobe probes, the per-(query, probed-list) LUTs and the
+    ADC ranking — the full index, bit-for-bit. Spark uses codebook
+    INDEXES internally and this twin uses ids; both are ascending-id
+    ordered so ties resolve identically."""
+    full = f"list_sum([(a.q[i] - b.cq[i]) * (a.q[i] - b.cq[i]) FOR i IN range(1, len(a.q) + 1)])"
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             [CAST(floor(x * 1000000.0) AS BIGINT)
+              FOR x IN embedding::DOUBLE[]] AS q
+      FROM embeddings
+    ),
+    cc AS (SELECT vec_id AS cid, q AS cq FROM e
+           WHERE vec_id % {coarse_mod} = {coarse_rem}),
+    ca AS (
+      SELECT vec_id, cid, cq FROM (
+        SELECT a.vec_id, b.cid, b.cq,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {full}, b.cid) AS rn
+        FROM e a CROSS JOIN cc b)
+      WHERE rn = 1
+    ),
+    res AS (
+      SELECT e.vec_id,
+             [e.q[i] - a.cq[i] FOR i IN range(1, len(e.q) + 1)] AS r
+      FROM e JOIN ca a ON e.vec_id = a.vec_id
+    ),
+    pc AS (SELECT r AS pr,
+                  CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS pidx
+           FROM res WHERE vec_id % {pq_mod} = {pq_rem}),
+    sub AS (SELECT unnest(range(0, {m})) AS j),
+    pd AS (
+      SELECT res.vec_id, s.j, p.pidx,
+             CAST(list_sum(
+               [(res.r[s.j * {dsub} + i] - p.pr[s.j * {dsub} + i])
+                * (res.r[s.j * {dsub} + i] - p.pr[s.j * {dsub} + i])
+                FOR i IN range(1, {dsub + 1})]) AS BIGINT) AS dist
+      FROM res CROSS JOIN sub s CROSS JOIN pc p
+    ),
+    code AS (
+      SELECT vec_id, j, pidx FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY dist, pidx) AS rn FROM pd)
+      WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS query_id, q AS qq FROM e
+           WHERE vec_id % 100 = 0),
+    qd AS (
+      SELECT a.query_id, b.cid, b.cq,
+             list_sum([(a.qq[i] - b.cq[i]) * (a.qq[i] - b.cq[i])
+                       FOR i IN range(1, len(a.qq) + 1)]) AS dist
+      FROM qs a CROSS JOIN cc b
+    ),
+    probe AS (
+      SELECT query_id, cid, cq FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY dist, cid) AS rn FROM qd)
+      WHERE rn <= {nprobe}
+    ),
+    qres AS (
+      SELECT p.query_id, p.cid,
+             [q.qq[i] - p.cq[i] FOR i IN range(1, len(q.qq) + 1)] AS r
+      FROM probe p JOIN qs q ON p.query_id = q.query_id
+    ),
+    lut AS (
+      SELECT qr.query_id, qr.cid, s.j, p.pidx,
+             CAST(list_sum(
+               [(qr.r[s.j * {dsub} + i] - p.pr[s.j * {dsub} + i])
+                * (qr.r[s.j * {dsub} + i] - p.pr[s.j * {dsub} + i])
+                FOR i IN range(1, {dsub + 1})]) AS BIGINT) AS dist
+      FROM qres qr CROSS JOIN sub s CROSS JOIN pc p
+    ),
+    adc AS (
+      SELECT l.query_id, c0.vec_id AS neighbor_id,
+             CAST(sum(l.dist) AS BIGINT) AS adc_dist
+      FROM ca c0
+      JOIN code cd ON cd.vec_id = c0.vec_id
+      JOIN lut l ON l.cid = c0.cid AND l.j = cd.j AND l.pidx = cd.pidx
+      WHERE c0.vec_id <> l.query_id
+      GROUP BY l.query_id, c0.vec_id
+    ),
+    r AS (SELECT query_id, neighbor_id, adc_dist,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+                   AS INTEGER) AS rank
+          FROM adc)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM r WHERE rank <= {k}
+    """
+
+
 def _hard_neg_ann_md5_sql(
     k: int = 5, n_planes: int = 6, n_tables: int = 8, dim: int = 64
 ) -> str:
@@ -1122,6 +1221,20 @@ def _q_ktable_history(spark: SparkSession, sf: str) -> DataFrame:
     )
     return hist.select(
         "user_id", "event_type", "value_e6", "valid_from", "valid_to"
+    )
+
+
+def _q_sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ ANN (IVFADC, Jégou et al. 2011 §V) — the FAISS
+    IndexIVFPQ structure: coarse quantizer prunes to nprobe lists,
+    residual-space PQ codes scanned with per-list LUTs
+    (operators/similarity.py:ivfpq_topk). The DuckDB twin replays the
+    full index build and search bit-for-bit."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivfpq_topk(
+        emb, queries_df, "vec_id", "embedding", dim=64, k=5, m=8,
+        coarse_mod=(17, 3), pq_mod=(13, 5), nprobe=4,
     )
 
 
@@ -3322,6 +3435,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_sim_hard_negatives_ann, _hard_neg_ann_md5_sql(k=5)),
     # Product-quantization ANN: compressed-code ADC scan (Jégou 2011)
     "sim_pq_topk": (_q_sim_pq_topk, _pq_topk_sql(k=5)),
+    # IVF-PQ (IVFADC): coarse probes + residual-PQ LUT scan
+    "sim_ivfpq_topk": (_q_sim_ivfpq_topk, _ivfpq_topk_sql(k=5)),
     # SCD2 table history: per-key validity intervals via one lead window
     "ktable_history": (_q_ktable_history, """
         WITH h AS (
@@ -4530,7 +4645,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    rotate in r13, which fully retires the >2-round staleness debt.
 _FRONT = [
     # (1) new in r12, never sampled
-    "sim_hard_negatives_ann", "sim_pq_topk", "ktable_history",
+    "sim_hard_negatives_ann", "sim_pq_topk", "sim_ivfpq_topk",
+    "ktable_history",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",
@@ -4554,10 +4670,10 @@ _FRONT = [
     "sim_cosine_topk",
     "t2_mapvalues_square", "t3_selectkey_rekey", "t4_groupby_mapper",
     "t5_groupbykey_count", "branch_merge",
-    "a1_count_per_key", "a2_windowed_count",
-    # (a4_session_count and a3_windowed_sum demoted one-for-one when
-    # sim_pq_topk and ktable_history landed; they rotate with the rest
-    # of the r9 tail in r13)
+    "a1_count_per_key",
+    # (a4_session_count, a3_windowed_sum and a2_windowed_count demoted
+    # one-for-one as sim_pq_topk, ktable_history and sim_ivfpq_topk
+    # landed; they rotate with the rest of the r9 tail in r13)
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -732,3 +732,148 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    coarse_mod: tuple[int, int] = (17, 3),
+    pq_mod: tuple[int, int] = (13, 5),
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 §V: "IVFADC") — the composition
+    that runs billion-vector search RAM-resident: a coarse quantizer
+    prunes the scan to nprobe inverted lists, and inside the probed
+    lists distances come from PQ codes of the RESIDUAL (vector minus
+    its coarse centroid) via lookup-table adds. This is the index
+    structure FAISS ships as IndexIVFPQ.
+
+    Exact-integer formulation: vectors floor-quantize at 1e-6; the
+    coarse codebook is the id-sample `coarse_mod`, the (shared,
+    residual-space) PQ codebook is the residuals of a SECOND
+    deterministic sample `pq_mod` w.r.t. their own coarse centroids —
+    both assignments exact int64 L2, ties -> lowest id; residuals are
+    int64 subtractions (exact); ADC sums are exact int64. The DuckDB
+    twin replays the full index build and search bit-for-bit.
+
+    Plan at scale: two bounded codebook collects (coarse ~sqrt(n) rows,
+    PQ sample similar); corpus encoding is ONE Arrow pass — coarse
+    assignment + residual PQ codes, no shuffle; queries collect once
+    (broadcast-small side) and carry one (m, nc_pq) LUT PER PROBED
+    LIST (residuals differ per coarse centroid — the IVFADC term);
+    candidate scoring touches only rows whose coarse id is probed by
+    the query (n*nprobe/n_coarse of the corpus), reading codes, not
+    vectors; ranking is the per-query window top-k.
+
+    Output: query_id, neighbor_id, rank, adc_dist (exact int64).
+    Excludes the query row itself; only probed-list candidates appear.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    c_cids, c_cmat = _int_codebook(corpus, id_col, vec_col, coarse_mod)
+    ncc = len(c_cids)
+    cc2 = (c_cmat ** 2).sum(axis=1)  # (ncc,)
+
+    def _quant(vs) -> "np.ndarray":
+        mm = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return np.floor(mm * 1e6).astype(np.int64)
+
+    def _coarse_assign(mat: "np.ndarray") -> "np.ndarray":
+        # exact-int matmul expansion; argmin first-index = lowest cid
+        d = (mat ** 2).sum(axis=1)[:, None] - 2 * (mat @ c_cmat.T) + cc2[None, :]
+        return d.argmin(axis=1)
+
+    # PQ codebook: residuals of the pq_mod sample vs their own coarse
+    # centroids (one bounded collect; rows sorted by id like the coarse)
+    p_ids, p_mat = _int_codebook(corpus, id_col, vec_col, pq_mod)
+    p_res = p_mat - c_cmat[_coarse_assign(p_mat)]
+    ncp = len(p_ids)
+    psub = p_res.reshape(ncp, m, dsub).transpose(1, 0, 2).copy()  # (m, ncp, dsub)
+    p2 = (psub ** 2).sum(axis=2)  # (m, ncp)
+
+    def _pq_dists(res: "np.ndarray") -> "np.ndarray":
+        """(n, dim) int64 residuals -> (n, m, ncp) exact int64 L2."""
+        sub = res.reshape(len(res), m, dsub)
+        x2 = (sub ** 2).sum(axis=2)
+        xc = np.einsum("nmd,mcd->nmc", sub, psub)
+        return x2[:, :, None] - 2 * xc + p2[None, :, :]
+
+    @pandas_udf("struct<cl:int, code:array<int>>")
+    def encode(vs: "pd.Series") -> "pd.DataFrame":
+        mat = _quant(vs)
+        cl = _coarse_assign(mat)
+        codes = _pq_dists(mat - c_cmat[cl]).argmin(axis=2).astype(np.int32)
+        return pd.DataFrame({"cl": cl.astype(np.int32), "code": list(codes)})
+
+    # queries: one LUT per (query, probed list) — driver-side, bounded
+    # by q * nprobe * m * ncp ints
+    q_rows = sorted(
+        (r[0], list(r[1]))
+        for r in queries.select(
+            F.col(id_col), as_double(F.col(vec_col))
+        ).collect()
+    )
+    qids = [int(q) for q, _ in q_rows]
+    qmat = np.floor(
+        np.array([v for _, v in q_rows], dtype=np.float64) * 1e6
+    ).astype(np.int64)
+    qd = (qmat ** 2).sum(axis=1)[:, None] - 2 * (qmat @ c_cmat.T) + cc2[None, :]
+    probe_idx = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # (q, nprobe)
+    # flat LUTs per (query, probed list): (q, nprobe, m*ncp)
+    flat_luts = np.stack([
+        _pq_dists(qmat[qi] - c_cmat[probe_idx[qi]]).reshape(nprobe, m * ncp)
+        for qi in range(len(qids))
+    ])
+    # probed-list membership as {coarse_idx: [(qi, probe_slot), ...]}
+    probes_by_list: dict[int, list[tuple[int, int]]] = {}
+    for qi in range(len(qids)):
+        for slot in range(nprobe):
+            probes_by_list.setdefault(int(probe_idx[qi, slot]), []).append(
+                (qi, slot)
+            )
+    j_offsets = (np.arange(m) * ncp).astype(np.int64)
+
+    @pandas_udf("array<struct<qi:int, adc:long>>")
+    def adc_probed(cl: "pd.Series", codes: "pd.Series") -> "pd.Series":
+        cls = cl.to_numpy()
+        cm = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        idx = cm + j_offsets[None, :]
+        out = []
+        for i in range(len(cls)):
+            hits = probes_by_list.get(int(cls[i]), ())
+            out.append([
+                {"qi": qi, "adc": int(flat_luts[qi, slot].take(idx[i]).sum())}
+                for qi, slot in hits
+            ])
+        return pd.Series(out)
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("_e")
+    ).select("neighbor_id", F.col("_e.cl").alias("_cl"), F.col("_e.code").alias("_code"))
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        c.select(
+            "neighbor_id",
+            F.explode(adc_probed(F.col("_cl"), F.col("_code"))).alias("_s"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("_s.qi") + 1).alias("query_id"),
+            "neighbor_id",
+            F.col("_s.adc").alias("adc_dist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

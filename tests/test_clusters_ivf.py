@@ -320,3 +320,57 @@ def test_pq_rank_structure_and_numpy_reference(spark, sf_dir):
         lut = sub_d(qz[r["query_id"]])
         ref = int(lut[np.arange(8), codes[r["neighbor_id"]]].sum())
         assert r["adc_dist"] == ref
+
+
+# --- IVF-PQ (r12) -------------------------------------------------------------
+
+def test_ivfpq_planted_twin_and_probed_lists_only(spark):
+    """(a) An exact duplicate of the query shares its coarse cell and
+    its residual codes, so it scores the query's own residual
+    quantization error and must come back at rank 1. (b) EVERY
+    returned neighbor's coarse cell must be one of the query's nprobe
+    probes (candidates never leak from unprobed lists) — both checked
+    against an independent numpy rebuild of the index."""
+    import numpy as np
+    from kafka_streams_app_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(300):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    rows[9] = (9, rows[100][1])  # exact twin of query 100 (9%17!=3, 9%13!=5)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivfpq_topk(
+        emb, emb.filter("vec_id % 100 = 0"), "vec_id", "embedding",
+        dim=16, k=4, m=4, coarse_mod=(17, 3), pq_mod=(13, 5), nprobe=3,
+    ).collect()
+
+    # numpy rebuild
+    qz = {i: np.floor(np.asarray(v) * 1e6).astype(np.int64) for i, v in rows}
+    c_ids = sorted(i for i in qz if i % 17 == 3)
+    cmat = np.stack([qz[i] for i in c_ids])
+
+    def coarse(x):
+        return int(((x[None, :] - cmat) ** 2).sum(axis=1).argmin())
+
+    cell = {i: coarse(q) for i, q in qz.items()}
+    probes = {}
+    for qid in (0, 100, 200):
+        d = ((qz[qid][None, :] - cmat) ** 2).sum(axis=1)
+        probes[qid] = set(np.argsort(d, kind="stable")[:3].tolist())
+    for r in out:
+        assert cell[r["neighbor_id"]] in probes[r["query_id"]], r
+
+    top1_100 = [r for r in out if r["query_id"] == 100 and r["rank"] == 1][0]
+    assert top1_100["neighbor_id"] == 9
+
+    # twin's ADC == query's own residual quantization error
+    p_ids = sorted(i for i in qz if i % 13 == 5)
+    pres = np.stack([qz[i] - cmat[cell[i]] for i in p_ids])  # (ncp, 16)
+    psub = pres.reshape(len(p_ids), 4, 4).transpose(1, 0, 2)
+    r100 = (qz[100] - cmat[cell[100]]).reshape(4, 4)
+    d = ((r100[:, None, :] - psub) ** 2).sum(axis=2)  # (4, ncp)
+    self_err = int(d[np.arange(4), d.argmin(axis=1)].sum())
+    assert top1_100["adc_dist"] == self_err
