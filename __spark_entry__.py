@@ -42,6 +42,7 @@ from kafka_streams_app_spark.operators import pipeline, similarity, stateless
 from kafka_streams_app_spark.sources.catalog import load_stream, load_table
 from kafka_streams_app_spark.streaming import windows as SW
 from kafka_streams_app_spark.streaming.harness import run_available_now
+from kafka_streams_app_spark.streaming import ktable as SK
 from kafka_streams_app_spark.streaming.ktable import (
     ktable_changelog_batch,
     ktable_changelog_stream,
@@ -1964,6 +1965,46 @@ def _q_s_ktable_latest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s_table_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SCD2: the TWS latest-per-key changelog projected
+    into interval events (streaming/ktable.py:changelog_to_intervals
+    — CLOSE for each superseded version, OPEN for each upsert,
+    tombstones close-only), reduced to one row per (key, valid_from)
+    by keeping the non-null valid_to. Must equal the batch
+    table_history lead-window bit-for-bit; 'error' events are the
+    tombstones, value floor-quantized like the batch twin."""
+    cols = ["user_id", "event_id", "event_type", "value_e6", "is_del"]
+
+    def prep(df):
+        return df.select(
+            "user_id", "event_id", "event_type",
+            F.floor(F.col("value") * 1e6).cast("long").alias("value_e6"),
+            (F.col("event_type") == "error").alias("is_del"),
+        )
+
+    payload = ["event_id", "event_type", "value_e6"]
+    if tws_available(spark):
+        ev = prep(load_stream(spark, sf, "events")).select(*cols)
+        ch = ktable_changelog_stream(
+            ev, ["user_id"], "event_id", payload, "is_del"
+        )
+        iv = SK.changelog_to_intervals(ch, ["user_id"], "event_id", payload)
+        events = run_available_now(spark, iv, _sink(), "update")
+    else:
+        ev = prep(load_table(spark, sf, "events")).select(*cols)
+        ch = ktable_changelog_batch(
+            ev, ["user_id"], "event_id", payload, "is_del"
+        )
+        events = SK.changelog_to_intervals(ch, ["user_id"], "event_id", payload)
+    return (
+        events.groupBy(
+            "user_id", "event_type", "value_e6", "valid_from"
+        )
+        .agg(F.max("valid_to").alias("valid_to"))
+        .select("user_id", "event_type", "value_e6", "valid_from", "valid_to")
+    )
+
+
 def _q_s_zscore_running(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental running z-score (streaming/zscore.py): per-record
     anomaly flag vs the per-event_type moments seen so far, exact
@@ -3437,6 +3478,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sim_pq_topk": (_q_sim_pq_topk, _pq_topk_sql(k=5)),
     # IVF-PQ (IVFADC): coarse probes + residual-PQ LUT scan
     "sim_ivfpq_topk": (_q_sim_ivfpq_topk, _ivfpq_topk_sql(k=5)),
+    # incremental SCD2: changelog -> interval events, reduced == batch
+    "s_table_history": (_q_s_table_history, """
+        WITH h AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(floor(value * 1000000.0) AS BIGINT) AS value_e6,
+                 event_id AS valid_from,
+                 lead(event_id) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS valid_to
+          FROM events
+        )
+        SELECT user_id, event_type, value_e6, valid_from, valid_to
+        FROM h WHERE event_type <> 'error'
+    """),
     # SCD2 table history: per-key validity intervals via one lead window
     "ktable_history": (_q_ktable_history, """
         WITH h AS (
@@ -4646,7 +4700,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 _FRONT = [
     # (1) new in r12, never sampled
     "sim_hard_negatives_ann", "sim_pq_topk", "sim_ivfpq_topk",
-    "ktable_history",
+    "ktable_history", "s_table_history",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",
@@ -4670,10 +4724,10 @@ _FRONT = [
     "sim_cosine_topk",
     "t2_mapvalues_square", "t3_selectkey_rekey", "t4_groupby_mapper",
     "t5_groupbykey_count", "branch_merge",
-    "a1_count_per_key",
-    # (a4_session_count, a3_windowed_sum and a2_windowed_count demoted
-    # one-for-one as sim_pq_topk, ktable_history and sim_ivfpq_topk
-    # landed; they rotate with the rest of the r9 tail in r13)
+    # (a4_session_count, a3_windowed_sum, a2_windowed_count and
+    # a1_count_per_key demoted one-for-one as sim_pq_topk,
+    # ktable_history, sim_ivfpq_topk and s_table_history landed; they
+    # rotate with the rest of the r9 tail in r13)
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -460,3 +460,71 @@ def ktable_changelog_batch(
     if exact_longs:  # AFTER the plan: schemas keep LongType
         df = _shield_payload(df, payload)
     return grouped_replay(df, keys, proc, out_schema)
+
+
+def changelog_to_intervals(
+    changelog: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    payload: list[str],
+) -> DataFrame:
+    """Project a latest-per-key changelog (the output of
+    ktable_changelog_stream/_batch, with seq_col INCLUDED in its
+    payload so old_<seq_col> is available) into SCD2 interval EVENTS —
+    the incremental maintenance stream of operators/ktable.py:
+    table_history:
+
+    - every update with a prior value emits a CLOSE for the previous
+      version: (old payload, valid_from = old seq, valid_to = this
+      seq);
+    - every upsert emits an OPEN for the new version:
+      (new payload, valid_from = this seq, valid_to = NULL);
+    - a delete emits only the CLOSE (tombstones end an interval and
+      open none); a delete of an absent key emits nothing.
+
+    The materialized history = ONE row per (keys, valid_from), keeping
+    the row with the non-null valid_to when both exist (the CLOSE
+    supersedes its OPEN; both carry the same payload by construction,
+    so the reduction is groupBy(keys, payload, valid_from) .
+    agg(max(valid_to))). That reduced table equals the batch
+    table_history bit-for-bit — the oracle's pin.
+
+    Pure projection: no state beyond the upstream changelog operator,
+    no extra shuffle (explode is scan-stage).
+    """
+    from pyspark.sql import functions as F
+
+    seq_t = changelog.schema[seq_col].dataType
+    iv_fields = lambda vals, vf, vt: F.struct(
+        *[v.alias(c) for c, v in zip(payload, vals)],
+        vf.alias("valid_from"),
+        vt.alias("valid_to"),
+    )
+    # typed empty array: a zero-length slice of a one-null-struct
+    # array (F.array().cast cannot spell arbitrary payload types)
+    _empty_struct = iv_fields(
+        [F.lit(None).cast(changelog.schema[f"new_{c}"].dataType)
+         for c in payload],
+        F.lit(None).cast(seq_t),
+        F.lit(None).cast(seq_t),
+    )
+    empty = F.slice(F.array(_empty_struct), 1, 0)
+    close = F.when(
+        F.col("old_present"),
+        F.array(iv_fields(
+            [F.col(f"old_{c}") for c in payload],
+            F.col(f"old_{seq_col}").cast(seq_t),
+            F.col(seq_col),
+        )),
+    ).otherwise(empty)
+    opened = F.when(
+        F.col("action") == "upsert",
+        F.array(iv_fields(
+            [F.col(f"new_{c}") for c in payload],
+            F.col(seq_col),
+            F.lit(None).cast(seq_t),
+        )),
+    ).otherwise(empty)
+    return changelog.select(
+        *keys, F.explode(F.concat(close, opened)).alias("_iv")
+    ).select(*keys, "_iv.*")

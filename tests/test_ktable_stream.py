@@ -196,3 +196,67 @@ def test_ktable_null_key_records_dropped(spark, n_buckets):
         assert [tuple(x) for x in r.drain()] == [
             (BIG, "upsert", True, "a", "b", 2),
         ]
+
+
+# --- incremental SCD2 (r12) ---------------------------------------------------
+
+def test_changelog_to_intervals_cross_batch_and_tombstone(spark):
+    """Interval events across micro-batch boundaries: a version opened
+    in batch 1 is closed in batch 2; a tombstone closes only; the
+    reduced (latest per (key, valid_from)) table equals the batch
+    table_history on the same records."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_app_spark.operators.ktable import table_history
+    from kafka_streams_app_spark.streaming.ktable import (
+        changelog_to_intervals,
+        ktable_changelog_stream,
+    )
+
+    schema = "key string, name string, is_delete boolean, seq long"
+    payload = ["name", "seq"]
+
+    def build(src):
+        ch = ktable_changelog_stream(src, ["key"], "seq", payload, "is_delete")
+        return changelog_to_intervals(ch, ["key"], "seq", payload)
+
+    with MicroBatchReplay(spark, schema, build, "update") as r:
+        r.pipe([("a", "v1", False, 1), ("b", "w1", False, 2)])
+        got1 = {tuple(x) for x in r.drain()}
+        # two OPENs, no closes yet (x carries payload name, seq twice:
+        # once as payload, once as valid_from)
+        assert got1 == {
+            ("a", "v1", 1, 1, None),
+            ("b", "w1", 2, 2, None),
+        }
+        # batch 2: a updates (closes v1, opens v2), b deleted (close only)
+        r.pipe([("a", "v2", False, 3), ("b", None, True, 4)])
+        got2 = {tuple(x) for x in r.drain()}
+        assert got2 == {
+            ("a", "v1", 1, 1, 3),   # CLOSE of v1 (state from batch 1)
+            ("a", "v2", 3, 3, None),
+            ("b", "w1", 2, 2, 4),   # tombstone closes, opens nothing
+        }
+        # batch 3: b resurrects
+        r.pipe([("b", "w2", False, 5)])
+        assert {tuple(x) for x in r.drain()} == {("b", "w2", 5, 5, None)}
+
+        # reduce ALL emitted events -> must equal batch table_history
+        rows = [("a", "v1", False, 1), ("b", "w1", False, 2),
+                ("a", "v2", False, 3), ("b", None, True, 4),
+                ("b", "w2", False, 5)]
+        batch = {
+            (r2["key"], r2["name"], r2["valid_from"], r2["valid_to"])
+            for r2 in table_history(
+                spark.createDataFrame(rows, schema), ["key"], "seq",
+                ["name"], tombstone=F.col("is_delete"),
+            ).collect()
+        }
+        all_events = got1 | got2 | {("b", "w2", 5, 5, None)}
+        reduced = {}
+        for k, name, _seqpay, vf, vt in all_events:
+            cur = reduced.get((k, name, vf))
+            reduced[(k, name, vf)] = vt if vt is not None else (
+                cur if cur is not None else None)
+        stream_final = {(k, n, vf, vt) for (k, n, vf), vt in reduced.items()}
+        assert stream_final == batch

@@ -856,6 +856,92 @@ def recall100_main() -> None:
         truth.unpersist()
 
 
+def hardneg100_main() -> None:
+    """r11 verdict #4's recall row: hard_negatives_ann recall at the
+    100x smoke scale (501k vectors), same planted-twin methodology as
+    recall100 — twins carry a DIFFERENT label (suffixing the base
+    label), so each planted pair is a known TRUE hard negative whose
+    exact cosine an O(twins) join verifies; recall is measured on the
+    >= 0.9 subset, never estimated. At 501k vectors the 6-plane
+    contract default would give ~7.8k-occupancy buckets, so the smoke
+    runs the deploy dial the docstring prescribes for big corpora:
+    n_planes=12 (occupancy ~120). Populations: "near" (cos ~ 0.9996,
+    recall should be ~1.0 at any sane dial) and "boundary" (cos
+    scattered around 0.9 — the pairs the n_tables dial fights for;
+    sign-LSH theory: ~74% at 8 tables, ~93% at 16)."""
+    import math
+
+    from kafka_streams_app_spark.functions.vectors import as_double, dot, norm
+    from kafka_streams_app_spark.operators.similarity import hard_negatives_ann
+
+    spark = get_spark(app_name="scale-smoke-hardneg100")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = build_docs(spark, 100)
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    TWIN = 10_000_000_000
+
+    for label, scale in (("near", 0.02), ("boundary", 0.342)):
+        base_sel = emb.filter(F.col("vec_id") % 500 == 0)
+        twins = base_sel.select(
+            (F.col("vec_id") + F.lit(TWIN)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, k: (
+                    x * (
+                        F.lit(1.0)
+                        + F.lit(scale)
+                        * (F.pmod(F.xxhash64(F.col("vec_id"), k), 5) - F.lit(2))
+                    )
+                ).cast("float"),
+            ).alias("embedding"),
+            # different label BY CONSTRUCTION (labels are small ints;
+            # +1e6 collides with nothing) -> every planted pair is a
+            # true hard negative for its anchor
+            (F.col("label") + F.lit(1_000_000)).alias("label"),
+            *[c for c in emb.columns
+              if c not in ("vec_id", "embedding", "label")],
+        )
+        planted = emb.unionByName(twins).persist()
+        n = planted.count()
+        a = base_sel.select(
+            F.col("vec_id").alias("anchor_id"),
+            as_double(F.col("embedding")).alias("_va"))
+        b = twins.select(
+            (F.col("vec_id") - F.lit(TWIN)).alias("anchor_id"),
+            F.col("vec_id").alias("negative_id"),
+            as_double(F.col("embedding")).alias("_vb"))
+        cos = dot(F.col("_va"), F.col("_vb")) / (
+            norm(F.col("_va")) * norm(F.col("_vb")))
+        truth = (
+            a.join(b, "anchor_id")
+            .select("anchor_id", "negative_id", F.round(cos, 6).alias("cos"))
+            .filter(F.col("cos") >= 0.9)
+            .persist()
+        )
+        n_true = truth.count()
+        for n_tables in (8, 16):
+            t0 = time.monotonic()
+            found = hard_negatives_ann(
+                planted, base_sel, "vec_id", "embedding", "label",
+                dim=64, k=5, n_planes=12, n_tables=n_tables,
+            )
+            hit = found.join(
+                F.broadcast(truth.select("anchor_id", "negative_id")),
+                ["anchor_id", "negative_id"],
+            ).count()
+            print(json.dumps({
+                "query": f"hard_negatives_ann recall[{label},"
+                         f" planes=12, tables={n_tables}]"
+                         " vs planted diff-label twins @ x100",
+                "n_vectors": n, "anchors": int(base_sel.count()),
+                "true_pairs": n_true, "found": hit,
+                "recall": round(hit / n_true, 4) if n_true else None,
+                "sec": round(time.monotonic() - t0, 1),
+            }), flush=True)
+        planted.unpersist()
+        truth.unpersist()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "longdoc":
         longdoc_main()
@@ -874,6 +960,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "scrubdegen":
         scrubdegen_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "hardneg100":
+        hardneg100_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names
