@@ -666,6 +666,11 @@ def pq_topk(
     dsub = dim // m
     cids, cmat = _int_codebook(corpus, id_col, vec_col, centroid_mod)
     nc = len(cids)
+    if nc == 0:
+        raise ValueError(
+            "pq_topk: empty codebook — no corpus id satisfies "
+            f"id % {centroid_mod[0]} == {centroid_mod[1]}"
+        )
     csub = cmat.reshape(nc, m, dsub).transpose(1, 0, 2).copy()  # (m, nc, dsub)
     c2 = (csub ** 2).sum(axis=2)  # (m, nc)
 
@@ -695,6 +700,10 @@ def pq_topk(
         ).collect()
     )
     qids = [int(q) for q, _ in q_rows]
+    if not qids:  # empty query set -> empty result, stable schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adc_dist long"
+        )
     qmat = np.floor(
         np.array([v for _, v in q_rows], dtype=np.float64) * 1e6
     ).astype(np.int64)
@@ -778,6 +787,11 @@ def ivfpq_topk(
     dsub = dim // m
     c_cids, c_cmat = _int_codebook(corpus, id_col, vec_col, coarse_mod)
     ncc = len(c_cids)
+    if ncc == 0:
+        raise ValueError(
+            "ivfpq_topk: empty coarse codebook — no corpus id satisfies "
+            f"id % {coarse_mod[0]} == {coarse_mod[1]}"
+        )
     cc2 = (c_cmat ** 2).sum(axis=1)  # (ncc,)
 
     def _quant(vs) -> "np.ndarray":
@@ -792,6 +806,11 @@ def ivfpq_topk(
     # PQ codebook: residuals of the pq_mod sample vs their own coarse
     # centroids (one bounded collect; rows sorted by id like the coarse)
     p_ids, p_mat = _int_codebook(corpus, id_col, vec_col, pq_mod)
+    if len(p_ids) == 0:
+        raise ValueError(
+            "ivfpq_topk: empty PQ codebook — no corpus id satisfies "
+            f"id % {pq_mod[0]} == {pq_mod[1]}"
+        )
     p_res = p_mat - c_cmat[_coarse_assign(p_mat)]
     ncp = len(p_ids)
     psub = p_res.reshape(ncp, m, dsub).transpose(1, 0, 2).copy()  # (m, ncp, dsub)
@@ -820,6 +839,10 @@ def ivfpq_topk(
         ).collect()
     )
     qids = [int(q) for q, _ in q_rows]
+    if not qids:  # empty query set -> empty result, stable schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adc_dist long"
+        )
     qmat = np.floor(
         np.array([v for _, v in q_rows], dtype=np.float64) * 1e6
     ).astype(np.int64)

@@ -139,3 +139,30 @@ def test_chunk_and_ktime_join_on_empty(spark, empty_docs):
     assert windowed_join_per_topic_time_batch(one, empty, **kwargs).count() == 0
     assert windowed_join_per_topic_time_batch(empty, one, **kwargs).count() == 0
     assert windowed_join_per_topic_time_batch(empty, empty, **kwargs).count() == 0
+
+
+def test_pq_family_empty_queries_and_hard_negatives(spark, empty_emb, sf_dir):
+    """r12 ANN additions: empty query/anchor sets yield empty results
+    with stable schemas (no driver-side numpy stack on zero rows);
+    an unsatisfiable codebook modulus raises a clear error."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.pq_topk(
+        emb, empty_emb, "vec_id", "embedding", dim=64, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "adc_dist"]
+    assert similarity.ivfpq_topk(
+        emb, empty_emb, "vec_id", "embedding", dim=64, k=5
+    ).count() == 0
+    anchors_empty = empty_emb.withColumn("label", F.lit(None).cast("long"))
+    emb_l = emb  # has label
+    assert similarity.hard_negatives_ann(
+        emb_l, anchors_empty, "vec_id", "embedding", "label", dim=64, k=5,
+        plane_fn="md5",
+    ).count() == 0
+    with pytest.raises(ValueError, match="empty codebook"):
+        similarity.pq_topk(
+            emb, emb.limit(1), "vec_id", "embedding", dim=64,
+            centroid_mod=(10**9, 10**9 - 1),
+        )
