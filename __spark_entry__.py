@@ -38,7 +38,7 @@ from kafka_streams_app_spark.functions import text as T
 from kafka_streams_app_spark.operators import aggregations as agg
 from kafka_streams_app_spark.operators import analytics
 from kafka_streams_app_spark.operators import dedup, iq, joins, ktable, multimodal
-from kafka_streams_app_spark.operators import pipeline, similarity, stateless
+from kafka_streams_app_spark.operators import pipeline, similarity, sketches, stateless
 from kafka_streams_app_spark.sources.catalog import load_stream, load_table
 from kafka_streams_app_spark.streaming import windows as SW
 from kafka_streams_app_spark.streaming.harness import run_available_now
@@ -1681,6 +1681,94 @@ def _q_events_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- sketch oracle twins (operators/sketches.py) ---
+# 60-bit md5 hash, b=8 -> 256 buckets, W=52 rho bits. floor(log2) via
+# binary digit count; denominator exact bigint; the ONE double division
+# uses the identical NUM literal both engines (bit-equal, same as the
+# Spark side's F.lit(num) / denom).
+_HLL_NUM = sketches.hll_alpha(256) * 256 * 256 * float(1 << 53)
+
+_HLL_REGS_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h60
+  FROM events
+), br AS (
+  SELECT event_type, h60 & 255 AS bucket,
+         CASE WHEN (h60 >> 8) = 0 THEN 53
+              ELSE 52 - (length(bin(h60 >> 8)) - 1) END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+         CAST(max(rho) AS BIGINT) AS max_rho
+  FROM br GROUP BY 1, 2
+)
+"""
+
+_HLL_DISTINCT_SQL = _HLL_REGS_SQL + f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS used_registers,
+       CAST(sum(1::BIGINT << CAST(53 - max_rho AS INT))
+            + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS denom,
+       {_HLL_NUM!r} / CAST(sum(1::BIGINT << CAST(53 - max_rho AS INT))
+            + (256 - count(*)) * (1::BIGINT << 53) AS DOUBLE)
+         AS est_distinct
+FROM regs GROUP BY event_type
+"""
+
+_CMS_TOPK_SQL = """
+WITH cells AS (
+  SELECT i * 256 + (CAST('0x' || substring(md5(CAST(i AS VARCHAR) || '|'
+           || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256) AS cell
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS i)
+), sketch AS (
+  SELECT cell, count(*) AS cnt FROM cells GROUP BY cell
+), cand AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS item FROM events
+), cc AS (
+  SELECT item, i * 256 + (CAST('0x' || substring(md5(CAST(i AS VARCHAR)
+           || '|' || item), 1, 15) AS BIGINT) % 256) AS cell
+  FROM cand, (SELECT unnest([0, 1, 2, 3]) AS i)
+), est AS (
+  SELECT item, CAST(min(cnt) AS BIGINT) AS est_cnt
+  FROM cc JOIN sketch USING (cell) GROUP BY item
+)
+SELECT item, est_cnt FROM est ORDER BY est_cnt DESC, item LIMIT 20
+"""
+
+
+def _q_events_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type
+    (operators/sketches.hll_distinct, b=8): the bounded-memory dial of
+    a5_windowed_distinct's exact two-stage distinct — the shuffle
+    carries at most keys x 256 register rows at ANY corpus size. The
+    register table, the exact-int harmonic denominator, and the single
+    NUM/denom double division are all bit-identical to the DuckDB twin."""
+    events = load_table(spark, sf, "events")
+    return sketches.hll_distinct(events, ["event_type"], "user_id", b=8)
+
+
+def _q_events_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min heavy hitters over user_id (operators/sketches.cms_topk,
+    d=4, w=256, n=20): the sketch is d*w bigint cells from ONE map-side-
+    combined aggregate, broadcast back for candidate scoring — est(x) =
+    min over rows, the classic upward-biased CMS estimate (>= truth,
+    pinned in pytest). Exact-integer end to end."""
+    events = load_table(spark, sf, "events")
+    return sketches.cms_topk(events, "user_id", d=4, w=256, n=20)
+
+
+def _q_corpus_softdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SoftDeDup (He et al. 2024, arXiv:2401.00830) reweighting: the
+    no-document-lost dial of the hard-dedup family — weight_ppm =
+    floor(1e6*n/(n + 4*dup)) over distinct 3-shingle commonness,
+    all-integer, linear inverted-index plan (no pair join at any
+    scale)."""
+    docs = load_table(spark, sf, "documents")
+    return pipeline.softdedup_weights(docs, "text", "doc_id", k=3, alpha=4)
+
+
 def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling fan-out over binary payloads (decode stubbed as
     deterministic chunking): media_id, frame_idx, frame-byte md5."""
@@ -1778,6 +1866,17 @@ def _q_s_count_complete(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_stream(spark, sf, "events")
     counts = SW.count_per_key_stream(ev, ["event_type"])
     return run_available_now(spark, counts, _sink(), "complete")
+
+
+def _q_s_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming HLL register maintenance through the real runtime
+    (streaming/windows.py:hll_register_stream): a running MAX on
+    (event_type, bucket) in complete mode — sketch state is bounded at
+    keys x 256 rows however many events flow. Final snapshot == the
+    batch register table, which is what the oracle pins."""
+    ev = load_stream(spark, sf, "events")
+    regs = SW.hll_register_stream(ev, ["event_type"], "user_id", b=8)
+    return run_available_now(spark, regs, _sink(), "complete")
 
 
 def _q_s_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
@@ -3995,6 +4094,31 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         FROM r, (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS p) ps
         WHERE idx = floor(p * nm1)
     """),
+    # HLL twin: same 60-bit md5 hash, same bucket/rho bit ops, the same
+    # exact-int denominator, and the identical NUM literal — the one
+    # double division is bit-equal across engines (see _HLL_SQL/_HLL_NUM
+    # above the dict).
+    "events_hll_distinct": (_q_events_hll_distinct, _HLL_DISTINCT_SQL),
+    "events_cms_topk": (_q_events_cms_topk, _CMS_TOPK_SQL),
+    "corpus_softdedup": (_q_corpus_softdedup, "WITH " + _SHINGLES + """,
+        ex AS (
+          SELECT doc_id, unnest(s) AS sg FROM sh
+        ), sdf AS (
+          SELECT sg, count(*) AS df FROM ex GROUP BY sg
+        ), per_doc AS (
+          SELECT doc_id, count(*) AS n_shingles,
+                 sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_shingles
+          FROM ex JOIN sdf USING (sg) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(dup_shingles, 0) AS BIGINT) AS dup_shingles,
+               CAST(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 1000000
+                    ELSE (1000000::BIGINT * n_shingles)
+                         // (n_shingles + 4 * dup_shingles)
+                    END AS BIGINT) AS weight_ppm
+        FROM sh b LEFT JOIN per_doc USING (doc_id)
+    """),
     # oracle slices the TEXT (DuckDB cannot slice BLOBs); documents are
     # pure ASCII (verified octet_length==length at all SFs) so char
     # slices hash identically to the Spark side's byte slices
@@ -4089,6 +4213,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "s_count_complete": (_q_s_count_complete, """
         SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
     """),
+    "s_hll_registers": (_q_s_hll_registers,
+        _HLL_REGS_SQL + "SELECT event_type, bucket, max_rho FROM regs"),
     "s_dedup_within_watermark": (_q_s_dedup_within_watermark, """
         SELECT DISTINCT user_id, event_type FROM events
     """),
@@ -4699,6 +4825,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    rotate in r13, which fully retires the >2-round staleness debt.
 _FRONT = [
     # (1) new in r12, never sampled
+    "events_hll_distinct", "events_cms_topk", "corpus_softdedup",
+    "s_hll_registers",
     "sim_hard_negatives_ann", "sim_pq_topk", "sim_ivfpq_topk",
     "ktable_history", "s_table_history",
     # (2) changed in r12
@@ -4720,14 +4848,14 @@ _FRONT = [
     "tpch_q5_local_revenue", "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume", "tpch_q10_returned_revenue",
     "tpch_q13_custdist", "tpch_q14_promo", "tpch_q18_large_orders",
-    # (4) the 10 oldest r9-signed fills
-    "sim_cosine_topk",
-    "t2_mapvalues_square", "t3_selectkey_rekey", "t4_groupby_mapper",
-    "t5_groupbykey_count", "branch_merge",
+    # (4) the oldest r9-signed fills (exactly to 50)
+    "sim_cosine_topk", "branch_merge",
     # (a4_session_count, a3_windowed_sum, a2_windowed_count and
     # a1_count_per_key demoted one-for-one as sim_pq_topk,
-    # ktable_history, sim_ivfpq_topk and s_table_history landed; they
-    # rotate with the rest of the r9 tail in r13)
+    # ktable_history, sim_ivfpq_topk and s_table_history landed;
+    # t2/t3/t4/t5 demoted as the four sketch/softdedup entries landed —
+    # all have dedicated r11c unit pins; they rotate with the rest of
+    # the r9 tail in r13)
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

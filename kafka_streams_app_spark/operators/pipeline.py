@@ -1207,3 +1207,80 @@ def stratified_fixed_k(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def softdedup_weights(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    alpha: int = 4,
+) -> DataFrame:
+    """SoftDeDup (He et al. 2024, arXiv:2401.00830): instead of DROPPING
+    near-duplicates, down-weight documents by their "data commonness" so
+    a training sampler sees duplicated content proportionally less. The
+    hard dedup family (dedup_exact / dedup_minhash_lsh) is the remove
+    dial; this is the reweight dial — no document is lost, which the
+    paper shows preserves tail knowledge that hard dedup deletes.
+
+    Commonness here is the fraction of the document's DISTINCT k-token
+    shingles that occur in >= 2 documents corpus-wide (the exact-integer
+    reformulation of the paper's n-gram-probability commonness: a
+    shingle seen elsewhere is "common"; dup_ratio = dup_shingles / n).
+    The sampling weight is the exact integer
+
+        weight_ppm = floor(1e6 * n / (n + alpha * dup))
+
+    i.e. 1e6/(1 + alpha*dup_ratio) in ppm fixed point: 1_000_000 for a
+    fully novel document, monotonically down to 1e6/(1+alpha) for a
+    fully duplicated one. alpha is the sharpness dial. All-integer ->
+    bit-identical on any engine (no float division in the contract).
+
+    Plan (inverted-index shape, the same skeleton as dedup_ngram_jaccard
+    but WITHOUT the quadratic pair join — cost is linear in postings):
+    explode distinct shingles -> groupBy(shingle) count = df ->
+    mark common (df >= 2) -> ONE groupBy(doc) counting (n, dup) ->
+    integer weight. At 100 TB both aggregates are map-side combined and
+    the shuffle carries one row per (doc, shingle) posting, exactly the
+    inverted index every dedup op here already builds; no all-pairs
+    stage exists at any scale.
+
+    Docs with zero shingles (shorter than k tokens) are weight 1e6 by
+    definition (nothing to be common). Output: id_col, n_shingles,
+    dup_shingles, weight_ppm.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        shingles_udf(k)(F.col(text)).alias("_sh"),
+    )
+    ex = base.select("_id", F.explode("_sh").alias("_s"))
+    sdf = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        ex.join(sdf, "_s")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0)).alias(
+                "dup_shingles"
+            ),
+        )
+    )
+    # left join back so 0-shingle docs keep weight 1e6
+    out = base.select("_id").join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("dup_shingles", F.lit(0)).cast("long").alias("dup_shingles"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(1_000_000)
+        )
+        .otherwise(
+            # exact bigint floor division (`div`), never `/` (double)
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * n_shingles) div "
+                f"(n_shingles + {int(alpha)} * dup_shingles)"
+            )
+        )
+        .cast("long")
+        .alias("weight_ppm"),
+    )
+    return out

@@ -1,0 +1,218 @@
+"""Mergeable sketches: HyperLogLog distinct-count and Count-Min
+frequency estimation.
+
+Reference parity note: the reference app's cardinality/frequency needs
+are served by exact windowed counts over the Kafka Streams DSL
+(/root/reference/src/main/scala/com/ayoubom/kafka/Topologies.scala —
+count per key/window). These operators add the bounded-memory sketch
+tier that an exact count cannot provide at 100 TB: a distinct-count
+whose shuffle is m registers per group key instead of one row per
+distinct value, and a frequency table whose state is d*w cells
+regardless of item cardinality. Both are MERGEABLE (register max /
+cell sum are commutative monoids), so they map-side combine, they
+union across sources, and a streaming twin is just the same aggregate
+in update/complete mode.
+
+Determinism contract: every hash is the 60-bit md5 hex-prefix value —
+Spark `conv(substring(md5(x),1,15),16,10)`, DuckDB
+`CAST('0x'||substring(md5(x),1,15) AS BIGINT)` — so the register/cell
+tables are EXACT-INTEGER cross-engine. floor(log2(w)) is computed as
+`length(bin(w)) - 1` (binary digit count), never via float log. The
+single HLL estimate division NUM/denom is one double op with the same
+literal numerator on both engines, hence bit-identical.
+
+At 100 TB:
+- hll_distinct shuffles at most (group keys x m) register rows — the
+  exact two-stage distinct in aggregations.windowed_distinct_count
+  documents this sketch as its "HLL dial"; this is that dial as code.
+- cms_topk's sketch is d*w bigint cells built by ONE map-side-combined
+  aggregate over the facts; candidate scoring broadcasts the sketch
+  (d*w*8 bytes, e.g. 4x4096 = 128 KiB) so the fact table is read once
+  and never shuffled by item.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash budget: b bucket bits (modulus) + W rho bits (the
+# remaining value). W is fixed by b at call time.
+_HASH_BITS = 60
+
+
+def _h60(col: Column) -> Column:
+    """60-bit md5-derived hash (the repo-wide cross-engine idiom).
+    Hashes the STRING form — bigint 123 renders '123' on both engines,
+    so md5(cast(x as string)) == DuckDB md5(CAST(x AS VARCHAR))."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    """The standard HLL bias constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_bucket_rho(value: Column, b: int) -> tuple[Column, Column]:
+    """(bucket, rho) of one value: bucket = h mod 2^b; rho = position
+    of the leading 1-bit of the remaining W = 60-b bits, counted from
+    the MSB (1-based), W+1 when those bits are all zero.
+
+    rho = W - floor(log2(w)) for w > 0, and floor(log2(w)) is exactly
+    `length(bin(w)) - 1` — an integer digit count, no float log.
+    """
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    h = _h60(value)
+    # All-integer bit ops (never `/`: Spark's `/` is DOUBLE division,
+    # which rounds 60-bit values past the 53-bit mantissa).
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, b)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - (F.length(F.bin(w)) - F.lit(1))
+    )
+    return bucket.cast("long"), rho.cast("long")
+
+
+def hll_registers(
+    df: DataFrame, keys: list[str], value: str, b: int = 8
+) -> DataFrame:
+    """Per-`keys` HLL register table: (keys..., bucket, max_rho), one
+    row per OCCUPIED register (empty registers are implicit zeros —
+    the merge stage accounts for them; see hll_distinct).
+
+    This is the mergeable representation: registers of two corpora (or
+    two micro-batches) union by groupBy(keys, bucket).max(max_rho).
+    ONE hash aggregate, map-side combined; the shuffle carries at most
+    keys x 2^b rows however large the input.
+    """
+    bucket, rho = hll_bucket_rho(F.col(value), b)
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, keys: list[str], value: str, b: int = 8
+) -> DataFrame:
+    """Per-`keys` HLL distinct-count estimate from the register table.
+
+    denom = sum over ALL m registers of 2^(W+1 - M_j) as a BIGINT
+    (empty registers contribute 2^(W+1), added in closed form from the
+    occupied-register count) — an exact integer encoding of the
+    harmonic-mean denominator sum(2^-M_j) scaled by 2^(W+1); with
+    b=8, denom <= 256 * 2^53 = 2^61 < int64 max. The estimate is then
+    the ONE float op est = NUM / denom with
+    NUM = alpha_m * m^2 * 2^(W+1) precomputed as a Python double and
+    used as the same literal on both engines.
+
+    Output: keys..., used_registers, denom, est_distinct. The raw
+    (uncorrected) HLL estimate is returned; the small-range linear-
+    counting correction involves ln() whose last-bit rounding is not
+    pinned across engines — apply hll_linear_correction on the result
+    when n << m matters (tested against math.log in pytest, not in the
+    cross-engine oracle).
+    """
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    num = hll_alpha(m) * m * m * float(1 << (w_bits + 1))
+    regs = hll_registers(df, keys, value, b)
+    empty_term = F.lit(m) - F.count(F.lit(1))  # registers never hit
+    # 2^(W+1 - M_j) via SQL shiftleft (the Python wrapper's numBits
+    # must be a literal int; the SQL form takes an expression).
+    occupied = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({w_bits + 1} - max_rho AS INT))"
+    )
+    denom = F.sum(occupied) + empty_term * F.lit(1 << (w_bits + 1))
+    return regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("used_registers"),
+        denom.cast("long").alias("denom"),
+        (F.lit(num) / denom.cast("double")).alias("est_distinct"),
+    )
+
+
+def hll_linear_correction(
+    est: float, used_registers: int, m: int
+) -> float:
+    """Driver/pytest-side small-range correction (Flajolet et al. §4):
+    when est <= 2.5*m and some registers are empty, linear counting
+    m*ln(m/zeros) is the better estimator. Kept out of the cross-engine
+    path (ln rounding is engine-specific)."""
+    import math
+
+    zeros = m - used_registers
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est
+
+
+def cms_cells(value: Column, d: int, w: int) -> Column:
+    """Array of the d (row, bucket) cell ids a value increments:
+    cell = row * w + (60-bit md5 of "<row>|<value>") mod w. Returned as
+    a flat array<long> of cell ids so one posexplode-free explode
+    builds the sketch."""
+    cells = [
+        F.lit(i * w)
+        + _h60(F.concat(F.lit(f"{i}|"), value.cast("string"))) % F.lit(w)
+        for i in range(d)
+    ]
+    return F.array(*[c.cast("long") for c in cells])
+
+
+def cms_sketch(
+    df: DataFrame, value: str, d: int = 4, w: int = 1 << 6
+) -> DataFrame:
+    """Count-Min sketch of the `value` column: (cell, cnt), cell id =
+    row*w + bucket, one bigint count per cell — d*w rows total,
+    whatever the input size. ONE explode + ONE map-side-combined hash
+    aggregate; mergeable by cell-wise sum."""
+    return (
+        df.select(F.explode(cms_cells(F.col(value), d, w)).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    value: str,
+    d: int = 4,
+    w: int = 1 << 6,
+    n: int = 20,
+) -> DataFrame:
+    """Heavy hitters by CMS point estimate: est(x) = min over the d
+    rows of the cell counts (the classic upward-biased CMS estimate;
+    est >= true count always, pinned in pytest).
+
+    Candidates are the distinct values (at 100 TB the candidate set is
+    whatever bounded stream/top-level filter supplies them — the
+    sketch itself never stores items). Scoring joins candidates'
+    exploded cells to the BROADCAST sketch (d*w cells, e.g. 4x4096 =
+    128 KiB), takes min per candidate, then one top-n with the
+    deterministic (est desc, item asc) tiebreak.
+
+    Output: item (string), est_cnt.
+    """
+    sketch = cms_sketch(df, value, d, w)
+    cand = (
+        df.select(F.col(value).cast("string").alias("item"))
+        .distinct()
+        .select("item", F.explode(cms_cells(F.col("item"), d, w)).alias("cell"))
+    )
+    est = (
+        cand.join(F.broadcast(sketch), "cell")
+        .groupBy("item")
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+    )
+    return (
+        est.orderBy(F.col("est_cnt").desc(), F.col("item"))
+        .limit(n)
+    )

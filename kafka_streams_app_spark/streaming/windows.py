@@ -95,6 +95,35 @@ def count_per_key_stream(df: DataFrame, keys: list[str], out: str = "cnt") -> Da
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
 
 
+def hll_register_stream(
+    df: DataFrame, keys: list[str], value: str, b: int = 8
+) -> DataFrame:
+    """Streaming HyperLogLog register maintenance — the incremental twin
+    of operators/sketches.hll_registers, and the proof that the sketch
+    is mergeable across micro-batches: the register table is just a
+    running MAX aggregate on (keys, bucket), so Spark's ordinary
+    streaming state machine maintains it with at most keys x 2^b state
+    rows no matter how many events flow through. Run in COMPLETE (full
+    register snapshot) or UPDATE (register changelog — the same
+    max-monotone changelog a KTable would carry) mode; the final
+    COMPLETE table equals the batch register table row for row, which
+    is exactly what the oracle pins.
+
+    An exact streaming distinct would need one state row PER DISTINCT
+    VALUE (the dropDuplicates chain in windowed_distinct_count_stream);
+    this dial bounds state at 2^b registers per key — the 100 TB
+    unbounded-cardinality answer.
+    """
+    from kafka_streams_app_spark.operators.sketches import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col(value), b)
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
 def windowed_distinct_count_stream(
     df: DataFrame,
     ts: str,

@@ -1,0 +1,193 @@
+"""Pins for the mergeable-sketch family (operators/sketches.py):
+HyperLogLog registers/estimate and Count-Min heavy hitters, plus the
+streaming HLL twin and the SoftDeDup reweighting op.
+
+The cross-engine bit-identity is pinned by the oracle entries
+(events_hll_distinct / events_cms_topk / s_hll_registers /
+corpus_softdedup); these tests pin the SKETCH MATH itself against
+plain-Python twins and the statistical/structural guarantees the
+oracle can't express (error bounds, upward bias, mergeability).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_streams_app_spark.operators import sketches as SK
+from kafka_streams_app_spark.operators.pipeline import softdedup_weights
+from kafka_streams_app_spark.streaming import windows as W
+from kafka_streams_app_spark.streaming.harness import MicroBatchReplay
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_registers(values: list[str], b: int = 8) -> dict[int, int]:
+    """Plain-Python HLL register twin (value-identical by construction)."""
+    w_bits = 60 - b
+    regs: dict[int, int] = {}
+    for v in values:
+        h = _h60(v)
+        bucket = h & ((1 << b) - 1)
+        w = h >> b
+        rho = (w_bits + 1) if w == 0 else w_bits - (w.bit_length() - 1)
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_twin(spark):
+    vals = [f"user-{i}" for i in range(500)] * 3  # duplicates are no-ops
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        (r.bucket, r.max_rho)
+        for r in SK.hll_registers(df, [], "v", b=8).collect()
+    }
+    want = set(_py_registers([str(v) for v in set(vals)]).items())
+    assert got == want
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Raw HLL relative error is ~1.04/sqrt(m) = 6.5% at m=256; pin a
+    generous 4-sigma band on a 5000-distinct input (n >> 2.5m, so the
+    raw estimator is in its regime and no correction applies)."""
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(n)] * 2, "v string"
+    ).withColumn("g", F.lit(1))
+    row = SK.hll_distinct(df, ["g"], "v", b=8).collect()[0]
+    est = SK.hll_linear_correction(row.est_distinct, row.used_registers, 256)
+    assert abs(est - n) / n < 4 * 1.04 / math.sqrt(256)
+
+
+def test_hll_small_range_correction(spark):
+    """n << m: linear counting recovers the count far better than the
+    raw estimator (which is biased high in this regime)."""
+    n = 20
+    df = spark.createDataFrame([(f"x{i}",) for i in range(n)], "v string")
+    df = df.withColumn("g", F.lit(1))
+    row = SK.hll_distinct(df, ["g"], "v", b=8).collect()[0]
+    corrected = SK.hll_linear_correction(
+        row.est_distinct, row.used_registers, 256
+    )
+    assert abs(corrected - n) <= 3  # linear counting is near-exact here
+    assert row.est_distinct > corrected  # raw is biased high when n << m
+
+
+def test_hll_registers_merge_across_splits(spark):
+    """Mergeability (the property that makes the sketch map-side
+    combinable and union-able across corpora): max-merging the two
+    halves' register tables == the whole corpus' register table."""
+    vals = [f"k{i}" for i in range(1000)]
+    half_a = spark.createDataFrame([(v,) for v in vals[:500]], "v string")
+    half_b = spark.createDataFrame([(v,) for v in vals[500:]], "v string")
+    both = spark.createDataFrame([(v,) for v in vals], "v string")
+    merged = (
+        SK.hll_registers(half_a, [], "v")
+        .unionByName(SK.hll_registers(half_b, [], "v"))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    got = {(r.bucket, r.max_rho) for r in merged.collect()}
+    want = {(r.bucket, r.max_rho) for r in SK.hll_registers(both, [], "v").collect()}
+    assert got == want
+
+
+def test_cms_estimate_is_upper_bound_and_tight_for_heavy(spark):
+    """CMS point estimates never undercount (min-of-rows over pure
+    increments), and the true heaviest item is recovered at rank 1 when
+    it dominates."""
+    rows = [("heavy",)] * 400 + [(f"t{i}",) for i in range(200)] * 2
+    df = spark.createDataFrame(rows, "v string")
+    top = SK.cms_topk(df, "v", d=4, w=64, n=10).collect()
+    assert top[0].item == "heavy"
+    truth = {"heavy": 400, **{f"t{i}": 2 for i in range(200)}}
+    for r in top:
+        assert r.est_cnt >= truth[r.item]
+
+
+def test_cms_sketch_merges_by_cell_sum(spark):
+    rows_a = [(f"a{i % 50}",) for i in range(300)]
+    rows_b = [(f"b{i % 70}",) for i in range(300)]
+    df_a = spark.createDataFrame(rows_a, "v string")
+    df_b = spark.createDataFrame(rows_b, "v string")
+    df_all = spark.createDataFrame(rows_a + rows_b, "v string")
+    merged = (
+        SK.cms_sketch(df_a, "v", d=4, w=64)
+        .unionByName(SK.cms_sketch(df_b, "v", d=4, w=64))
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r.cell, r.cnt) for r in merged.collect()}
+    want = {(r.cell, r.cnt) for r in SK.cms_sketch(df_all, "v", d=4, w=64).collect()}
+    assert got == want
+
+
+def test_streaming_hll_registers_equal_batch(spark):
+    """The streaming register table (complete mode, two micro-batches)
+    equals the batch register table — the mergeable-across-batches
+    proof through the real runtime."""
+    from datetime import datetime, timezone
+
+    t0 = datetime(2024, 5, 3, 9, 30, 0, tzinfo=timezone.utc)
+    rows = [(f"u{i % 37}", i, t0) for i in range(200)]
+    with MicroBatchReplay(
+        spark,
+        "v string, n int, ts timestamp",
+        lambda src: W.hll_register_stream(src, [], "v", b=8),
+        output_mode="complete",
+    ) as r:
+        r.pipe(rows[:100])
+        r.pipe(rows[100:])
+        got = {(x.bucket, x.max_rho) for x in r.table().collect()}
+    batch = spark.createDataFrame(rows, "v string, n int, ts timestamp")
+    want = {
+        (x.bucket, x.max_rho)
+        for x in SK.hll_registers(batch, [], "v", b=8).collect()
+    }
+    assert got == want
+
+
+def test_softdedup_weights_hand_corpus(spark):
+    """Identical docs share every shingle -> weight 1e6*n/(n+4n) = 2e5;
+    a novel doc keeps 1e6; a doc too short for one shingle keeps 1e6."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words appear nowhere else here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.dup_shingles, r.weight_ppm)
+        for r in softdedup_weights(docs, "text", "doc_id", k=3, alpha=4).collect()
+    }
+    assert got[1] == got[2] == (7, 7, 200_000)
+    assert got[3] == (5, 0, 1_000_000)
+    assert got[4] == (0, 0, 1_000_000)
+
+
+def test_softdedup_partial_overlap_weight_is_exact_floor(spark):
+    """Partial duplication: doc shares a 3-shingle prefix with another;
+    weight is the exact integer floor(1e6*n/(n+4*dup))."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.dup_shingles, r.weight_ppm)
+        for r in softdedup_weights(docs, "text", "doc_id", k=3, alpha=4).collect()
+    }
+    # shared shingle: "alpha beta gamma" only
+    n1, d1 = 3, 1
+    n2, d2 = 5, 1
+    assert got[1] == (n1, d1, 1_000_000 * n1 // (n1 + 4 * d1))
+    assert got[2] == (n2, d2, 1_000_000 * n2 // (n2 + 4 * d2))
