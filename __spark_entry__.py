@@ -1688,34 +1688,49 @@ def _q_events_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 # Spark side's F.lit(num) / denom).
 _HLL_NUM = sketches.hll_alpha(256) * 256 * 256 * float(1 << 53)
 
-_HLL_REGS_SQL = """
+def _hll_regs_sql(key_select: str, key_names: str) -> str:
+    """Register-table CTE chain over events(user_id), parameterized by
+    the group-key expressions (`key_select` projects them with aliases;
+    `key_names` lists the aliases for GROUP BY / downstream SELECT)."""
+    return f"""
 WITH h AS (
-  SELECT event_type,
+  SELECT {key_select},
          CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
               AS BIGINT) AS h60
   FROM events
 ), br AS (
-  SELECT event_type, h60 & 255 AS bucket,
+  SELECT {key_names}, h60 & 255 AS bucket,
          CASE WHEN (h60 >> 8) = 0 THEN 53
               ELSE 52 - (length(bin(h60 >> 8)) - 1) END AS rho
   FROM h
 ), regs AS (
-  SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+  SELECT {key_names}, CAST(bucket AS BIGINT) AS bucket,
          CAST(max(rho) AS BIGINT) AS max_rho
-  FROM br GROUP BY 1, 2
+  FROM br GROUP BY ALL
 )
 """
 
-_HLL_DISTINCT_SQL = _HLL_REGS_SQL + f"""
-SELECT event_type,
+
+def _hll_distinct_sql(key_select: str, key_names: str) -> str:
+    return _hll_regs_sql(key_select, key_names) + f"""
+SELECT {key_names},
        CAST(count(*) AS BIGINT) AS used_registers,
        CAST(sum(1::BIGINT << CAST(53 - max_rho AS INT))
             + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS denom,
        {_HLL_NUM!r} / CAST(sum(1::BIGINT << CAST(53 - max_rho AS INT))
             + (256 - count(*)) * (1::BIGINT << 53) AS DOUBLE)
          AS est_distinct
-FROM regs GROUP BY event_type
+FROM regs GROUP BY {key_names}
 """
+
+
+_HLL_REGS_SQL = _hll_regs_sql("event_type", "event_type")
+_HLL_DISTINCT_SQL = _hll_distinct_sql("event_type", "event_type")
+_HLL_WINDOWED_SQL = _hll_distinct_sql(
+    "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS window_start_s,"
+    " event_type",
+    "window_start_s, event_type",
+)
 
 _CMS_TOPK_SQL = """
 WITH cells AS (
@@ -1767,6 +1782,35 @@ def _q_corpus_softdedup(spark: SparkSession, sf: str) -> DataFrame:
     scale)."""
     docs = load_table(spark, sf, "documents")
     return pipeline.softdedup_weights(docs, "text", "doc_id", k=3, alpha=4)
+
+
+def _q_corpus_softdedup_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """SoftDeDup end-to-end: weights -> deterministic weighted Bernoulli
+    draw (pipeline.weighted_sample) — keep iff md5(salt|doc_id) mod 1e6
+    < weight_ppm. Novel docs (weight 1e6) are kept ALWAYS; duplicated
+    content thins proportionally. Pure scan-stage filter after the
+    weight join — the sampler itself adds zero shuffle."""
+    docs = load_table(spark, sf, "documents")
+    weights = pipeline.softdedup_weights(docs, "text", "doc_id", k=3, alpha=4)
+    kept = pipeline.weighted_sample(weights, "weight_ppm", "doc_id")
+    return kept.select("doc_id", "weight_ppm")
+
+
+def _q_events_hll_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL composed with event-time windows: distinct-user estimate per
+    (1h tumbling window, event_type) — the sketch version of
+    a5_windowed_distinct's exact per-window distinct. Register shuffle
+    is bounded at windows x keys x 256 rows at ANY event volume."""
+    ev = load_table(spark, sf, "events")
+    win = F.window("ts", "3600 seconds")
+    keyed = ev.select(
+        F.unix_seconds(win["start"]).alias("window_start_s"),
+        "event_type",
+        "user_id",
+    )
+    return sketches.hll_distinct(
+        keyed, ["window_start_s", "event_type"], "user_id", b=8
+    )
 
 
 def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
@@ -4099,7 +4143,31 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # double division is bit-equal across engines (see _HLL_SQL/_HLL_NUM
     # above the dict).
     "events_hll_distinct": (_q_events_hll_distinct, _HLL_DISTINCT_SQL),
+    "events_hll_windowed": (_q_events_hll_windowed, _HLL_WINDOWED_SQL),
     "events_cms_topk": (_q_events_cms_topk, _CMS_TOPK_SQL),
+    "corpus_softdedup_sample": (_q_corpus_softdedup_sample,
+        "WITH " + _SHINGLES + """,
+        ex AS (
+          SELECT doc_id, unnest(s) AS sg FROM sh
+        ), sdf AS (
+          SELECT sg, count(*) AS df FROM ex GROUP BY sg
+        ), per_doc AS (
+          SELECT doc_id, count(*) AS n_shingles,
+                 sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_shingles
+          FROM ex JOIN sdf USING (sg) GROUP BY doc_id
+        ), weights AS (
+          SELECT b.doc_id,
+                 CAST(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 1000000
+                      ELSE (1000000::BIGINT * n_shingles)
+                           // (n_shingles + 4 * dup_shingles)
+                      END AS BIGINT) AS weight_ppm
+          FROM sh b LEFT JOIN per_doc USING (doc_id)
+        )
+        SELECT doc_id, weight_ppm FROM weights
+        WHERE CAST('0x' || substring(md5('wsample|'
+                || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+              < weight_ppm
+    """),
     "corpus_softdedup": (_q_corpus_softdedup, "WITH " + _SHINGLES + """,
         ex AS (
           SELECT doc_id, unnest(s) AS sg FROM sh
@@ -4825,8 +4893,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    rotate in r13, which fully retires the >2-round staleness debt.
 _FRONT = [
     # (1) new in r12, never sampled
-    "events_hll_distinct", "events_cms_topk", "corpus_softdedup",
-    "s_hll_registers",
+    "events_hll_distinct", "events_hll_windowed", "events_cms_topk",
+    "corpus_softdedup", "corpus_softdedup_sample", "s_hll_registers",
     "sim_hard_negatives_ann", "sim_pq_topk", "sim_ivfpq_topk",
     "ktable_history", "s_table_history",
     # (2) changed in r12
@@ -4848,14 +4916,12 @@ _FRONT = [
     "tpch_q5_local_revenue", "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume", "tpch_q10_returned_revenue",
     "tpch_q13_custdist", "tpch_q14_promo", "tpch_q18_large_orders",
-    # (4) the oldest r9-signed fills (exactly to 50)
-    "sim_cosine_topk", "branch_merge",
-    # (a4_session_count, a3_windowed_sum, a2_windowed_count and
-    # a1_count_per_key demoted one-for-one as sim_pq_topk,
-    # ktable_history, sim_ivfpq_topk and s_table_history landed;
-    # t2/t3/t4/t5 demoted as the four sketch/softdedup entries landed —
-    # all have dedicated r11c unit pins; they rotate with the rest of
-    # the r9 tail in r13)
+    # (a4_session_count, a3_windowed_sum, a2_windowed_count,
+    # a1_count_per_key, t2..t5, branch_merge and sim_cosine_topk —
+    # the ten oldest r9 fills — demoted one-for-one as the ten new r12
+    # entries landed; all ten have dedicated r11c unit pins, and the
+    # r8-stale 35 keep their window slots exactly as the r11 verdict
+    # queued. The r9 tail rotates in r13.)
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

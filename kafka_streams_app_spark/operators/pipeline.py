@@ -1284,3 +1284,29 @@ def softdedup_weights(
         .alias("weight_ppm"),
     )
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_ppm_col: str,
+    id_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample with PER-ROW keep probability
+    weight_ppm/1e6 — the sampler half of the SoftDeDup contract
+    (softdedup_weights produces the weights; this draws by them).
+
+    keep iff md5-bucket(salt|id) mod 1e6 < weight_ppm: a pure function
+    of (salt, id, weight), so the draw is reproducible and auditable by
+    any md5-capable engine, stable under repartitioning, and
+    INDEPENDENT of every other sampler in the pipeline (the salt
+    namespaces this draw away from stratified_sample/sample_fixed_k's
+    hash of the same ids). weight_ppm = 1_000_000 keeps the row always
+    — novel documents are never lost, which is SoftDeDup's point.
+
+    Zero shuffle: the test is a scan-stage filter expression.
+    """
+    bucket = portable_bucket(
+        F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")), 1_000_000
+    )
+    return df.filter(bucket < F.col(weight_ppm_col))

@@ -191,3 +191,60 @@ def test_softdedup_partial_overlap_weight_is_exact_floor(spark):
     n2, d2 = 5, 1
     assert got[1] == (n1, d1, 1_000_000 * n1 // (n1 + 4 * d1))
     assert got[2] == (n2, d2, 1_000_000 * n2 // (n2 + 4 * d2))
+
+
+def test_weighted_sample_keeps_full_weight_always(spark):
+    """weight_ppm=1e6 rows are kept unconditionally (novel docs never
+    lost); weight_ppm=0 rows are never kept; the draw is a pure
+    function of (salt, id) — rerunning reproduces the same set."""
+    from kafka_streams_app_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, 1_000_000 if i % 3 == 0 else (0 if i % 3 == 1 else 500_000))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, weight_ppm long")
+    kept = {r.doc_id for r in weighted_sample(df, "weight_ppm", "doc_id").collect()}
+    assert all(i in kept for i in range(0, 300, 3))      # w=1e6: all kept
+    assert all(i not in kept for i in range(1, 300, 3))  # w=0: none kept
+    again = {r.doc_id for r in weighted_sample(df, "weight_ppm", "doc_id").collect()}
+    assert kept == again
+    # half-weight stratum thins to roughly half (binomial, wide band)
+    half = [i for i in kept if i % 3 == 2]
+    assert 25 <= len(half) <= 75
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    """Exact membership equals the md5 twin: keep iff
+    int(md5('wsample|id')[:15], 16) % 1e6 < weight."""
+    from kafka_streams_app_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, (i * 7919) % 1_000_001) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, weight_ppm long")
+    kept = {r.doc_id for r in weighted_sample(df, "weight_ppm", "doc_id").collect()}
+    want = {
+        i for i, w in rows
+        if int(hashlib.md5(f"wsample|{i}".encode()).hexdigest()[:15], 16)
+           % 1_000_000 < w
+    }
+    assert kept == want
+
+
+def test_hll_windowed_registers_respect_window_boundaries(spark):
+    """Same user in two different windows occupies registers in BOTH
+    window groups; estimate per (window, key) sees only that window's
+    values (pinned via the python register twin per group)."""
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2024, 5, 3, 9, 0, 0, tzinfo=timezone.utc)
+    rows = [(f"u{i % 9}", t0 + timedelta(seconds=(i % 2) * 3600)) for i in range(40)]
+    df = spark.createDataFrame(rows, "v string, ts timestamp")
+    win = F.window("ts", "3600 seconds")
+    keyed = df.select(F.unix_seconds(win["start"]).alias("ws"), "v")
+    regs = SK.hll_registers(keyed, ["ws"], "v", b=8)
+    by_win = {}
+    for r in regs.collect():
+        by_win.setdefault(r.ws, set()).add((r.bucket, r.max_rho))
+    assert len(by_win) == 2
+    for ws, got in by_win.items():
+        vals = {v for v, ts in rows
+                if int(ts.timestamp()) // 3600 * 3600 == ws}
+        assert got == set(_py_registers(sorted(vals)).items())
