@@ -1912,6 +1912,19 @@ def _q_s_count_complete(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, counts, _sink(), "complete")
 
 
+def _q_s_hll_windowed_closed(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-evicted windowed HLL registers in append mode — the
+    bounded-state streaming twin of events_hll_windowed: a closed 1h
+    window emits its register block once and evicts it; append emission
+    == closed windows, so the oracle is the batch register SQL with the
+    closed-window cutoff."""
+    ev = load_stream(spark, sf, "events")
+    regs = SW.hll_windowed_register_stream(
+        ev, "ts", ["event_type"], "user_id", 3600, b=8, grace_s=0
+    )
+    return run_available_now(spark, regs, _sink(), "append")
+
+
 def _q_s_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming HLL register maintenance through the real runtime
     (streaming/windows.py:hll_register_stream): a running MAX on
@@ -4283,6 +4296,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
     "s_hll_registers": (_q_s_hll_registers,
         _HLL_REGS_SQL + "SELECT event_type, bucket, max_rho FROM regs"),
+    "s_hll_windowed_closed": (_q_s_hll_windowed_closed,
+        _hll_regs_sql(
+            "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT)"
+            " AS window_start_s, event_type",
+            "window_start_s, event_type",
+        )
+        + f"""SELECT window_start_s, event_type, bucket, max_rho FROM regs
+        WHERE window_start_s + 3600 <=
+              (SELECT {_epoch_s('max(ts)')} FROM events)"""),
     "s_dedup_within_watermark": (_q_s_dedup_within_watermark, """
         SELECT DISTINCT user_id, event_type FROM events
     """),
@@ -4895,6 +4917,7 @@ _FRONT = [
     # (1) new in r12, never sampled
     "events_hll_distinct", "events_hll_windowed", "events_cms_topk",
     "corpus_softdedup", "corpus_softdedup_sample", "s_hll_registers",
+    "s_hll_windowed_closed",
     "sim_hard_negatives_ann", "sim_pq_topk", "sim_ivfpq_topk",
     "ktable_history", "s_table_history",
     # (2) changed in r12
@@ -4910,7 +4933,11 @@ _FRONT = [
     "decontam_exact", "dedup_winnowing",
     "corpus_line_dedup", "corpus_line_scrub",
     "sample_stratified", "pack_sequences", "pipeline_hash_split",
-    "multimodal_frames", "multimodal_meta", "multimodal_resize",
+    # (multimodal_meta — the one r8-stale demotion: 7 never-sampled r12b
+    # sketch entries outrank it for window slots, it is the lowest-risk
+    # r8 row (pure metadata projection, unit-pinned, judge-family
+    # re-gated in r11), and it rotates first in r13)
+    "multimodal_frames", "multimodal_resize",
     "multimodal_features", "multimodal_bmp_decode",
     "tpch_q1_pricing", "tpch_q3_top_revenue", "tpch_q4_priority",
     "tpch_q5_local_revenue", "tpch_q6_forecast_revenue",

@@ -95,6 +95,47 @@ def count_per_key_stream(df: DataFrame, keys: list[str], out: str = "cnt") -> Da
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
 
 
+def hll_windowed_register_stream(
+    df: DataFrame,
+    ts: str,
+    keys: list[str],
+    value: str,
+    duration_s: int,
+    b: int = 8,
+    grace_s: int = 0,
+) -> DataFrame:
+    """Windowed HLL registers with WATERMARK EVICTION — the production
+    shape of "distinct users per hour" at unbounded volume: per
+    (event-time window, keys) the sketch's running-MAX registers are
+    ordinary windowed-aggregate state, so a closed window's 256-row
+    register block is emitted once (append mode) and its state evicted
+    — state at any moment is open-windows x keys x 2^b rows, never a
+    function of the value cardinality (the exact windowed distinct in
+    windowed_distinct_count_stream holds one dedup row PER DISTINCT
+    VALUE in the horizon; this is its bounded-memory dial).
+
+    Output: window_start_s, *keys, bucket, max_rho — feed to
+    operators/sketches.hll_distinct's merge arithmetic (or any HLL
+    consumer; the register block is the interchange format).
+    """
+    from kafka_streams_app_spark.operators.sketches import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col(value), b)
+    w = F.window(ts, f"{duration_s} seconds")
+    return (
+        df.withWatermark(ts, f"{grace_s} seconds")
+        .select(F.col(ts), *keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(w.alias("w"), *keys, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            *keys,
+            "bucket",
+            "max_rho",
+        )
+    )
+
+
 def hll_register_stream(
     df: DataFrame, keys: list[str], value: str, b: int = 8
 ) -> DataFrame:

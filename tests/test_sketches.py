@@ -248,3 +248,31 @@ def test_hll_windowed_registers_respect_window_boundaries(spark):
         vals = {v for v, ts in rows
                 if int(ts.timestamp()) // 3600 * 3600 == ws}
         assert got == set(_py_registers(sorted(vals)).items())
+
+
+def test_hll_windowed_stream_emits_register_block_on_close(spark):
+    """Append mode: a window's register block is emitted exactly once,
+    only after the watermark passes window end — and matches the batch
+    registers of that window's values."""
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2024, 5, 3, 9, 30, 0, tzinfo=timezone.utc)
+
+    def ts(s):
+        return t0 + timedelta(seconds=s)
+
+    with MicroBatchReplay(
+        spark,
+        "v string, n int, ts timestamp",
+        lambda src: W.hll_windowed_register_stream(src, "ts", [], "v", 10, b=8),
+        output_mode="append",
+    ) as r:
+        r.pipe([("a", 1, ts(0)), ("b", 1, ts(2)), ("a", 1, ts(4))])
+        assert r.drain() == []  # window open: suppressed
+        r.pipe([("c", 1, ts(11))])  # watermark closes [t0, t0+10)
+        emitted = {(x.window_start_s, x.bucket, x.max_rho) for x in r.drain()}
+    t0s = int(t0.timestamp())
+    want = {
+        (t0s, b, rho) for b, rho in _py_registers(["a", "b"]).items()
+    }
+    assert emitted == want

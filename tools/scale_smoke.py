@@ -602,6 +602,122 @@ def dedup100_main() -> None:
         }), flush=True)
 
 
+def build_events(spark, mult: int) -> str:
+    """events-only replica build (user_id shifted per replica so the
+    distinct-user population scales with mult — the quantity HLL must
+    track)."""
+    out = SCRATCH / f"events_x{mult}"
+    if (out / "events.parquet").exists():
+        return str(out)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    ev = spark.read.parquet(f"{BASE}/events.parquet")  # keep raw nanos ts
+    _union_all([
+        ev.select(
+            (F.col("event_id") + F.lit(i * ID_SHIFT)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        for i in range(mult)
+    ]).write.parquet(str(out / "events.parquet"))
+    return str(out)
+
+
+def sketches100_main() -> None:
+    """10x/100x smoke for the mergeable-sketch family, recording wall
+    AND the bounded-state claim each sketch's 100 TB story makes:
+
+    - hll_distinct / hll_windowed: occupied-register rows must stay
+      <= keys x 256 (the sketch bound) while the event volume and the
+      TRUE distinct-user population grow 10x/100x — and the estimate
+      must track the population (relative error recorded).
+    - cms_topk: sketch cells must stay <= d*w = 1024 at any volume.
+    - softdedup weights/sample: postings (the only shuffled quantity)
+      must grow linearly; no pair term exists by construction.
+    """
+    from kafka_streams_app_spark.operators import pipeline as P
+    from kafka_streams_app_spark.operators import sketches as SKOP
+
+    spark = get_spark(app_name="scale-smoke-sketches100")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for mult in (10, 100):
+        d = build_events(spark, mult)
+        ev = load_table(spark, d, "events")
+        true_users = ev.select("user_id").distinct().count()
+
+        t0 = time.time()
+        rows = SKOP.hll_distinct(ev, ["event_type"], "user_id", b=8).collect()
+        wall = time.time() - t0
+        regs = SKOP.hll_registers(ev, ["event_type"], "user_id", b=8).count()
+        # per-key true distinct ~= true_users (every user hits every
+        # type at this generator); report the max relative error across
+        # keys against the per-key truth.
+        per_key_truth = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        max_rel_err = max(
+            abs(SKOP.hll_linear_correction(r.est_distinct, r.used_registers, 256)
+                - per_key_truth[r.event_type]) / per_key_truth[r.event_type]
+            for r in rows
+        )
+        print(json.dumps({
+            "op": "events_hll_distinct", "mult": mult,
+            "wall_s": round(wall, 2), "events": mult * 100_000,
+            "true_users": true_users, "register_rows": int(regs),
+            "register_bound": len(per_key_truth) * 256,
+            "max_rel_err": round(max_rel_err, 4),
+        }))
+
+        t0 = time.time()
+        win = F.window("ts", "3600 seconds")
+        keyed = ev.select(
+            F.unix_seconds(win["start"]).alias("window_start_s"),
+            "event_type", "user_id",
+        )
+        SKOP.hll_distinct(
+            keyed, ["window_start_s", "event_type"], "user_id", b=8
+        ).write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        wregs = SKOP.hll_registers(
+            keyed, ["window_start_s", "event_type"], "user_id", b=8
+        ).count()
+        n_groups = keyed.select("window_start_s", "event_type").distinct().count()
+        print(json.dumps({
+            "op": "events_hll_windowed", "mult": mult,
+            "wall_s": round(wall, 2), "register_rows": int(wregs),
+            "register_bound": n_groups * 256,
+        }))
+
+        t0 = time.time()
+        SKOP.cms_topk(ev, "user_id", d=4, w=256, n=20).collect()
+        wall = time.time() - t0
+        cells = SKOP.cms_sketch(ev, "user_id", d=4, w=256).count()
+        print(json.dumps({
+            "op": "events_cms_topk", "mult": mult, "wall_s": round(wall, 2),
+            "sketch_cells": int(cells), "cell_bound": 4 * 256,
+        }))
+
+    for mult in (10, 100):
+        d = build_docs(spark, mult)
+        docs = load_table(spark, d, "documents")
+        t0 = time.time()
+        w = P.softdedup_weights(docs, "text", "doc_id", k=3, alpha=4)
+        kept = P.weighted_sample(w, "weight_ppm", "doc_id").count()
+        wall = time.time() - t0
+        postings = w.agg(F.sum("n_shingles")).collect()[0][0]
+        print(json.dumps({
+            "op": "corpus_softdedup_sample", "mult": mult,
+            "wall_s": round(wall, 2), "docs": mult * 5_000,
+            "postings": int(postings), "kept": int(kept),
+        }))
+
+
 def curation100_main() -> None:
     """100x smoke for the r11-continuation curation family (10x vs
     100x = 50k vs 500k docs/vectors), recording wall AND the cost
@@ -963,6 +1079,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "hardneg100":
         hardneg100_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "sketches100":
+        sketches100_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names
