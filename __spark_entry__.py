@@ -1225,6 +1225,31 @@ def _q_ktable_history(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ktable_history_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time join against the SCD2 history
+    (operators/ktable.py:history_asof_join): every click enriched with
+    the purchase-version valid AT the click's changelog position —
+    Flink's FOR SYSTEM_TIME AS OF / the Kimball type-2 dimension join.
+    'error' tombstones open coverage gaps: clicks inside a gap stay
+    NULL-padded. Equi-join on user_id; the interval predicate is a join
+    FILTER, never a join key."""
+    ev = load_table(spark, sf, "events")
+    chg = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", "event_id", "event_type",
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_e6"),
+    )
+    hist = ktable.table_history(
+        chg, keys=["user_id"], order_by="event_id",
+        payload=["value_e6"],
+        tombstone=F.col("event_type") == "error",
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id"
+    )
+    out = ktable.history_asof_join(facts, hist, ["user_id"], "event_id")
+    return out.select("event_id", "user_id", "value_e6", "valid_from", "valid_to")
+
+
 def _q_sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ ANN (IVFADC, Jégou et al. 2011 §V) — the FAISS
     IndexIVFPQ structure: coarse quantizer prunes to nprobe lists,
@@ -3660,6 +3685,29 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT user_id, event_type, value_e6, valid_from, valid_to
         FROM h WHERE event_type <> 'error'
     """),
+    "ktable_history_asof": (_q_ktable_history_asof, """
+        WITH chg AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(floor(value * 1000000.0) AS BIGINT) AS value_e6
+          FROM events WHERE event_type IN ('purchase', 'error')
+        ), hist AS (
+          SELECT user_id, event_type, value_e6,
+                 event_id AS valid_from,
+                 lead(event_id) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS valid_to
+          FROM chg
+        ), versions AS (
+          SELECT user_id, value_e6, valid_from, valid_to
+          FROM hist WHERE event_type <> 'error'
+        ), f AS (
+          SELECT user_id, event_id FROM events WHERE event_type = 'click'
+        )
+        SELECT f.event_id, f.user_id, v.value_e6, v.valid_from, v.valid_to
+        FROM f LEFT JOIN versions v
+          ON f.user_id = v.user_id
+         AND f.event_id >= v.valid_from
+         AND (v.valid_to IS NULL OR f.event_id < v.valid_to)
+    """),
     # --- text analysis (north-star) ---
     "text_stats": (_q_text_stats, "WITH " + _TOKS + r""",
         pr AS (
@@ -4917,7 +4965,7 @@ _FRONT = [
     # (1) new in r12, never sampled
     "events_hll_distinct", "events_hll_windowed", "events_cms_topk",
     "corpus_softdedup", "corpus_softdedup_sample", "s_hll_registers",
-    "s_hll_windowed_closed",
+    "s_hll_windowed_closed", "ktable_history_asof",
     "sim_hard_negatives_ann", "sim_pq_topk", "sim_ivfpq_topk",
     "ktable_history", "s_table_history",
     # (2) changed in r12
@@ -4933,11 +4981,12 @@ _FRONT = [
     "decontam_exact", "dedup_winnowing",
     "corpus_line_dedup", "corpus_line_scrub",
     "sample_stratified", "pack_sequences", "pipeline_hash_split",
-    # (multimodal_meta — the one r8-stale demotion: 7 never-sampled r12b
-    # sketch entries outrank it for window slots, it is the lowest-risk
-    # r8 row (pure metadata projection, unit-pinned, judge-family
-    # re-gated in r11), and it rotates first in r13)
-    "multimodal_frames", "multimodal_resize",
+    # (multimodal_meta + multimodal_resize — the two r8-stale demotions:
+    # 8 never-sampled r12b entries outrank them for window slots, they
+    # are the lowest-risk r8 rows (pure projection / truncate-stub,
+    # both unit-pinned, family judge-re-gated in r11 via
+    # multimodal_features), and they rotate first in r13)
+    "multimodal_frames",
     "multimodal_features", "multimodal_bmp_decode",
     "tpch_q1_pricing", "tpch_q3_top_revenue", "tpch_q4_priority",
     "tpch_q5_local_revenue", "tpch_q6_forecast_revenue",

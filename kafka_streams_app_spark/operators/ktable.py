@@ -88,3 +88,42 @@ def table_history(
         F.col(order_by).alias("valid_from"),
         F.col("_vt").alias("valid_to"),
     )
+
+
+def history_asof_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    order_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 history (the output of
+    table_history): each fact row joins the ONE dimension version whose
+    [valid_from, valid_to) interval covers the fact's `order_col` value
+    — "the dimension as of transaction time", the temporal-table join
+    Flink exposes as `FOR SYSTEM_TIME AS OF` and a Kimball warehouse
+    runs against every type-2 dimension. Facts that fall in a
+    tombstoned gap (no covering interval — the key was deleted) or
+    before the key's first version match nothing: NULL-padded in 'left'
+    mode, dropped in 'inner'.
+
+    Plan at scale: an EQUI-join on the keys (ONE co-partitioned shuffle
+    pair — the interval predicate rides along as a join filter, it is
+    never the join key), so the matching work per key is
+    |facts_k| x |versions_k|, bounded by the per-key version count —
+    NOT a range-join cartesian. Intervals within a key are disjoint by
+    table_history's construction, so at most one version matches and
+    the fact table is never multiplied.
+
+    Output: facts.* + history payload + valid_from, valid_to.
+    """
+    h = history
+    fact_cols = [facts[c] for c in facts.columns]
+    hist_cols = [h[c] for c in h.columns if c not in keys]
+    cond = [facts[k] == h[k] for k in keys]
+    cond.append(facts[order_col] >= h["valid_from"])
+    cond.append(
+        h["valid_to"].isNull() | (facts[order_col] < h["valid_to"])
+    )
+    joined = facts.join(h, cond, how)
+    return joined.select(*fact_cols, *hist_cols)

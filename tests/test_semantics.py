@@ -363,3 +363,43 @@ def test_table_history_asof_reconstruction_matches_latest(spark):
         ).collect()
     }
     assert live == latest and len(live) > 0
+
+
+def test_history_asof_join_versions_gaps_boundaries(spark):
+    """Point-in-time join pins: a fact joins the version covering its
+    seq ([valid_from, valid_to) — inclusive start, exclusive end); facts
+    in a tombstoned gap or before the first version NULL-pad in left
+    mode; the fact table is never multiplied (intervals are disjoint)."""
+    from kafka_streams_app_spark.operators.ktable import (
+        history_asof_join, table_history,
+    )
+    from pyspark.sql import functions as F
+
+    chg = spark.createDataFrame(
+        [   # key a: v1@1, v2@3, DELETE@5, v3@7 (resurrect)
+            ("a", 1, "v1", False), ("a", 3, "v2", False),
+            ("a", 5, None, True), ("a", 7, "v3", False),
+        ],
+        "k string, seq long, val string, del boolean",
+    )
+    hist = table_history(
+        chg, ["k"], "seq", payload=["val"], tombstone=F.col("del")
+    )
+    facts = spark.createDataFrame(
+        [("a", s) for s in [0, 1, 2, 3, 5, 6, 7, 99]] + [("zz", 4)],
+        "k string, seq long",
+    )
+    out = history_asof_join(facts, hist, ["k"], "seq")
+    got = {(r.k, r.seq): r.val for r in out.collect()}
+    assert out.count() == facts.count()  # never multiplied
+    assert got[("a", 0)] is None          # before first version
+    assert got[("a", 1)] == "v1"          # inclusive valid_from
+    assert got[("a", 2)] == "v1"
+    assert got[("a", 3)] == "v2"          # exclusive valid_to of v1
+    assert got[("a", 5)] is None          # tombstoned gap starts AT delete
+    assert got[("a", 6)] is None          # still deleted
+    assert got[("a", 7)] == "v3"          # resurrect
+    assert got[("a", 99)] == "v3"         # live (valid_to NULL)
+    assert got[("zz", 4)] is None         # unknown key
+    inner = history_asof_join(facts, hist, ["k"], "seq", how="inner")
+    assert inner.count() == 5             # only the covered facts
