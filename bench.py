@@ -14,9 +14,12 @@ Two groups:
   previously lived only in builder-run smokes; reported as separate
   `curation_total`/`curation_queries` keys in the SAME JSON line so
   the driver records both without perturbing the headline series.
+- SKETCHES (r12b+): the mergeable-sketch family (HLL/CMS), SoftDeDup
+  sampling, and the SCD2 point-in-time join; `sketch_total`/
+  `sketch_queries` keys, same pattern.
 
-`python bench.py --group headline|curation` runs one group only (the
-single-group run reports that group's total as `value`).
+`python bench.py --group headline|curation|sketches` runs one group
+only (the single-group run reports that group's total as `value`).
 """
 
 from __future__ import annotations
@@ -74,6 +77,17 @@ CURATION = [
     "sim_hard_negatives_ann",
 ]
 
+# Sketch set (r12b): the mergeable-sketch family + SoftDeDup — reported
+# as sketch_total/sketch_queries in the same JSON line, same pattern as
+# the curation group.
+SKETCHES = [
+    "events_hll_distinct",
+    "events_hll_windowed",
+    "events_cms_topk",
+    "corpus_softdedup_sample",
+    "ktable_history_asof",
+]
+
 
 def _bench_group(spark, queries, names: list[str]) -> dict[str, float]:
     # Warm-up (not timed): run every query once at the smallest SF.
@@ -124,6 +138,12 @@ def main() -> None:
         out["curation_queries"] = cq
         if group == "curation":
             out.update(metric="curation_total", value=out["curation_total"])
+    if group in ("all", "sketches"):
+        sq = _bench_group(spark, queries, SKETCHES)
+        out["sketch_total"] = round(sum(sq.values()), 3)
+        out["sketch_queries"] = sq
+        if group == "sketches":
+            out.update(metric="sketch_total", value=out["sketch_total"])
     print(json.dumps(out))
 
 
