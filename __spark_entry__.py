@@ -1647,6 +1647,21 @@ def _q_extras_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_extras_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Free Spark extra (SURVEY §2.3): explicit GROUPING SETS — the
+    general form cube/rollup specialize; here the two single-dimension
+    marginals plus the grand total in ONE pass (partial-aggregated
+    before the single shuffle, exactly like the cube entry)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        agg.exact_sum("o_totalprice").alias("revenue"),
+    )
+
+
 def _q_extras_cube(spark: SparkSession, sf: str) -> DataFrame:
     """Free Spark extra (SURVEY §2.3): CUBE over two dimensions — all
     four grouping sets in one pass (partial-aggregated before the
@@ -1948,6 +1963,16 @@ def _q_s_hll_windowed_closed(spark: SparkSession, sf: str) -> DataFrame:
         ev, "ts", ["event_type"], "user_id", 3600, b=8, grace_s=0
     )
     return run_available_now(spark, regs, _sink(), "append")
+
+
+def _q_s_cms_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming Count-Min sketch maintenance through the real runtime
+    (streaming/windows.py:cms_cell_stream): running per-cell counts in
+    complete mode — state is exactly d*w = 1024 rows at any item
+    cardinality; final snapshot == the batch sketch cell for cell."""
+    ev = load_stream(spark, sf, "events")
+    cells = SW.cms_cell_stream(ev, "user_id", d=4, w=256)
+    return run_available_now(spark, cells, _sink(), "complete")
 
 
 def _q_s_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
@@ -4014,6 +4039,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  AS revenue
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """),
+    "extras_grouping_sets": (_q_extras_grouping_sets, """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """),
     "extras_salted_join": (_q_extras_salted_join, """
         WITH dim AS (
           SELECT event_type AS et, count(*) AS type_cnt
@@ -4344,6 +4376,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
     "s_hll_registers": (_q_s_hll_registers,
         _HLL_REGS_SQL + "SELECT event_type, bucket, max_rho FROM regs"),
+    "s_cms_cells": (_q_s_cms_cells, """
+        WITH cells AS (
+          SELECT i * 256 + (CAST('0x' || substring(md5(CAST(i AS VARCHAR)
+                   || '|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 256) AS cell
+          FROM events, (SELECT unnest([0, 1, 2, 3]) AS i)
+        )
+        SELECT cell, count(*) AS cnt FROM cells GROUP BY cell
+    """),
     "s_hll_windowed_closed": (_q_s_hll_windowed_closed,
         _hll_regs_sql(
             "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT)"
@@ -4966,6 +5007,7 @@ _FRONT = [
     "events_hll_distinct", "events_hll_windowed", "events_cms_topk",
     "corpus_softdedup", "corpus_softdedup_sample", "s_hll_registers",
     "s_hll_windowed_closed", "ktable_history_asof",
+    "s_cms_cells", "extras_grouping_sets",
     "sim_hard_negatives_ann", "sim_pq_topk", "sim_ivfpq_topk",
     "ktable_history", "s_table_history",
     # (2) changed in r12
@@ -4981,13 +5023,15 @@ _FRONT = [
     "decontam_exact", "dedup_winnowing",
     "corpus_line_dedup", "corpus_line_scrub",
     "sample_stratified", "pack_sequences", "pipeline_hash_split",
-    # (multimodal_meta + multimodal_resize — the two r8-stale demotions:
-    # 8 never-sampled r12b entries outrank them for window slots, they
-    # are the lowest-risk r8 rows (pure projection / truncate-stub,
-    # both unit-pinned, family judge-re-gated in r11 via
-    # multimodal_features), and they rotate first in r13)
-    "multimodal_frames",
-    "multimodal_features", "multimodal_bmp_decode",
+    # (multimodal_meta/resize/frames/bmp_decode — the four r8-stale
+    # demotions: 10 never-sampled r12b entries outrank them for window
+    # slots (the lint REQUIRES never-green entries inside), and the
+    # multimodal family carries the strongest non-driver evidence of
+    # the r8 tail — every op unit-pinned, bmp_decode's closed-form
+    # analytic oracle, and the family judge-re-gated in r11 via
+    # multimodal_features, which KEEPS its slot. They rotate first in
+    # r13 with the r9 tail.)
+    "multimodal_features",
     "tpch_q1_pricing", "tpch_q3_top_revenue", "tpch_q4_priority",
     "tpch_q5_local_revenue", "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume", "tpch_q10_returned_revenue",

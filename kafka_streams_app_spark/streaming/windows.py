@@ -136,6 +136,25 @@ def hll_windowed_register_stream(
     )
 
 
+def cms_cell_stream(
+    df: DataFrame, value: str, d: int = 4, w: int = 1 << 8
+) -> DataFrame:
+    """Streaming Count-Min sketch maintenance — the incremental twin of
+    operators/sketches.cms_sketch: per-cell running counts are an
+    ordinary streaming COUNT aggregate over the exploded cell ids, so
+    state is exactly d*w rows at any item cardinality and the COMPLETE
+    snapshot equals the batch sketch cell for cell (the oracle's pin).
+    Candidate scoring stays a batch/IQ-side concern — the sketch table
+    is the interchange format, same as the HLL register block."""
+    from kafka_streams_app_spark.operators.sketches import cms_cells
+
+    return (
+        df.select(F.explode(cms_cells(F.col(value), d, w)).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def hll_register_stream(
     df: DataFrame, keys: list[str], value: str, b: int = 8
 ) -> DataFrame:

@@ -276,3 +276,28 @@ def test_hll_windowed_stream_emits_register_block_on_close(spark):
         (t0s, b, rho) for b, rho in _py_registers(["a", "b"]).items()
     }
     assert emitted == want
+
+
+def test_streaming_cms_cells_equal_batch(spark):
+    """The streaming CMS cell table (complete mode, two micro-batches)
+    equals the batch sketch cell for cell — the mergeable-across-
+    batches proof for the second sketch."""
+    from datetime import datetime, timezone
+
+    t0 = datetime(2024, 5, 3, 9, 30, 0, tzinfo=timezone.utc)
+    rows = [(f"u{i % 23}", i, t0) for i in range(300)]
+    with MicroBatchReplay(
+        spark,
+        "v string, n int, ts timestamp",
+        lambda src: W.cms_cell_stream(src, "v", d=4, w=64),
+        output_mode="complete",
+    ) as r:
+        r.pipe(rows[:150])
+        r.pipe(rows[150:])
+        got = {(x.cell, x.cnt) for x in r.table().collect()}
+    batch = spark.createDataFrame(rows, "v string, n int, ts timestamp")
+    want = {
+        (x.cell, x.cnt)
+        for x in SK.cms_sketch(batch, "v", d=4, w=64).collect()
+    }
+    assert got == want
