@@ -187,24 +187,31 @@ def cms_topk(
     d: int = 4,
     w: int = 1 << 6,
     n: int = 20,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Heavy hitters by CMS point estimate: est(x) = min over the d
     rows of the cell counts (the classic upward-biased CMS estimate;
     est >= true count always, pinned in pytest).
 
-    Candidates are the distinct values (at 100 TB the candidate set is
-    whatever bounded stream/top-level filter supplies them — the
-    sketch itself never stores items). Scoring joins candidates'
-    exploded cells to the BROADCAST sketch (d*w cells, e.g. 4x4096 =
-    128 KiB), takes min per candidate, then one top-n with the
-    deterministic (est desc, item asc) tiebreak.
+    `candidates` is a one-column DataFrame of items to score; None
+    scores every distinct value — fine when the item cardinality is
+    modest, but at 100 TB the full distinct is itself a value-keyed
+    shuffle, so supply the bounded candidate set the deployment already
+    has (yesterday's heavy hitters, a dictionary sample, a second
+    CMS+heap pass) — the sketch itself never stores items, which is
+    the point. Scoring joins candidates' exploded cells to the
+    BROADCAST sketch (d*w cells, e.g. 4x4096 = 128 KiB), takes min per
+    candidate, then one top-n with the deterministic
+    (est desc, item asc) tiebreak.
 
     Output: item (string), est_cnt.
     """
     sketch = cms_sketch(df, value, d, w)
+    if candidates is None:
+        candidates = df.select(F.col(value).cast("string").alias("item")).distinct()
+    cand_col = candidates.columns[0]
     cand = (
-        df.select(F.col(value).cast("string").alias("item"))
-        .distinct()
+        candidates.select(F.col(cand_col).cast("string").alias("item"))
         .select("item", F.explode(cms_cells(F.col("item"), d, w)).alias("cell"))
     )
     est = (

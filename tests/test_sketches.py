@@ -301,3 +301,24 @@ def test_streaming_cms_cells_equal_batch(spark):
         for x in SK.cms_sketch(batch, "v", d=4, w=64).collect()
     }
     assert got == want
+
+
+def test_cms_topk_external_candidate_set(spark):
+    """Scoring an externally supplied candidate set (the 100 TB shape —
+    the sketch never stores items) returns exactly those candidates'
+    min-of-rows estimates, equal to the full-distinct run's estimates
+    for the same items."""
+    rows = [(f"v{i % 40}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "v string")
+    cand = spark.createDataFrame([("v0",), ("v7",), ("nope",)], "item string")
+    got = {
+        r.item: r.est_cnt
+        for r in SK.cms_topk(df, "v", d=4, w=64, n=10, candidates=cand).collect()
+    }
+    full = {
+        r.item: r.est_cnt
+        for r in SK.cms_topk(df, "v", d=4, w=64, n=40).collect()
+    }
+    assert set(got) == {"v0", "v7", "nope"}
+    assert got["v0"] == full["v0"] and got["v7"] == full["v7"]
+    assert got["nope"] >= 0  # absent item still gets an (over)estimate
