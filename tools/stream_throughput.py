@@ -5,14 +5,19 @@ the rates its topology shapes sustain on this engine, single node).
 Usage: python tools/stream_throughput.py [multiplier]
 
 Replays the scale_smoke events dataset (sf0.1 x multiplier) through
-four topology shapes via Trigger.AvailableNow into a noop sink:
+the topology shapes via Trigger.AvailableNow into a noop sink:
 
 - stateless_project : mapValues-style projection (T2)
 - stateless_scrub   : 3-stage regex PII scrub (the heavy stateless op)
 - windowed_count    : watermarked tumbling count, append mode (W1/W5)
+- windowed_distinct : chained dedup -> windowed count (two stores)
+- hll_windowed_registers / cms_cells : bounded-state sketch twins
+                      (registers / d*w cells — state independent of
+                      value cardinality)
 - ktable_latest_tws : transformWithStateInPandas latest-per-key
                       changelog (S2 incremental — the custom state
                       machine; skipped when TWS workers lack protobuf)
+  + the per-key layout, PK-join, FK-join, rolling/zscore TWS shapes
 
 Prints one JSON line per shape: input rows, wall seconds, rows/sec.
 The reference publishes no throughput numbers (BASELINE.md) — these
@@ -176,6 +181,24 @@ def main() -> None:
             ev3b, "ts", ["event_type"], "user_id", 10, grace_s=0
         ),
         "append",
+    ))
+    ev3c = stream_events(spark, events_path)
+    shapes.append((
+        # bounded-state sketch twin of windowed_distinct: registers per
+        # (1h window, key), watermark-evicted — state <= open-windows x
+        # keys x 256 rows at any user cardinality
+        "hll_windowed_registers",
+        SW.hll_windowed_register_stream(
+            ev3c, "ts", ["event_type"], "user_id", 3600, b=8, grace_s=0
+        ),
+        "append",
+    ))
+    ev3d = stream_events(spark, events_path)
+    shapes.append((
+        # running Count-Min cells: state exactly d*w = 1024 rows
+        "cms_cells",
+        SW.cms_cell_stream(ev3d, "user_id", d=4, w=256),
+        "update",
     ))
     if tws_available(spark):
         # headline row: bucketed MapState layout (128 buckets = 4x cores
