@@ -1249,11 +1249,11 @@ def softdedup_weights(
     definition (nothing to be common). Output: id_col, n_shingles,
     dup_shingles, weight_ppm.
     """
-    base = ensure_parallelism(df).select(
+    src = ensure_parallelism(df)
+    ex = src.select(
         F.col(id_col).alias("_id"),
-        shingles_udf(k)(F.col(text)).alias("_sh"),
+        F.explode(shingles_udf(k)(F.col(text))).alias("_s"),
     )
-    ex = base.select("_id", F.explode("_sh").alias("_s"))
     sdf = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         ex.join(sdf, "_s")
@@ -1265,8 +1265,12 @@ def softdedup_weights(
             ),
         )
     )
-    # left join back so 0-shingle docs keep weight 1e6
-    out = base.select("_id").join(per_doc, "_id", "left").select(
+    # left join back against the RAW id column so 0-shingle docs keep
+    # weight 1e6 (and the shingle UDF is never evaluated a second time
+    # on this branch — ids come straight off the scan)
+    out = src.select(F.col(id_col).alias("_id")).join(
+        per_doc, "_id", "left"
+    ).select(
         F.col("_id").alias(id_col),
         F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
         F.coalesce("dup_shingles", F.lit(0)).cast("long").alias("dup_shingles"),
