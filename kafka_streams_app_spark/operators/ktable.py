@@ -117,13 +117,23 @@ def history_asof_join(
 
     Output: facts.* + history payload + valid_from, valid_to.
     """
-    h = history
-    fact_cols = [facts[c] for c in facts.columns]
-    hist_cols = [h[c] for c in h.columns if c not in keys]
-    cond = [facts[k] == h[k] for k in keys]
-    cond.append(facts[order_col] >= h["valid_from"])
+    # Alias both sides: facts and history routinely share lineage (the
+    # history is built from the same changelog the facts come from),
+    # and DataFrame-reference conditions on shared-lineage joins hit
+    # Spark's ambiguous-self-join check on degenerate plans (e.g. both
+    # sides a projection of one scan). Qualified names are always safe.
+    f = facts.alias("__asof_f")
+    h = history.alias("__asof_h")
+    cond = [
+        F.col(f"__asof_f.{k}") == F.col(f"__asof_h.{k}") for k in keys
+    ]
+    cond.append(F.col(f"__asof_f.{order_col}") >= F.col("__asof_h.valid_from"))
     cond.append(
-        h["valid_to"].isNull() | (facts[order_col] < h["valid_to"])
+        F.col("__asof_h.valid_to").isNull()
+        | (F.col(f"__asof_f.{order_col}") < F.col("__asof_h.valid_to"))
     )
-    joined = facts.join(h, cond, how)
-    return joined.select(*fact_cols, *hist_cols)
+    joined = f.join(h, cond, how)
+    return joined.select(
+        *[F.col(f"__asof_f.{c}") for c in facts.columns],
+        *[F.col(f"__asof_h.{c}") for c in history.columns if c not in keys],
+    )

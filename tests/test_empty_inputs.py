@@ -166,3 +166,51 @@ def test_pq_family_empty_queries_and_hard_negatives(spark, empty_emb, sf_dir):
             emb, emb.limit(1), "vec_id", "embedding", dim=64,
             centroid_mod=(10**9, 10**9 - 1),
         )
+
+
+def test_sketches_on_empty(spark, empty_events, empty_docs):
+    """The sketch family on zero rows: empty register/cell tables,
+    empty top-k, full-weight empty softdedup — right schemas, no
+    errors."""
+    from kafka_streams_app_spark.operators import sketches as SK
+
+    regs = SK.hll_registers(empty_events, ["event_type"], "user_id")
+    assert regs.count() == 0
+    assert set(regs.columns) == {"event_type", "bucket", "max_rho"}
+
+    est = SK.hll_distinct(empty_events, ["event_type"], "user_id")
+    assert est.count() == 0
+    assert set(est.columns) == {
+        "event_type", "used_registers", "denom", "est_distinct",
+    }
+
+    assert SK.cms_sketch(empty_events, "user_id").count() == 0
+    topk = SK.cms_topk(empty_events, "user_id", n=5)
+    assert topk.count() == 0 and set(topk.columns) == {"item", "est_cnt"}
+
+    w = pipeline.softdedup_weights(empty_docs, "text", "doc_id")
+    assert w.count() == 0
+    assert set(w.columns) == {
+        "doc_id", "n_shingles", "dup_shingles", "weight_ppm",
+    }
+    assert pipeline.weighted_sample(w, "weight_ppm", "doc_id").count() == 0
+
+
+def test_history_asof_on_empty(spark, empty_events):
+    """Empty facts and/or empty history: structurally sound output."""
+    from kafka_streams_app_spark.operators.ktable import (
+        history_asof_join, table_history,
+    )
+
+    chg = empty_events.select("user_id", "event_id", "event_type")
+    hist = table_history(chg, ["user_id"], "event_id", ["event_type"])
+    assert hist.count() == 0
+
+    facts = empty_events.select("user_id", "event_id")
+    assert history_asof_join(facts, hist, ["user_id"], "event_id").count() == 0
+
+    # non-empty facts vs empty history: left keeps facts NULL-padded
+    real = spark.createDataFrame([(1, 10)], "user_id long, event_id long")
+    out = history_asof_join(real, hist, ["user_id"], "event_id")
+    assert out.count() == 1
+    assert out.collect()[0].event_type is None
