@@ -84,6 +84,7 @@ SKETCHES = [
     "events_hll_distinct",
     "events_hll_windowed",
     "events_cms_topk",
+    "events_hist_quantiles",
     "corpus_softdedup_sample",
     "ktable_history_asof",
 ]

@@ -223,3 +223,117 @@ def cms_topk(
         est.orderBy(F.col("est_cnt").desc(), F.col("item"))
         .limit(n)
     )
+
+
+# --- bounded-bucket histogram: the mergeable quantile sketch ----------------
+#
+# Completes the sketch trio: distinct count (HLL), heavy hitters
+# (Count-Min), quantiles (this). The sketch is a fixed-domain
+# equi-width histogram — per group key at most n_buckets bigint
+# counts whatever the input size, built by ONE map-side-combined
+# aggregate, mergeable by bucket-wise sum (so it unions across
+# corpora and a streaming twin is the same aggregate in complete
+# mode). The quantile readout is rank-exact AT BUCKET GRANULARITY:
+# the reported bucket is the true bucket of the order statistic, so
+# the estimate's error is bounded by the bucket width — the classic
+# trade the exact per-key order-statistic path in
+# analytics.group_quantiles_disc cannot make at 100 TB (it shuffles
+# every row by (key, value); this shuffles at most keys x n_buckets
+# sketch rows after the map-side combine).
+#
+# Determinism contract: bucketization is floor((value - lo)/width)
+# with lo/width the same double literals on both engines — two IEEE
+# ops + floor, bit-identical; ranks are exact integers
+# ((total * q_ppm + 999999) div 1e6, int64-safe to ~9e12 rows per
+# key); the single reported edge est_hi = lo + (bucket+1)*width is
+# the same two-literal double expression both engines.
+
+
+def hist_bucket(value: Column, lo: float, hi: float, n_buckets: int) -> Column:
+    """Equi-width bucket id of `value` over [lo, hi): floor((v-lo)/w)
+    clamped to [0, n_buckets-1] — out-of-domain values land in the
+    edge buckets (they perturb at most the extreme quantiles, never
+    crash the sketch)."""
+    width = (hi - lo) / n_buckets
+    b = F.floor((value - F.lit(lo)) / F.lit(width)).cast("long")
+    return F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+
+
+def hist_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-`keys` histogram sketch: (keys..., bucket, cnt), one row per
+    OCCUPIED bucket (empty buckets are implicit zeros). Null values are
+    excluded (a quantile of nulls is undefined). ONE hash aggregate,
+    map-side combined; the shuffle carries at most keys x n_buckets
+    rows however large the input. Mergeable: union two sketches by
+    groupBy(keys, bucket).sum(cnt)."""
+    b = hist_bucket(F.col(value), lo, hi, n_buckets)
+    return (
+        df.filter(F.col(value).isNotNull())
+        .select(*keys, b.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_buckets: int = 256,
+    qs_ppm: tuple[int, ...] = (500000, 900000, 990000),
+) -> DataFrame:
+    """Quantile readout of the histogram sketch: for each key and each
+    q (in ppm), the bucket containing the rank-ceil(q*n) order
+    statistic and its upper edge as the value estimate (a conservative
+    upper bound with error <= one bucket width).
+
+    rank = (total * q_ppm + 999999) div 1e6 — exact int64 ceil, no
+    float q anywhere; the answer bucket is min bucket with cumulative
+    count >= rank. The cumulative scan is a window over the SKETCH
+    (<= n_buckets rows per key), not the data — the only full-data
+    pass is hist_sketch's map-side-combined aggregate.
+
+    Output: keys..., q_ppm, rank, bucket, est_hi.
+    """
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / n_buckets
+    sk = hist_sketch(df, keys, value, lo, hi, n_buckets)
+    wk = Window.partitionBy(*keys)
+    wcum = wk.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sk.select(
+        *keys,
+        "bucket",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wk).alias("total"),
+    )
+    q_arr = F.array(*[F.lit(int(q)) for q in qs_ppm])
+    hit = (
+        cum.select(*keys, "bucket", "cum", "total",
+                   F.explode(q_arr).alias("q_ppm"))
+        .withColumn(
+            "rank",
+            F.expr("CAST((total * q_ppm + 999999) DIV 1000000 AS BIGINT)"),
+        )
+        .filter(F.col("cum") >= F.col("rank"))
+    )
+    return (
+        hit.groupBy(*keys, "q_ppm")
+        .agg(F.min("rank").alias("rank"), F.min("bucket").alias("bucket"))
+        .select(
+            *keys,
+            F.col("q_ppm").cast("long").alias("q_ppm"),
+            "rank",
+            "bucket",
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("est_hi"),
+        )
+    )

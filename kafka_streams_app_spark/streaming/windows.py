@@ -155,6 +155,34 @@ def cms_cell_stream(
     )
 
 
+def hist_cell_stream(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Streaming histogram-sketch maintenance — the incremental twin of
+    operators/sketches.hist_sketch (the quantile member of the sketch
+    trio): per-(keys, bucket) running counts are an ordinary streaming
+    COUNT aggregate, so state is bounded at keys x n_buckets rows at
+    ANY value cardinality and the COMPLETE snapshot equals the batch
+    sketch row for row (the oracle's pin). Quantile readout
+    (sketches.hist_quantiles) stays a batch/IQ-side concern over the
+    snapshot — the sketch table is the interchange format, same as the
+    HLL register block and the CMS cell table."""
+    from kafka_streams_app_spark.operators.sketches import hist_bucket
+
+    b = hist_bucket(F.col(value), lo, hi, n_buckets)
+    return (
+        df.filter(F.col(value).isNotNull())
+        .select(*keys, b.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def hll_register_stream(
     df: DataFrame, keys: list[str], value: str, b: int = 8
 ) -> DataFrame:

@@ -322,3 +322,109 @@ def test_cms_topk_external_candidate_set(spark):
     assert set(got) == {"v0", "v7", "nope"}
     assert got["v0"] == full["v0"] and got["v7"] == full["v7"]
     assert got["nope"] >= 0  # absent item still gets an (over)estimate
+
+
+# --- histogram quantile sketch ----------------------------------------------
+
+
+def _py_hist(vals, lo=0.0, hi=512.0, n=256):
+    w = (hi - lo) / n
+    out: dict[int, int] = {}
+    for v in vals:
+        if v is None:
+            continue
+        b = min(max(int(math.floor((v - lo) / w)), 0), n - 1)
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def test_hist_sketch_matches_python_twin(spark):
+    """Bucketization vs the plain-Python twin, including the clamp of
+    out-of-domain values to the edge buckets and null exclusion."""
+    vals = [0.01, 1.99, 2.0, 511.9, 512.0, 600.0, -5.0, 250.5, None, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        (r.bucket, r.cnt)
+        for r in SK.hist_sketch(df, [], "v", 0.0, 512.0, 256).collect()
+    }
+    want = set(_py_hist(vals).items())
+    assert got == want
+    # clamp pins: 512.0/600.0 land in bucket 255, -5.0 in bucket 0
+    assert _py_hist([512.0])[255] == 1 and _py_hist([-5.0])[0] == 1
+
+
+def test_hist_quantiles_bucket_is_rank_exact(spark):
+    """The reported bucket is the TRUE bucket of the ceil(q*n) order
+    statistic (the sketch is rank-exact at bucket granularity), and
+    est_hi is an upper bound within one bucket width."""
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(0, 490) for _ in range(1000)]
+    df = spark.createDataFrame([("a", v) for v in vals], "k string, v double")
+    qs = (500000, 900000, 990000)
+    got = {
+        r.q_ppm: (r.rank, r.bucket, r.est_hi)
+        for r in SK.hist_quantiles(
+            df, ["k"], "v", 0.0, 512.0, 256, qs
+        ).collect()
+    }
+    s = sorted(vals)
+    width = 512.0 / 256
+    for q in qs:
+        rank = (len(s) * q + 999999) // 1000000
+        x = s[rank - 1]
+        true_bucket = min(max(int(math.floor(x / width)), 0), 255)
+        r_rank, r_bucket, r_est = got[q]
+        assert r_rank == rank
+        assert r_bucket == true_bucket
+        assert x <= r_est <= x + width
+
+
+def test_hist_sketch_merges_by_bucket_sum(spark):
+    """Mergeability: bucket-wise summing the halves' sketches equals
+    the whole corpus' sketch — the map-side-combine / cross-corpus
+    union property."""
+    vals = [float((i * 37) % 500) for i in range(400)]
+    a = spark.createDataFrame([(v,) for v in vals[:200]], "v double")
+    b = spark.createDataFrame([(v,) for v in vals[200:]], "v double")
+    both = spark.createDataFrame([(v,) for v in vals], "v double")
+    merged = (
+        SK.hist_sketch(a, [], "v")
+        .unionByName(SK.hist_sketch(b, [], "v"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r.bucket, r.cnt) for r in merged.collect()}
+    want = {(r.bucket, r.cnt) for r in SK.hist_sketch(both, [], "v").collect()}
+    assert got == want
+
+
+def test_streaming_hist_cells_equal_batch(spark):
+    """The streaming histogram (complete mode, two micro-batches)
+    equals the batch sketch row for row — bounded state at
+    keys x n_buckets across batches, through the real runtime."""
+    from datetime import datetime, timezone
+
+    t0 = datetime(2024, 5, 3, 9, 30, 0, tzinfo=timezone.utc)
+    rows = [(f"k{i % 3}", float((i * 13) % 500), t0) for i in range(200)]
+    with MicroBatchReplay(
+        spark,
+        "k string, v double, ts timestamp",
+        lambda src: W.hist_cell_stream(src, ["k"], "v"),
+        output_mode="complete",
+    ) as r:
+        r.pipe(rows[:100])
+        r.pipe(rows[100:])
+        got = {(x.k, x.bucket, x.cnt) for x in r.table().collect()}
+    batch = spark.createDataFrame(rows, "k string, v double, ts timestamp")
+    want = {
+        (x.k, x.bucket, x.cnt)
+        for x in SK.hist_sketch(batch, ["k"], "v").collect()
+    }
+    assert got == want
+
+
+def test_hist_quantiles_empty_input(spark):
+    df = spark.createDataFrame([], "k string, v double")
+    assert SK.hist_quantiles(df, ["k"], "v").count() == 0

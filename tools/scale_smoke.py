@@ -703,6 +703,55 @@ def sketches100_main() -> None:
             "sketch_cells": int(cells), "cell_bound": 4 * 256,
         }))
 
+        # histogram quantiles: sketch rows bounded at keys x 256, the
+        # readout within one bucket width of the EXACT order statistic
+        # (computed via the full per-key sort the sketch replaces — its
+        # wall is recorded as the comparison cost).
+        from pyspark.sql.window import Window as _Win
+
+        qs = (500000, 900000, 990000)
+        t0 = time.time()
+        hq = {
+            (r.event_type, r.q_ppm): r.est_hi
+            for r in SKOP.hist_quantiles(
+                ev, ["event_type"], "value", 0.0, 512.0, 256, qs
+            ).collect()
+        }
+        wall = time.time() - t0
+        hrows = SKOP.hist_sketch(ev, ["event_type"], "value").count()
+        t0 = time.time()
+        nn = ev.filter(F.col("value").isNotNull())
+        tot = {
+            r.event_type: r.total
+            for r in nn.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("total")).collect()
+        }
+        want = spark.createDataFrame(
+            [(k, q, (t * q + 999999) // 1000000) for k, t in tot.items()
+             for q in qs],
+            "event_type string, q_ppm long, rn long",
+        )
+        ranked = nn.select(
+            "event_type", "value",
+            F.row_number().over(
+                _Win.partitionBy("event_type").orderBy("value")
+            ).alias("rn"),
+        )
+        exact = {
+            (r.event_type, r.q_ppm): r.value
+            for r in ranked.join(F.broadcast(want), ["event_type", "rn"])
+            .collect()
+        }
+        wall_exact = time.time() - t0
+        gaps = [hq[k] - exact[k] for k in exact]
+        print(json.dumps({
+            "op": "events_hist_quantiles", "mult": mult,
+            "wall_s": round(wall, 2), "wall_exact_sort_s": round(wall_exact, 2),
+            "sketch_rows": int(hrows), "sketch_bound": len(tot) * 256,
+            "min_gap": round(min(gaps), 4), "max_gap": round(max(gaps), 4),
+            "gap_bound_width": 2.0,
+        }))
+
     for mult in (10, 100):
         d = build_docs(spark, mult)
         docs = load_table(spark, d, "documents")
