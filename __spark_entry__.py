@@ -184,6 +184,34 @@ def _winnowing_pairs_md5_sql(
     """
 
 
+def _winnow_candidates_md5_sql(
+    k: int = 5, window: int = 4, p: int = (1 << 31) - 1
+) -> str:
+    """DuckDB twin of streaming/dedup_candidates.py: the final emitted
+    SET of the streaming bucket-pair operator is, by its exactly-once
+    emission contract, the batch posting-list self-join — every
+    (fp, doc_a < doc_b) with both docs carrying fingerprint fp."""
+    return f"""
+    WITH {_TOKS},
+    h AS (SELECT doc_id, [{_h60('x')} % {p} FOR x IN t] AS hs FROM toks),
+    g AS (SELECT doc_id,
+                 [list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+{k - 1}]),
+                              (a, b) -> (a * 31 + b) % {p})
+                  FOR i IN range(1, len(hs) - {k - 1} + 1)] AS gh
+          FROM h),
+    w AS (SELECT doc_id,
+                 CASE WHEN len(gh) >= {window}
+                      THEN [list_min(gh[i:i+{window - 1}])
+                            FOR i IN range(1, len(gh) - {window - 1} + 1)]
+                      ELSE [] END AS mins
+          FROM g),
+    fp0 AS (SELECT doc_id, UNNEST(list_distinct(mins)) AS fp
+            FROM w WHERE len(mins) > 0)
+    SELECT a.fp AS fp, a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM fp0 a JOIN fp0 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    """
+
+
 def _md5_bucket_list_sql(n_planes: int, n_tables: int, dim: int) -> str:
     """SQL for the list of per-table LSH bucket ids of a quantized
     vector column ``q``: regenerates the Rademacher ±1 planes as literal
@@ -2062,6 +2090,25 @@ def _q_s_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(
         spark, dd.select("user_id", "event_type"), _sink(), "append"
     )
+
+
+def _q_s_winnow_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming NEAR-DUP candidate pairs at ingest
+    (streaming/dedup_candidates.py): documents stream in, winnowing
+    fingerprints are computed with the batch operator's pure-Column
+    path, and a transformWithState operator keyed by fingerprint emits
+    each unordered same-bucket pair exactly once — when its later
+    member arrives. The emitted SET is invariant to the micro-batch
+    split, so the oracle is the batch posting-list self-join."""
+    from kafka_streams_app_spark.streaming import dedup_candidates as DC
+    from kafka_streams_app_spark.streaming.replay import tws_available
+
+    if tws_available(spark):
+        docs = load_stream(spark, sf, "documents")
+        out = DC.winnow_candidates_stream(docs, "text", "doc_id")
+        return run_available_now(spark, out, _sink(), "update")
+    docs = load_table(spark, sf, "documents")
+    return DC.winnow_candidates_batch(docs, "text", "doc_id")
 
 
 def _q_s_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -4467,6 +4514,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "s_dedup_within_watermark": (_q_s_dedup_within_watermark, """
         SELECT DISTINCT user_id, event_type FROM events
     """),
+    # streaming fuzzy-dedup candidate generation: emitted pair set ==
+    # the batch winnowing posting-list self-join (exactly-once emission
+    # contract, streaming/dedup_candidates.py)
+    "s_winnow_candidates": (_q_s_winnow_candidates, _winnow_candidates_md5_sql()),
     "s_stream_stream_join": (_q_s_stream_stream_join, """
         SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
@@ -5082,6 +5133,8 @@ _FRONT = [
     "ktable_history", "s_table_history",
     # (1b) new in the r12 third sitting, never sampled
     "events_hist_quantiles", "s_hist_cells",
+    # (1c) new in the r12 fourth sitting, never sampled
+    "s_winnow_candidates",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",

@@ -1,0 +1,124 @@
+"""Streaming near-dup candidate pins (streaming/dedup_candidates.py):
+exactly-once pair emission across micro-batches, batch-split
+invariance of the emitted set, the hot-bucket member cap, and
+stream == grouped-replay == batch posting-list self-join equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_app_spark.sources.catalog import load_table
+from kafka_streams_app_spark.streaming import dedup_candidates as DC
+from kafka_streams_app_spark.streaming.harness import MicroBatchReplay
+
+SCHEMA = "doc_id long, text string"
+
+# Documents built from a shared 8-token run (winnowing guarantees a
+# shared fingerprint for any shared run of >= k + window - 1 = 8
+# tokens) plus unique filler so the docs are not identical.
+_RUN = "alpha bravo charlie delta echo foxtrot golf hotel"
+
+
+def _doc(i: int, extra: str) -> tuple[int, str]:
+    return (i, f"{_RUN} {extra} one two three four five six seven")
+
+
+def _build(max_members=None):
+    return lambda src: DC.winnow_candidates_stream(
+        src, "text", "doc_id", max_members=max_members
+    )
+
+
+def _batch_pairs(spark, docs):
+    """Batch posting-list self-join over the same fingerprint prefix."""
+    df = spark.createDataFrame(docs, SCHEMA)
+    fps = DC.winnow_fingerprints(df, "text", "doc_id")
+    return sorted(
+        tuple(r)
+        for r in fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.fp").alias("fp"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .collect()
+    )
+
+
+def test_pair_emitted_once_when_later_member_arrives(spark):
+    """Doc 2 arriving in batch 2 pairs against batch-1 state exactly
+    once; a batch with no new bucket members emits nothing."""
+    d1, d2 = _doc(1, "x y z"), _doc(2, "p q r")
+    expected = _batch_pairs(spark, [d1, d2])
+    assert len(expected) > 0
+    with MicroBatchReplay(spark, SCHEMA, _build(), "update") as r:
+        r.pipe([d1])
+        assert r.drain() == []  # sole member: nothing to pair with
+        r.pipe([d2])
+        got = sorted(tuple(x) for x in r.drain())
+        assert got == expected
+        assert all(a == 1 and b == 2 for _, a, b in got)
+        r.pipe([d1])  # re-delivery of a known member
+        assert r.drain() == []  # idempotent: no duplicate pairs
+
+
+def test_emitted_set_invariant_to_batch_split(spark):
+    """One batch of 4 docs vs four batches of 1: same final pair set
+    (the oracle contract), and every pair appears exactly once."""
+    docs = [_doc(i, f"u{i} v{i} w{i}") for i in (1, 2, 3, 4)]
+    expected = _batch_pairs(spark, docs)
+
+    def run(split):
+        with MicroBatchReplay(spark, SCHEMA, _build(), "update") as r:
+            for batch in split:
+                r.pipe(batch)
+            return sorted(tuple(x) for x in r.drain())
+
+    one = run([docs])
+    per_doc = run([[d] for d in docs])
+    assert one == per_doc == expected
+    assert len(one) == len(set(one))  # exactly once, even within-batch
+
+
+def test_max_members_freezes_hot_bucket(spark):
+    """With max_members=2 the third+ member of a bucket neither emits
+    nor joins: pairs stay bounded at C(2,2)=1 per bucket."""
+    docs = [_doc(i, f"a{i} b{i} c{i}") for i in (1, 2, 3, 4)]
+    with MicroBatchReplay(spark, SCHEMA, _build(max_members=2), "update") as r:
+        for d in docs:
+            r.pipe([d])
+        got = [tuple(x) for x in r.drain()]
+    assert len(got) > 0
+    # every emitted pair is within the first two members
+    assert all({a, b} <= {1, 2} for _, a, b in got)
+
+
+def test_stream_equals_replay_equals_batch_on_documents(spark):
+    """Real documents slice: stream (two batches) == grouped-replay ==
+    the batch posting-list self-join, row for row."""
+    docs_df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in docs_df.select("doc_id", "text").orderBy("doc_id").collect()
+    ]
+    expected = _batch_pairs(spark, rows)
+    assert len(expected) > 0
+    replay = sorted(
+        tuple(r)
+        for r in DC.winnow_candidates_batch(
+            spark.createDataFrame(rows, SCHEMA), "text", "doc_id"
+        ).collect()
+    )
+    assert replay == expected
+    with MicroBatchReplay(spark, SCHEMA, _build(), "update") as r:
+        half = len(rows) // 2
+        r.pipe(rows[:half])
+        r.pipe(rows[half:])
+        stream = sorted(tuple(x) for x in r.drain())
+    assert stream == expected
