@@ -1876,6 +1876,35 @@ def _q_events_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.cms_topk(events, "user_id", d=4, w=256, n=20)
 
 
+def _q_events_hll_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL SET ALGEBRA (operators/sketches.hll_setops, b=8): click vs
+    purchase audience sizes, their union via a 256-row register-wise
+    max merge, and the intersection by inclusion-exclusion — audience
+    overlap with keys x 256 rows of traffic per source, never one row
+    per distinct user. est_intersect is two IEEE adds over the three
+    bit-pinned single-division estimates, so the whole row is
+    bit-identical to the DuckDB twin."""
+    events = load_table(spark, sf, "events")
+    return sketches.hll_setops(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        b=8,
+    )
+
+
+def _q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass column profile of the documents table
+    (operators/pipeline.py:profile_columns): per column, null count,
+    EXACT distinct count (one Expand + hash aggregate — one scan), and
+    total rendered length. The ingestion sanity dashboard; the
+    approx_count_distinct/HLL swap is the documented 100 TB dial."""
+    docs = load_table(spark, sf, "documents")
+    return pipeline.profile_columns(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _q_corpus_softdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SoftDeDup (He et al. 2024, arXiv:2401.00830) reweighting: the
     no-document-lost dial of the hard-dedup family — weight_ppm =
@@ -2109,6 +2138,40 @@ def _q_s_winnow_candidates(spark: SparkSession, sf: str) -> DataFrame:
         return run_available_now(spark, out, _sink(), "update")
     docs = load_table(spark, sf, "documents")
     return DC.winnow_candidates_batch(docs, "text", "doc_id")
+
+
+def _q_s_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming fixed-k deterministic sample (streaming/sample.py):
+    per-source bottom-20 md5-rank membership maintained in TWS state
+    bounded at k rows per stratum — the reservoir-sampling shape, made
+    deterministic. The drained CHANGELOG's net-positive set is the
+    final sample (order- and batch-split-invariant: bottom-k of a pure
+    ranking is a commutative idempotent fold); sample_rank is a pure
+    function of the final ids, recomputed sink-side with the SAME hash
+    — so the oracle is stratified_fixed_k's SQL verbatim."""
+    from pyspark.sql import Window
+
+    from kafka_streams_app_spark.streaming import sample as SSample
+    from kafka_streams_app_spark.streaming.replay import tws_available
+
+    if tws_available(spark):
+        docs = load_stream(spark, sf, "documents")
+        out = SSample.sample_topk_stream(docs, "source", "doc_id", k=20, seed=3)
+        ch = run_available_now(spark, out, _sink(), "update")
+    else:
+        docs = load_table(spark, sf, "documents")
+        ch = SSample.sample_topk_batch(docs, "source", "doc_id", k=20, seed=3)
+    final = (
+        ch.groupBy("source", "doc_id")
+        .agg(F.sum("op").alias("_net"))
+        .filter(F.col("_net") > 0)
+    )
+    w = Window.partitionBy("source").orderBy(
+        SSample.rank_hash(F.col("doc_id"), 3), F.col("doc_id")
+    )
+    return final.select(
+        "doc_id", "source", F.row_number().over(w).alias("sample_rank")
+    )
 
 
 def _q_s_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -4351,6 +4414,40 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # double division is bit-equal across engines (see _HLL_SQL/_HLL_NUM
     # above the dict).
     "events_hll_distinct": (_q_events_hll_distinct, _HLL_DISTINCT_SQL),
+    # HLL set algebra: per-side registers from ONE aggregate, union by
+    # register-wise max, intersection by inclusion-exclusion — every
+    # estimate the same single NUM/denom division as the distinct twin
+    "events_hll_setops": (_q_events_hll_setops, f"""
+        WITH h AS (
+          SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS side,
+                 CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h60
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ), br AS (
+          SELECT side, h60 & 255 AS bucket,
+                 CASE WHEN (h60 >> 8) = 0 THEN 53
+                      ELSE 52 - (length(bin(h60 >> 8)) - 1) END AS rho
+          FROM h
+        ), regs AS (
+          SELECT side, CAST(bucket AS BIGINT) AS bucket,
+                 CAST(max(rho) AS BIGINT) AS max_rho
+          FROM br GROUP BY ALL
+        ), u AS (
+          SELECT bucket, max(max_rho) AS max_rho FROM regs GROUP BY bucket
+        ), es AS (
+          SELECT side, {_HLL_NUM!r} / CAST(sum(1::BIGINT << CAST(53 - max_rho AS INT))
+                + (256 - count(*)) * (1::BIGINT << 53) AS DOUBLE) AS est
+          FROM regs GROUP BY side
+        ), eu AS (
+          SELECT {_HLL_NUM!r} / CAST(sum(1::BIGINT << CAST(53 - max_rho AS INT))
+                + (256 - count(*)) * (1::BIGINT << 53) AS DOUBLE) AS est_union
+          FROM u
+        )
+        SELECT a.est AS est_a, b.est AS est_b, eu.est_union,
+               a.est + b.est - eu.est_union AS est_intersect
+        FROM (SELECT est FROM es WHERE side = 'a') a,
+             (SELECT est FROM es WHERE side = 'b') b, eu
+    """),
     "events_hll_windowed": (_q_events_hll_windowed, _HLL_WINDOWED_SQL),
     "events_cms_topk": (_q_events_cms_topk, _CMS_TOPK_SQL),
     "events_hist_quantiles": (_q_events_hist_quantiles, _HIST_QUANTILES_SQL),
@@ -4376,6 +4473,35 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         WHERE CAST('0x' || substring(md5('wsample|'
                 || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
               < weight_ppm
+    """),
+    # one-pass table profile: per-column nulls / exact distinct / total
+    # rendered length (ints render identically on both engines)
+    "corpus_profile": (_q_corpus_profile, """
+        SELECT 'doc_id' AS col_name,
+               CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+               CAST(coalesce(sum(length(CAST(doc_id AS VARCHAR))), 0) AS BIGINT) AS sum_len
+        FROM documents
+        UNION ALL
+        SELECT 'text', CAST(count(*) - count(text) AS BIGINT),
+               CAST(count(DISTINCT text) AS BIGINT),
+               CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'lang', CAST(count(*) - count(lang) AS BIGINT),
+               CAST(count(DISTINCT lang) AS BIGINT),
+               CAST(coalesce(sum(length(lang)), 0) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'source', CAST(count(*) - count(source) AS BIGINT),
+               CAST(count(DISTINCT source) AS BIGINT),
+               CAST(coalesce(sum(length(source)), 0) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(count(*) - count(n_chars) AS BIGINT),
+               CAST(count(DISTINCT n_chars) AS BIGINT),
+               CAST(coalesce(sum(length(CAST(n_chars AS VARCHAR))), 0) AS BIGINT)
+        FROM documents
     """),
     "corpus_softdedup": (_q_corpus_softdedup, "WITH " + _SHINGLES + """,
         ex AS (
@@ -4518,6 +4644,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the batch winnowing posting-list self-join (exactly-once emission
     # contract, streaming/dedup_candidates.py)
     "s_winnow_candidates": (_q_s_winnow_candidates, _winnow_candidates_md5_sql()),
+    # streaming deterministic reservoir: changelog net-positive set ==
+    # the batch stratified_fixed_k draw (same oracle SQL)
+    "s_sample_topk": (_q_s_sample_topk, """
+        SELECT doc_id, source, sample_rank FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST('0x' || substring(md5(
+                     '3:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   doc_id) AS INT) AS sample_rank
+          FROM documents)
+        WHERE sample_rank <= 20
+    """),
     "s_stream_stream_join": (_q_s_stream_stream_join, """
         SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
@@ -5134,7 +5273,8 @@ _FRONT = [
     # (1b) new in the r12 third sitting, never sampled
     "events_hist_quantiles", "s_hist_cells",
     # (1c) new in the r12 fourth sitting, never sampled
-    "s_winnow_candidates",
+    "s_winnow_candidates", "events_hll_setops", "s_sample_topk",
+    "corpus_profile",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",

@@ -1314,3 +1314,51 @@ def weighted_sample(
         F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")), 1_000_000
     )
     return df.filter(bucket < F.col(weight_ppm_col))
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass data-quality PROFILE of a table: per column, the null
+    count, the exact distinct count, and the total rendered length —
+    the sanity dashboard every ingestion run prints before a corpus is
+    allowed into training (null spikes, cardinality collapses, and
+    truncated-text regressions all show up here first).
+
+    Plan: ONE aggregate over one scan — the multi-column
+    count_distinct set compiles to a single Expand + hash aggregate
+    (each input row fans out once per distinct-column, the standard
+    Spark multi-distinct shape), so the table is read exactly once and
+    nothing but the 3*len(cols) scalar results reaches the driver. The
+    wide scalar row is then unpivoted to (col_name, n_nulls,
+    n_distinct, sum_len) rows by an explode over literal structs —
+    driver-free, engine-portable.
+
+    At 100 TB the exact multi-distinct's Expand multiplies the shuffle
+    by len(cols); profile runs that can tolerate ~2% error swap
+    count_distinct for approx_count_distinct (Spark's HLL++) or the
+    repo's own sketches.hll_distinct per column — the documented dial;
+    null/length sums are plain map-side-combined aggregates either
+    way. All-integer output: no cross-engine float risk.
+
+    Output: col_name, n_nulls, n_distinct, sum_len (length of the
+    string rendering; ints render identically on both engines).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{c}"),
+            F.coalesce(F.sum(F.length(F.col(c).cast("string"))), F.lit(0))
+            .cast("long")
+            .alias(f"_sl_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"_nn_{c}").alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_sl_{c}").alias("sum_len"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")

@@ -121,10 +121,18 @@ def hll_distinct(
     when n << m matters (tested against math.log in pytest, not in the
     cross-engine oracle).
     """
+    regs = hll_registers(df, keys, value, b)
+    return hll_estimate(regs, keys, b)
+
+
+def hll_estimate(regs: DataFrame, keys: list[str], b: int = 8) -> DataFrame:
+    """The register-table -> estimate readout of hll_distinct, split
+    out so MERGED register tables (unions across corpora/sources —
+    hll_setops) reuse the identical exact-int denominator and the
+    single NUM/denom double division."""
     m = 1 << b
     w_bits = _HASH_BITS - b
     num = hll_alpha(m) * m * m * float(1 << (w_bits + 1))
-    regs = hll_registers(df, keys, value, b)
     empty_term = F.lit(m) - F.count(F.lit(1))  # registers never hit
     # 2^(W+1 - M_j) via SQL shiftleft (the Python wrapper's numBits
     # must be a literal int; the SQL form takes an expression).
@@ -132,7 +140,8 @@ def hll_distinct(
         f"shiftleft(CAST(1 AS BIGINT), CAST({w_bits + 1} - max_rho AS INT))"
     )
     denom = F.sum(occupied) + empty_term * F.lit(1 << (w_bits + 1))
-    return regs.groupBy(*keys).agg(
+    grouped = regs.groupBy(*keys) if keys else regs.groupBy()
+    return grouped.agg(
         F.count(F.lit(1)).cast("long").alias("used_registers"),
         denom.cast("long").alias("denom"),
         (F.lit(num) / denom.cast("double")).alias("est_distinct"),
@@ -335,5 +344,64 @@ def hist_quantiles(
             "rank",
             "bucket",
             (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("est_hi"),
+        )
+    )
+
+
+def hll_setops(
+    df_a: DataFrame, df_b: DataFrame, value: str, b: int = 8
+) -> DataFrame:
+    """Distinct-count SET ALGEBRA over two corpora via mergeable HLL
+    registers: |A|, |B|, |A ∪ B| from a register-wise max merge, and
+    |A ∩ B| by inclusion-exclusion — the audience-overlap question
+    ("how many users did BOTH X and Y") answered without ever
+    shuffling one row per distinct value, let alone materializing the
+    intersection.
+
+    This is the mergeability property (register max is a commutative
+    monoid) exercised ACROSS datasets rather than across partitions:
+    at 100 TB each source keeps its own m-register table (built
+    map-side combined, keys x 256 rows on the wire), and any union of
+    sources is a 256-row max-merge — so n-way overlap dashboards cost
+    O(n * m) rows of traffic total, not a re-scan per combination.
+
+    Exactness contract: both per-side registers and the merged table
+    are exact integers; est_a/est_b/est_union are each the single
+    NUM/denom double division (hll_estimate); est_intersect =
+    est_a + est_b - est_union is two IEEE adds of bit-pinned doubles,
+    hence itself bit-identical cross-engine. Inclusion-exclusion error
+    compounds the three estimates' ~1.04/sqrt(m) relative errors
+    against the (smaller) intersection, the standard HLL trade —
+    callers needing tighter intersections at 100 TB use more buckets
+    (b dial) or a theta/KMV sketch.
+
+    Output: ONE row — est_a, est_b, est_union, est_intersect.
+    """
+    tagged = df_a.select(
+        F.lit("a").alias("_side"), F.col(value).alias("_v")
+    ).unionByName(df_b.select(F.lit("b").alias("_side"), F.col(value).alias("_v")))
+    regs = hll_registers(tagged, ["_side"], "_v", b)
+    # ONE aggregate builds both sides' registers; the union table is a
+    # 2*m-row max-merge of it, never a second scan of the inputs.
+    sides = hll_estimate(regs, ["_side"], b)
+    union_regs = regs.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    est_u = hll_estimate(union_regs, [], b).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    est_a = sides.filter(F.col("_side") == "a").select(
+        F.col("est_distinct").alias("est_a")
+    )
+    est_b = sides.filter(F.col("_side") == "b").select(
+        F.col("est_distinct").alias("est_b")
+    )
+    # three one-row frames: broadcast cross joins are scalar glue
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .select(
+            "est_a", "est_b", "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersect"
+            ),
         )
     )

@@ -428,3 +428,50 @@ def test_streaming_hist_cells_equal_batch(spark):
 def test_hist_quantiles_empty_input(spark):
     df = spark.createDataFrame([], "k string, v double")
     assert SK.hist_quantiles(df, ["k"], "v").count() == 0
+
+
+# --- HLL set algebra (hll_setops) -------------------------------------------
+
+
+def _setops_row(spark, a_vals, b_vals):
+    df_a = spark.createDataFrame([(v,) for v in a_vals], "v string")
+    df_b = spark.createDataFrame([(v,) for v in b_vals], "v string")
+    return SK.hll_setops(df_a, df_b, "v", b=8).collect()[0]
+
+
+def test_hll_setops_identical_sets(spark):
+    """A == B: union registers == each side's, so est_union == est_a ==
+    est_b exactly and est_intersect == est_a (inclusion-exclusion is
+    exact when the estimates coincide bit for bit)."""
+    vals = [f"u{i}" for i in range(500)]
+    r = _setops_row(spark, vals, vals)
+    assert r["est_a"] == r["est_b"] == r["est_union"] == r["est_intersect"]
+
+
+def test_hll_setops_disjoint_sets_intersect_near_zero(spark):
+    """Disjoint A, B (1000 each): est_intersect is within HLL noise of
+    0 (|x| <= 3 * 1.04/sqrt(256) * |union|) and est_union within the
+    same band of 2000."""
+    a = [f"a{i}" for i in range(1000)]
+    b = [f"b{i}" for i in range(1000)]
+    r = _setops_row(spark, a, b)
+    band = 3 * 1.04 / math.sqrt(256)
+    assert abs(r["est_union"] - 2000) <= band * 2000
+    assert abs(r["est_intersect"]) <= band * r["est_union"]
+
+
+def test_hll_setops_matches_python_register_twin(spark):
+    """est_union equals the estimate computed from the plain-Python
+    max-merged register tables (sketch math pinned end to end)."""
+    a = [f"x{i}" for i in range(300)]
+    b = [f"x{i}" for i in range(150, 600)]  # 50% overlap
+    ra, rb = _py_registers(a), _py_registers(b)
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    m, w_bits = 256, 52
+    num = SK.hll_alpha(m) * m * m * float(1 << (w_bits + 1))
+    denom = sum(1 << (w_bits + 1 - r) for r in merged.values()) + (
+        m - len(merged)
+    ) * (1 << (w_bits + 1))
+    r = _setops_row(spark, a, b)
+    assert r["est_union"] == num / denom
+    assert r["est_intersect"] == r["est_a"] + r["est_b"] - r["est_union"]
