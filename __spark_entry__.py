@@ -2140,6 +2140,40 @@ def _q_s_winnow_candidates(spark: SparkSession, sf: str) -> DataFrame:
     return DC.winnow_candidates_batch(docs, "text", "doc_id")
 
 
+def _q_s_profile_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming data-quality monitor
+    (streaming/windows.py:profile_cell_stream): corpus_profile's
+    metrics maintained incrementally with state bounded at
+    cols x 257 rows — null count and total rendered length as running
+    sums, distinct as per-column HLL registers (the batch profile's
+    documented 100 TB dial, here as the streaming path). The
+    complete-mode snapshot is cell-for-cell the batch aggregate; the
+    per-column readout (sums + the register estimate) is a pure
+    function of the snapshot, derived sink-side with
+    sketches.hll_estimate — the same exact-int denominator and single
+    division as every HLL twin, so est_distinct is bit-identical to
+    the DuckDB replay."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = load_stream(spark, sf, "documents")
+    cells = SW.profile_cell_stream(docs, cols, b=8)
+    snap = run_available_now(spark, cells, _sink(), "complete")
+    nl = snap.groupBy("col_name").agg(
+        F.sum("n_nulls").cast("long").alias("n_nulls"),
+        F.sum("sum_len").cast("long").alias("sum_len"),
+    )
+    # rename the key on the register branch: both branches read the
+    # same sink view, and Spark refuses the ambiguous self-join refs
+    regs = snap.filter(F.col("bucket") >= 0).select(
+        F.col("col_name").alias("_cn"), "bucket", "max_rho"
+    )
+    est = sketches.hll_estimate(regs, ["_cn"], b=8).select(
+        "_cn", "est_distinct"
+    )
+    return nl.join(est, nl["col_name"] == est["_cn"]).select(
+        "col_name", "n_nulls", "sum_len", "est_distinct"
+    )
+
+
 def _q_s_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming fixed-k deterministic sample (streaming/sample.py):
     per-source bottom-20 md5-rank membership maintained in TWS state
@@ -4644,6 +4678,42 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the batch winnowing posting-list self-join (exactly-once emission
     # contract, streaming/dedup_candidates.py)
     "s_winnow_candidates": (_q_s_winnow_candidates, _winnow_candidates_md5_sql()),
+    # streaming data-quality monitor: complete-mode cell snapshot ==
+    # the batch aggregate; readout (sums + register estimate) replayed
+    "s_profile_running": (_q_s_profile_running, f"""
+        WITH long AS (
+          SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+          UNION ALL SELECT 'text', text FROM documents
+          UNION ALL SELECT 'lang', lang FROM documents
+          UNION ALL SELECT 'source', source FROM documents
+          UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        ), nl AS (
+          SELECT col_name,
+                 CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 CAST(coalesce(sum(length(v)), 0) AS BIGINT) AS sum_len
+          FROM long GROUP BY col_name
+        ), h AS (
+          SELECT col_name,
+                 CAST('0x' || substring(md5(v), 1, 15) AS BIGINT) AS h60
+          FROM long WHERE v IS NOT NULL
+        ), br AS (
+          SELECT col_name, h60 & 255 AS bucket,
+                 CASE WHEN (h60 >> 8) = 0 THEN 53
+                      ELSE 52 - (length(bin(h60 >> 8)) - 1) END AS rho
+          FROM h
+        ), regs AS (
+          SELECT col_name, CAST(bucket AS BIGINT) AS bucket,
+                 CAST(max(rho) AS BIGINT) AS max_rho
+          FROM br GROUP BY ALL
+        ), es AS (
+          SELECT col_name,
+                 {_HLL_NUM!r} / CAST(sum(1::BIGINT << CAST(53 - max_rho AS INT))
+                   + (256 - count(*)) * (1::BIGINT << 53) AS DOUBLE) AS est_distinct
+          FROM regs GROUP BY col_name
+        )
+        SELECT nl.col_name, nl.n_nulls, nl.sum_len, es.est_distinct
+        FROM nl JOIN es USING (col_name)
+    """),
     # streaming deterministic reservoir: changelog net-positive set ==
     # the batch stratified_fixed_k draw (same oracle SQL)
     "s_sample_topk": (_q_s_sample_topk, """
@@ -5274,7 +5344,7 @@ _FRONT = [
     "events_hist_quantiles", "s_hist_cells",
     # (1c) new in the r12 fourth sitting, never sampled
     "s_winnow_candidates", "events_hll_setops", "s_sample_topk",
-    "corpus_profile",
+    "corpus_profile", "s_profile_running",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",

@@ -85,6 +85,7 @@ SKETCHES = [
     "events_hll_windowed",
     "events_cms_topk",
     "events_hist_quantiles",
+    "events_hll_setops",
     "corpus_softdedup_sample",
     "ktable_history_asof",
 ]

@@ -327,3 +327,48 @@ def interval_join_stream(
         l[left_ts] + F.expr(f"INTERVAL {after_s} SECONDS"),
     )
     return l.join(r, cond & rng, how)
+
+
+def profile_cell_stream(df: DataFrame, cols: list[str], b: int = 8) -> DataFrame:
+    """Streaming DATA-QUALITY MONITOR: the incremental twin of
+    operators/pipeline.profile_columns, with the exact multi-distinct
+    swapped for that operator's own documented 100 TB dial (HLL
+    registers per column) so state stays bounded.
+
+    Each input row unpivots to one (col_name, rendered value) row per
+    profiled column; ONE running aggregate on (col_name, bucket) then
+    maintains, per column: the null count and total rendered length
+    (plain commutative sums, null rows routed to the sentinel bucket
+    -1 so every metric lives in the same state table) and the HLL
+    register maxima (buckets 0..2^b-1). State is bounded at
+    cols x (2^b + 1) rows at ANY stream length or value cardinality.
+
+    COMPLETE-mode snapshot == the batch cell table over the same rows
+    (every cell a commutative monoid — order/batch-split invariant),
+    which is what the oracle pins; the per-column readout (n_nulls,
+    sum_len, est_distinct via sketches.hll_estimate) is a pure
+    function of the ≤ cols x 257-row snapshot, derived sink-side.
+    """
+    from kafka_streams_app_spark.operators.sketches import hll_bucket_rho
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(c).cast("string").alias("_v"),
+        )
+        for c in cols
+    ]
+    long = df.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+    bucket, rho = hll_bucket_rho(F.col("_v"), b)
+    cells = long.select(
+        "col_name",
+        F.when(F.col("_v").isNull(), F.lit(-1)).otherwise(bucket).alias("bucket"),
+        F.when(F.col("_v").isNull(), F.lit(0)).otherwise(rho).alias("rho"),
+        F.when(F.col("_v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("_isn"),
+        F.coalesce(F.length("_v"), F.lit(0)).alias("_len"),
+    )
+    return cells.groupBy("col_name", "bucket").agg(
+        F.max("rho").alias("max_rho"),
+        F.sum("_isn").cast("long").alias("n_nulls"),
+        F.sum("_len").cast("long").alias("sum_len"),
+    )

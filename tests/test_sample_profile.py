@@ -108,3 +108,32 @@ def test_profile_single_scan_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_profile_cell_stream_snapshot_equals_batch(spark):
+    """Complete-mode cell snapshot == the same aggregate run in batch
+    (commutative cells), nulls routed to bucket -1, state bounded at
+    cols x 257 rows."""
+    from kafka_streams_app_spark.streaming import windows as SW
+
+    rows = [(i, f"t{i % 7}" if i % 5 else None) for i in range(200)]
+    schema = "id long, t string"
+    batch = sorted(
+        tuple(r)
+        for r in SW.profile_cell_stream(
+            spark.createDataFrame(rows, schema), ["id", "t"], b=8
+        ).collect()
+    )
+    with MicroBatchReplay(
+        spark, schema,
+        lambda src: SW.profile_cell_stream(src, ["id", "t"], b=8),
+        "complete",
+    ) as r:
+        r.pipe(rows[:90])
+        r.pipe(rows[90:])
+        stream = sorted(tuple(x) for x in r.drain())
+    assert stream == batch
+    assert len(stream) <= 2 * 257
+    null_cells = [x for x in stream if x[1] == -1]
+    assert len(null_cells) == 1 and null_cells[0][0] == "t"
+    assert null_cells[0][3] == 40  # every 5th of 200 rows has a null t

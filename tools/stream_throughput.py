@@ -291,6 +291,52 @@ def main() -> None:
     else:
         print(json.dumps({"shape": "ktable_latest_tws", "skipped": "no TWS protobuf"}))
 
+    # r12d DOCUMENT-stream shapes (separate corpus: x10 disjoint-content
+    # docs replica, ~61k docs — work scales with tokens, not rows, so
+    # rows/s here is docs/s over full fingerprinting + TWS):
+    doc_shapes: list[tuple[str, DataFrame, str, int]] = []
+    if tws_available(spark):
+        import scale_smoke
+        from kafka_streams_app_spark.streaming import dedup_candidates as DC
+        from kafka_streams_app_spark.streaming import sample as SSample
+
+        docs_dir = scale_smoke.build_docs(spark, 10)
+        docs_path = f"{docs_dir}/documents.parquet"
+        n_docs = spark.read.parquet(docs_path).count()
+
+        def stream_docs() -> DataFrame:
+            schema = spark.read.parquet(docs_path).schema
+            return spark.readStream.schema(schema).parquet(docs_path)
+
+        doc_shapes.append((
+            # full pipeline: tokenize + winnow (Column path) + per-
+            # fingerprint TWS bucket state + pair emission
+            "winnow_candidates_tws",
+            DC.winnow_candidates_stream(stream_docs(), "text", "doc_id"),
+            "update",
+            n_docs,
+        ))
+        doc_shapes.append((
+            # bottom-k membership: k-row state per stratum, O(k) merge
+            "sample_topk_tws",
+            SSample.sample_topk_stream(
+                stream_docs(), "source", "doc_id", k=20, seed=3
+            ),
+            "update",
+            n_docs,
+        ))
+        doc_best: dict[str, float] = {}
+        for _ in range(3):
+            for name, out_df, mode, _n in doc_shapes:
+                wall = run_noop(out_df, mode)
+                doc_best[name] = min(doc_best.get(name, float("inf")), wall)
+        for name, _, _, n in doc_shapes:
+            wall = doc_best[name]
+            print(json.dumps({
+                "shape": name, "rows_in": n, "sec": round(wall, 2),
+                "rows_per_sec": int(n / wall),
+            }))
+
     # best-of-3, interleaved — same methodology as bench.py: this host
     # shows intermittent multi-second contention spikes that dominate
     # single-shot streaming-query timings (observed 85k..160k rows/s
