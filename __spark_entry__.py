@@ -1701,6 +1701,23 @@ def _q_extras_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_extras_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Free Spark extra (SURVEY §2.3): PIVOT — per-source document
+    counts fanned across an EXPLICIT language value list (explicit
+    values keep the output schema static, the production rule: a
+    values-less pivot runs a driver-side distinct job first and its
+    schema drifts with the data). Compiles to one hash aggregate with
+    conditional counts — same single-pass shape as the CASE form the
+    oracle uses."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .count()
+        .na.fill(0, ["de", "en", "es", "fr", "zh"])
+    )
+
+
 def _q_extras_topn_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Free Spark extra: ranked top-3 orders per market segment
     (Window.partitionBy().orderBy() — SURVEY §2.7 'sorts/limits/top-k')."""
@@ -4245,6 +4262,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                string_agg(line, chr(10) ORDER BY pos) AS scrubbed_text
         FROM kept GROUP BY doc_id
     """),
+    # PIVOT with explicit values == one conditional-count aggregate
+    "extras_pivot": (_q_extras_pivot, """
+        SELECT source,
+               CAST(coalesce(sum(CASE WHEN lang = 'de' THEN 1 END), 0) AS BIGINT) AS de,
+               CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS en,
+               CAST(coalesce(sum(CASE WHEN lang = 'es' THEN 1 END), 0) AS BIGINT) AS es,
+               CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN 1 END), 0) AS BIGINT) AS fr,
+               CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS zh
+        FROM documents GROUP BY source
+    """),
     "extras_cube": (_q_extras_cube, """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
@@ -5344,7 +5371,7 @@ _FRONT = [
     "events_hist_quantiles", "s_hist_cells",
     # (1c) new in the r12 fourth sitting, never sampled
     "s_winnow_candidates", "events_hll_setops", "s_sample_topk",
-    "corpus_profile", "s_profile_running",
+    "corpus_profile", "s_profile_running", "extras_pivot",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",
@@ -5371,10 +5398,14 @@ _FRONT = [
     "tpch_q5_local_revenue", "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume", "tpch_q10_returned_revenue",
     "tpch_q13_custdist",
-    # (tpch_q14_promo / tpch_q18_large_orders slip past the 50-cut to
-    # make room for the two never-green r12c sketch entries the lint
-    # requires inside the window; both rotate first in r13 with the
-    # r9 tail.)
+    # (tpch_q14_promo / tpch_q18_large_orders slipped past the 50-cut
+    # for the two never-green r12c sketch entries; the six r12d
+    # entries (s_winnow_candidates, events_hll_setops, s_sample_topk,
+    # corpus_profile, s_profile_running, extras_pivot — never-green,
+    # lint-required inside) push tpch_q4/q5/q6/q7/q10/q13 past the cut
+    # too. All eight displaced tpch headliners are r8-green +
+    # r12-builder-gated at both scales; they rotate FIRST in r13 with
+    # the r9 tail.)
     # (a4_session_count, a3_windowed_sum, a2_windowed_count,
     # a1_count_per_key, t2..t5, branch_merge and sim_cosine_topk —
     # the ten oldest r9 fills — demoted one-for-one as the ten new r12

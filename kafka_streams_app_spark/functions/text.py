@@ -302,23 +302,24 @@ def token_hashes(
     return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
 
 
-def winnowing_count_md5(
+def winnowing_fps_md5(
     s: str, k: int = 5, window: int = 4, p: int = (1 << 31) - 1
-) -> int:
-    """Plain-Python twin of
-    size(winnowing_of_hashes(token_hashes(tokens(s), hash_fn='md5'))) —
-    value-identical by construction (pinned in tests/test_text_functions).
-    """
+) -> list[int]:
+    """Plain-Python winnowing fingerprint SET (md5 token hashes) —
+    value-identical to the distinct elements of
+    winnowing_of_hashes(token_hashes(tokens(s), hash_fn='md5'))
+    (pinned in tests/test_text_functions + test_dedup_candidates_stream;
+    returned sorted — downstream consumers treat it as a set)."""
     import hashlib
 
     import numpy as np
 
     if not isinstance(s, str):  # null text cell: no tokens, no fingerprints
-        return 0
+        return []
     toks = [t for t in SPLIT_ASCII_RE.split(s.lower()) if t]
     n_grams = len(toks) - (k - 1)
     if n_grams < window:
-        return 0
+        return []
     h = np.fromiter(
         (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % p for t in toks),
         dtype=np.int64, count=len(toks),
@@ -330,7 +331,39 @@ def winnowing_count_md5(
     m = acc[: n_grams - window + 1].copy()
     for j in range(1, window):
         np.minimum(m, acc[j : j + n_grams - window + 1], out=m)
-    return len(set(m.tolist()))
+    return sorted(set(m.tolist()))
+
+
+def winnowing_count_md5(
+    s: str, k: int = 5, window: int = 4, p: int = (1 << 31) - 1
+) -> int:
+    """Plain-Python twin of
+    size(winnowing_of_hashes(token_hashes(tokens(s), hash_fn='md5'))) —
+    value-identical by construction (pinned in tests/test_text_functions).
+    """
+    return len(winnowing_fps_md5(s, k, window, p))
+
+
+_winnowing_fps_udf_cache: dict[tuple, object] = {}
+
+
+def winnowing_fps_udf(k: int = 5, window: int = 4, p: int = (1 << 31) - 1):
+    """Arrow-batched text -> fingerprint SET (md5 token hashes), the
+    array-returning sibling of winnowing_count_udf and the measured
+    fast path when the set itself is needed (streaming candidate
+    generation): the Column form's nested zip_with chain costs ~47 s
+    for the 50k-doc x10 corpus vs ~16 s through this UDF — the same
+    ~3x the count UDF documented. Values are identical to the Column
+    form's distinct elements (set semantics; order differs)."""
+    key = (k, window, p)
+    if key not in _winnowing_fps_udf_cache:
+
+        @pandas_udf("array<bigint>")
+        def _wf(texts: pd.Series) -> pd.Series:
+            return pd.Series([winnowing_fps_md5(s, k, window, p) for s in texts])
+
+        _winnowing_fps_udf_cache[key] = _wf
+    return _winnowing_fps_udf_cache[key]
 
 
 _winnowing_count_udf_cache: dict[tuple, object] = {}

@@ -105,6 +105,75 @@ class _BucketPairs(StatefulProcessor):
         pass
 
 
+class _BucketPairsMap(StatefulProcessor):
+    """Bucketed-MapState layout of _BucketPairs (the
+    streaming/ktable.py:_LatestPerKeyBucketed pattern): the TWS
+    grouping key is pmod(xxhash64(fp), n_buckets) and each
+    fingerprint's member list lives in a MapState entry keyed by fp.
+
+    Why: TWS pays a fixed framework cost PER GROUPING KEY per
+    micro-batch, and this operator's key space is the fingerprint
+    space — ~18 keys PER DOCUMENT (measured 571 docs/s/box per-fp on
+    the x10 corpus, ~1M bucket keys for 50k docs). Grouping by bucket
+    divides that term by (fingerprints/n_buckets); the per-fp pair
+    logic is identical (rows are (fp, doc_id)-sorted within the
+    bucket, one map lookup per distinct fp), so the emitted set — and
+    the oracle — are unchanged.
+    """
+
+    def __init__(self, max_members: int | None = None):
+        self.max_members = max_members
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getMapState(
+            "members",
+            StructType([StructField("fp", LongType(), True)]),
+            _STATE_SCHEMA,
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows)).sort_values(
+            ["fp", "doc_id"], kind="stable"
+        )
+        fps = pdf["fp"].to_numpy()
+        docs = pdf["doc_id"].to_numpy()
+        out: list[tuple[int, int, int]] = []
+        i, n = 0, len(fps)
+        while i < n:
+            fp = int(fps[i])
+            cur = self.state.getValue((fp,))
+            members: list[int] = (
+                [int(x) for x in cur[0].split(",") if x]
+                if cur is not None
+                else []
+            )
+            seen = set(members)
+            changed = False
+            while i < n and fps[i] == fp:
+                doc = int(docs[i])
+                i += 1
+                if doc in seen:
+                    continue  # idempotence under re-delivery
+                if (
+                    self.max_members is not None
+                    and len(members) >= self.max_members
+                ):
+                    continue  # frozen hot bucket
+                out.extend((fp, min(m, doc), max(m, doc)) for m in members)
+                members.append(doc)
+                seen.add(doc)
+                changed = True
+            if changed:
+                self.state.updateValue(
+                    (fp,), (",".join(str(x) for x in members),)
+                )
+        if out:
+            yield pd.DataFrame(out, columns=["fp", "doc_a", "doc_b"])
+
+    def close(self) -> None:
+        pass
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text: str,
@@ -112,23 +181,47 @@ def winnow_fingerprints(
     k: int = 5,
     window: int = 4,
     hash_fn: str = "md5",
+    impl: str = "udf",
 ) -> DataFrame:
     """(fp, doc_id) rows: each document's distinct winnowing
-    fingerprints, computed with the batch operator's pure-Column path
-    (zero Python in the plan; md5 hashes for the DuckDB oracle)."""
-    from kafka_streams_app_spark.functions.text import (
-        token_hashes,
-        tokens,
-        winnowing_of_hashes,
-    )
+    fingerprints. Two value-identical implementations (equality
+    pinned in tests/test_dedup_candidates_stream):
 
-    fps: Column = winnowing_of_hashes(
-        token_hashes(tokens(F.col(text)), hash_fn=hash_fn), k=k, window=window
-    )
+    - impl='udf' (default): Arrow-batched fingerprint-set UDF
+      (functions/text.py:winnowing_fps_udf) — ~3x the Column form on
+      this corpus shape (its nested zip_with chain is the deepest HOF
+      expression in the repo; same measured trade as
+      winnowing_count_udf). md5 hashes only.
+    - impl='column': the batch dedup_winnowing pure-Column path (zero
+      Python in the plan; supports hash_fn='xxhash64').
+    """
+    if impl == "udf":
+        if hash_fn != "md5":
+            raise ValueError("impl='udf' computes md5 fingerprints only")
+        from kafka_streams_app_spark.functions.text import winnowing_fps_udf
+
+        fps: Column = winnowing_fps_udf(k, window)(F.col(text))
+    else:
+        from kafka_streams_app_spark.functions.text import (
+            token_hashes,
+            tokens,
+            winnowing_of_hashes,
+        )
+
+        fps = winnowing_of_hashes(
+            token_hashes(tokens(F.col(text)), hash_fn=hash_fn),
+            k=k, window=window,
+        )
     return (
         df.select(F.col(id_col).cast("long").alias("doc_id"), fps.alias("_fps"))
         .filter(F.size("_fps") > 0)
         .select("doc_id", F.explode("_fps").alias("fp"))
+    )
+
+
+def _bucketed(fps: DataFrame, n_buckets: int) -> DataFrame:
+    return fps.withColumn(
+        "_b", F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).cast("int")
     )
 
 
@@ -139,12 +232,26 @@ def winnow_candidates_stream(
     k: int = 5,
     window: int = 4,
     max_members: int | None = None,
+    n_buckets: int | None = 128,
 ) -> DataFrame:
-    """Streaming near-dup candidate pairs over a document stream."""
+    """Streaming near-dup candidate pairs over a document stream.
+
+    n_buckets selects the state layout (identical emitted set): the
+    bucketed MapState form (default 128 — the production dial, >= 2-4x
+    total cores) amortizes the per-grouping-key TWS framework cost
+    over ~fingerprints/n_buckets fingerprints; None groups by raw
+    fingerprint (one TWS key per bucket — the didactic layout)."""
     from kafka_streams_app_spark.streaming.ktable import _require_rocksdb
 
     _require_rocksdb(df.sparkSession)
     fps = winnow_fingerprints(df, text, id_col, k=k, window=window)
+    if n_buckets is not None:
+        return _bucketed(fps, n_buckets).groupBy("_b").transformWithStateInPandas(
+            statefulProcessor=_BucketPairsMap(max_members),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
     return fps.groupBy("fp").transformWithStateInPandas(
         statefulProcessor=_BucketPairs(max_members),
         outputStructType=_OUT_SCHEMA,
@@ -160,9 +267,15 @@ def winnow_candidates_batch(
     k: int = 5,
     window: int = 4,
     max_members: int | None = None,
+    n_buckets: int | None = 128,
 ) -> DataFrame:
     """Grouped-replay twin (streaming/replay.py) — the TWS-less path."""
     from kafka_streams_app_spark.streaming.replay import grouped_replay
 
     fps = winnow_fingerprints(df, text, id_col, k=k, window=window)
+    if n_buckets is not None:
+        return grouped_replay(
+            _bucketed(fps, n_buckets), ["_b"],
+            _BucketPairsMap(max_members), _OUT_SCHEMA,
+        )
     return grouped_replay(fps, ["fp"], _BucketPairs(max_members), _OUT_SCHEMA)

@@ -122,3 +122,54 @@ def test_stream_equals_replay_equals_batch_on_documents(spark):
         r.pipe(rows[half:])
         stream = sorted(tuple(x) for x in r.drain())
     assert stream == expected
+
+
+def test_bucketed_mapstate_layout_same_pair_set(spark):
+    """The bucketed-MapState layout (n_buckets) emits the IDENTICAL
+    pair set as the per-fingerprint layout — per-fp grouped replay,
+    bucketed replay (several bucket counts), and bucketed stream all
+    equal the batch posting-list self-join."""
+    docs = [_doc(i, f"m{i} n{i} o{i}") for i in range(1, 7)]
+    expected = _batch_pairs(spark, docs)
+    assert len(expected) > 0
+    df = spark.createDataFrame(docs, SCHEMA)
+    for nb in (None, 1, 4, 128):
+        got = sorted(
+            tuple(r)
+            for r in DC.winnow_candidates_batch(
+                df, "text", "doc_id", n_buckets=nb
+            ).collect()
+        )
+        assert got == expected, f"n_buckets={nb}"
+    with MicroBatchReplay(
+        spark, SCHEMA,
+        lambda src: DC.winnow_candidates_stream(
+            src, "text", "doc_id", n_buckets=4
+        ),
+        "update",
+    ) as r:
+        for d in docs:
+            r.pipe([d])
+        stream = sorted(tuple(x) for x in r.drain())
+    assert stream == expected
+
+
+def test_udf_and_column_fingerprints_identical(spark):
+    """The Arrow fingerprint-set UDF (the fast path) and the pure-
+    Column winnowing produce the identical (fp, doc_id) set on real
+    documents."""
+    docs_df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    udf_set = sorted(
+        tuple(r)
+        for r in DC.winnow_fingerprints(
+            docs_df, "text", "doc_id", impl="udf"
+        ).collect()
+    )
+    col_set = sorted(
+        tuple(r)
+        for r in DC.winnow_fingerprints(
+            docs_df, "text", "doc_id", impl="column"
+        ).collect()
+    )
+    assert udf_set == col_set
+    assert len(udf_set) > 0

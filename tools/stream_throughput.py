@@ -142,7 +142,9 @@ def run_fk_pipeline(
 
 
 def main() -> None:
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    docs_only = "--docs" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--docs"]
+    mult = int(argv[0]) if argv else 10
     spark = get_spark(app_name="stream-throughput")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -310,9 +312,22 @@ def main() -> None:
 
         doc_shapes.append((
             # full pipeline: tokenize + winnow (Column path) + per-
-            # fingerprint TWS bucket state + pair emission
+            # fingerprint TWS state + pair emission (didactic layout:
+            # ONE TWS grouping key per fingerprint, ~18/doc)
             "winnow_candidates_tws",
-            DC.winnow_candidates_stream(stream_docs(), "text", "doc_id"),
+            DC.winnow_candidates_stream(
+                stream_docs(), "text", "doc_id", n_buckets=None
+            ),
+            "update",
+            n_docs,
+        ))
+        doc_shapes.append((
+            # bucketed MapState layout (128 buckets): the per-key TWS
+            # framework cost amortized over ~fps/128 fingerprints
+            "winnow_candidates_tws_bucketed",
+            DC.winnow_candidates_stream(
+                stream_docs(), "text", "doc_id", n_buckets=128
+            ),
             "update",
             n_docs,
         ))
@@ -343,17 +358,19 @@ def main() -> None:
     # for the SAME TWS config across consecutive runs); the interleaved
     # minimum reflects the engine's actual rate.
     best: dict[str, float] = {}
-    for _ in range(3):
+    for _ in range(3 if not docs_only else 0):
         for name, out_df, mode in shapes:
             wall = run_noop(out_df, mode)
             best[name] = min(best.get(name, float("inf")), wall)
     for name, _, _ in shapes:
+        if name not in best:
+            continue
         wall = best[name]
         print(json.dumps({
             "shape": name, "rows_in": n_rows, "sec": round(wall, 2),
             "rows_per_sec": int(n_rows / wall),
         }))
-    if tws_available(spark):
+    if tws_available(spark) and not docs_only:
         # r6 revision: single-shot FK numbers proved +/-50% on this
         # host (16-32 s for the SAME config across a day) — contention
         # spikes do NOT amortize over the ~20 s pipeline. Interleave
