@@ -2191,6 +2191,31 @@ def _q_s_profile_running(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s_decontam_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy decontamination AT INGEST
+    (streaming/dedup_candidates.py:decontam_winnow_stream): arriving
+    documents flagged when >= 2 of their winnowing fingerprints hit
+    the STATIC benchmark corpus's broadcast fingerprint set — a
+    stream-static broadcast join + per-doc count, no watermark, state
+    only for docs with >= 1 hit. Same corpus split as the cross-corpus
+    batch family (benchmark: doc_id % 10 < 3; stream: the rest). The
+    update-mode emission is one row per flagged doc (each doc's
+    fingerprints arrive in its one input row), so the result is the
+    batch join SQL — the oracle."""
+    from kafka_streams_app_spark.streaming import dedup_candidates as DC
+
+    ref = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") % 10 < 3
+    )
+    stream = load_stream(spark, sf, "documents").filter(
+        F.col("doc_id") % 10 >= 3
+    )
+    out = DC.decontam_winnow_stream(
+        stream, ref, "text", "doc_id", min_shared=2
+    )
+    return run_available_now(spark, out, _sink(), "update")
+
+
 def _q_s_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming fixed-k deterministic sample (streaming/sample.py):
     per-source bottom-20 md5-rank membership maintained in TWS state
@@ -4705,6 +4730,30 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the batch winnowing posting-list self-join (exactly-once emission
     # contract, streaming/dedup_candidates.py)
     "s_winnow_candidates": (_q_s_winnow_candidates, _winnow_candidates_md5_sql()),
+    # decontamination at ingest: stream-static broadcast fingerprint
+    # join; update-mode emission == the batch join (one row per doc)
+    "s_decontam_winnow": (_q_s_decontam_winnow, f"""
+        WITH {_TOKS},
+        h AS (SELECT doc_id, [{_h60('x')} % {(1 << 31) - 1} FOR x IN t] AS hs FROM toks),
+        g AS (SELECT doc_id,
+                     [list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+4]),
+                                  (a, b) -> (a * 31 + b) % {(1 << 31) - 1})
+                      FOR i IN range(1, len(hs) - 4 + 1)] AS gh
+              FROM h),
+        w AS (SELECT doc_id,
+                     CASE WHEN len(gh) >= 4
+                          THEN [list_min(gh[i:i+3])
+                                FOR i IN range(1, len(gh) - 3 + 1)]
+                          ELSE [] END AS mins
+              FROM g),
+        fp0 AS (SELECT doc_id, UNNEST(list_distinct(mins)) AS fp
+                FROM w WHERE len(mins) > 0),
+        ref AS (SELECT DISTINCT fp FROM fp0 WHERE doc_id % 10 < 3),
+        s AS (SELECT * FROM fp0 WHERE doc_id % 10 >= 3)
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM s JOIN ref USING (fp)
+        GROUP BY s.doc_id HAVING count(*) >= 2
+    """),
     # streaming data-quality monitor: complete-mode cell snapshot ==
     # the batch aggregate; readout (sums + register estimate) replayed
     "s_profile_running": (_q_s_profile_running, f"""
@@ -5372,6 +5421,7 @@ _FRONT = [
     # (1c) new in the r12 fourth sitting, never sampled
     "s_winnow_candidates", "events_hll_setops", "s_sample_topk",
     "corpus_profile", "s_profile_running", "extras_pivot",
+    "s_decontam_winnow",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",

@@ -279,3 +279,50 @@ def winnow_candidates_batch(
             _BucketPairsMap(max_members), _OUT_SCHEMA,
         )
     return grouped_replay(fps, ["fp"], _BucketPairs(max_members), _OUT_SCHEMA)
+
+
+def decontam_winnow_stream(
+    stream_docs: DataFrame,
+    ref_docs: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Fuzzy DECONTAMINATION AT INGEST: flag arriving documents that
+    share >= min_shared winnowing fingerprints with a STATIC benchmark
+    corpus — the streaming face of the batch cross-corpus family
+    (dedup.dedup_minhash_lsh_cross / pipeline.decontaminate), catching
+    long verbatim benchmark passages (the winnowing guarantee: any
+    shared run of >= k + window - 1 tokens) the moment a training doc
+    arrives instead of in a nightly sweep.
+
+    Plan: the benchmark's distinct fingerprint set is a STATIC side
+    (computed once per run, broadcast — fingerprints are ~1/window of
+    the benchmark's grams, e.g. 92k longs for 5k docs); the stream's
+    (fp, doc_id) rows broadcast-join it and a per-doc count with the
+    min_shared floor flags contaminated docs. A stream-STATIC join —
+    no watermark, no state beyond the per-doc counts (one counter per
+    doc with >= 1 benchmark hit; docs with zero hits never enter
+    state). Each doc's fingerprints arrive in its own input row, so
+    every count finalizes within one micro-batch and the update-mode
+    emission is one row per flagged doc — the batch join SQL, which is
+    the oracle.
+
+    At 100 TB the benchmark side is small by construction (eval sets);
+    if it ever weren't, the broadcast becomes a shuffle join and the
+    plan still holds — only the co-location strategy changes.
+    """
+    s_fps = winnow_fingerprints(stream_docs, text, id_col, k=k, window=window)
+    r_fps = (
+        winnow_fingerprints(ref_docs, text, id_col, k=k, window=window)
+        .select("fp")
+        .distinct()
+    )
+    hits = s_fps.join(F.broadcast(r_fps), "fp")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

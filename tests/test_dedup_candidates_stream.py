@@ -18,6 +18,7 @@ SCHEMA = "doc_id long, text string"
 # shared fingerprint for any shared run of >= k + window - 1 = 8
 # tokens) plus unique filler so the docs are not identical.
 _RUN = "alpha bravo charlie delta echo foxtrot golf hotel"
+_RUN2 = "india juliet kilo lima mike november oscar papa"
 
 
 def _doc(i: int, extra: str) -> tuple[int, str]:
@@ -173,3 +174,43 @@ def test_udf_and_column_fingerprints_identical(spark):
     )
     assert udf_set == col_set
     assert len(udf_set) > 0
+
+
+def test_decontam_winnow_stream_flags_once_across_batches(spark):
+    """Decontamination at ingest: docs sharing >= 2 fingerprints with
+    the static benchmark flag exactly once regardless of which batch
+    they arrive in; clean docs never appear; equals the batch join."""
+    ref = [(100, f"{_RUN} bench filler {_RUN2}")]
+    contaminated = [
+        _doc(1, "c1 c2 c3"),  # shares the _RUN run with ref
+        (2, f"{_RUN2} other words {_RUN}"),
+    ]
+    clean = [(3, "totally different words nine ten eleven twelve "
+                 "thirteen fourteen fifteen sixteen seventeen")]
+    ref_df = spark.createDataFrame(ref, SCHEMA)
+
+    # batch twin: fingerprint join + count
+    s_df = spark.createDataFrame(contaminated + clean, SCHEMA)
+    s_fps = DC.winnow_fingerprints(s_df, "text", "doc_id")
+    r_fps = DC.winnow_fingerprints(ref_df, "text", "doc_id").select("fp").distinct()
+    expected = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in s_fps.join(r_fps, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .collect()
+    )
+    assert len(expected) > 0
+    with MicroBatchReplay(
+        spark, SCHEMA,
+        lambda src: DC.decontam_winnow_stream(
+            src, ref_df, "text", "doc_id", min_shared=2
+        ),
+        "update",
+    ) as r:
+        r.pipe(contaminated[:1] + clean)
+        r.pipe(contaminated[1:])
+        got = sorted((x["doc_id"], x["n_shared"]) for x in r.drain())
+    assert got == expected
+    assert 3 not in {d for d, _ in got}
