@@ -5449,13 +5449,15 @@ _FRONT = [
     "tpch_q7_nation_volume", "tpch_q10_returned_revenue",
     "tpch_q13_custdist",
     # (tpch_q14_promo / tpch_q18_large_orders slipped past the 50-cut
-    # for the two never-green r12c sketch entries; the six r12d
+    # for the two never-green r12c sketch entries; the seven r12d
     # entries (s_winnow_candidates, events_hll_setops, s_sample_topk,
-    # corpus_profile, s_profile_running, extras_pivot — never-green,
-    # lint-required inside) push tpch_q4/q5/q6/q7/q10/q13 past the cut
-    # too. All eight displaced tpch headliners are r8-green +
-    # r12-builder-gated at both scales; they rotate FIRST in r13 with
-    # the r9 tail.)
+    # corpus_profile, s_profile_running, extras_pivot,
+    # s_decontam_winnow — never-green, lint-required inside) push
+    # tpch_q3/q4/q5/q6/q7/q10/q13 past the cut too. All nine displaced
+    # tpch headliners are r8-green, r12-builder-gated at both scales,
+    # AND wall-measured by the driver every round via the frozen
+    # 23-query bench headline; they rotate FIRST in r13 with the r9
+    # tail.)
     # (a4_session_count, a3_windowed_sum, a2_windowed_count,
     # a1_count_per_key, t2..t5, branch_merge and sim_cosine_topk —
     # the ten oldest r9 fills — demoted one-for-one as the ten new r12
