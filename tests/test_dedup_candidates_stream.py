@@ -214,3 +214,66 @@ def test_decontam_winnow_stream_flags_once_across_batches(spark):
         got = sorted((x["doc_id"], x["n_shared"]) for x in r.drain())
     assert got == expected
     assert 3 not in {d for d, _ in got}
+
+
+def test_winnow_candidates_survive_restart(spark):
+    """Crash recovery: the candidate operator restarted from its
+    checkpoint pairs post-restart docs against PRE-restart bucket
+    members exactly once, does not re-ingest committed inputs, and
+    does not re-emit pre-restart pairs (fault-tolerant parquet sink)."""
+    import glob
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="wc_rec_src_")
+    checkpoint = tempfile.mkdtemp(prefix="wc_rec_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="wc_rec_out_")
+
+    def start():
+        src = spark.readStream.schema(SCHEMA).parquet(staging)
+        out = DC.winnow_candidates_stream(src, "text", "doc_id", n_buckets=4)
+
+        # parquet refuses update mode; foreachBatch-append is the
+        # fault-tolerant sink (same pattern as run_available_now)
+        def write(bdf, _bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        return (
+            out.writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    def read_out():
+        if not glob.glob(f"{out_dir}/*.parquet"):
+            return []
+        return sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+
+    docs = [_doc(i, f"r{i} s{i} t{i}") for i in (1, 2, 3)]
+    expected = _batch_pairs(spark, docs)
+    assert len(expected) > 0
+    try:
+        q = start()
+        spark.createDataFrame(docs[:2], SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        q.processAllAvailable()
+        pre = read_out()
+        assert pre == _batch_pairs(spark, docs[:2])
+        q.stop()
+
+        q2 = start()
+        spark.createDataFrame(docs[2:], SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        q2.processAllAvailable()
+        got = read_out()
+        q2.stop()
+        # full pair set, each pair exactly once: doc 3 joined pre-crash
+        # members from recovered state, and batch-1 pairs were not
+        # re-emitted nor batch-1 files re-read
+        assert got == expected
+    finally:
+        for d in (staging, checkpoint, out_dir):
+            shutil.rmtree(d, ignore_errors=True)

@@ -1107,6 +1107,77 @@ def hardneg100_main() -> None:
         truth.unpersist()
 
 
+
+
+def streamcur_main() -> None:
+    """Cost-driver smoke for the r12d at-ingest curation operators,
+    via their grouped-replay twins (bit-identical emitted sets, no
+    streaming runtime in the loop — the drivers being counted are
+    plan-level quantities):
+
+    - winnow candidates: STATE rows (= occupied fingerprint buckets,
+      the inverted-index size) and EMITTED pairs must both grow
+      linearly for the disjoint-content replicas (each replica's
+      tokens are tag-prefixed, so buckets never collide across
+      replicas — growth beyond linear would mean a plan bug).
+    - sample_topk: the changelog must stay O(ids that ever enter) and
+      the final membership EXACTLY k x strata at ANY corpus size —
+      the bounded-state claim.
+    - decontam: stream-side fp rows linear; flagged docs linear.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streams_app_spark.streaming import dedup_candidates as DC
+    from kafka_streams_app_spark.streaming import sample as SSample
+
+    spark = get_spark(app_name="scale-smoke-streamcur")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for mult in (1, 10):
+        d = BASE if mult == 1 else build_docs(spark, mult)
+        docs = load_table(spark, str(d), "documents")
+        n_docs = docs.count()
+
+        fps = DC.winnow_fingerprints(docs, "text", "doc_id")
+        t0 = time.monotonic()
+        pairs = DC.winnow_candidates_batch(docs, "text", "doc_id").count()
+        wall = time.monotonic() - t0
+        state_rows = fps.select("fp").distinct().count()
+        print(json.dumps({
+            "probe": "winnow_candidates", "mult": mult, "docs": n_docs,
+            "state_rows": state_rows, "pairs": pairs,
+            "sec": round(wall, 2),
+        }), flush=True)
+
+        t0 = time.monotonic()
+        ch = SSample.sample_topk_batch(
+            docs, "source", "doc_id", k=20, seed=3
+        ).persist()
+        changelog_rows = ch.count()
+        final = (
+            ch.groupBy("source", "doc_id").agg(F.sum("op").alias("net"))
+            .filter(F.col("net") > 0).count()
+        )
+        ch.unpersist()
+        print(json.dumps({
+            "probe": "sample_topk", "mult": mult, "docs": n_docs,
+            "changelog_rows": changelog_rows, "final_members": final,
+            "bound": 20 * docs.select("source").distinct().count(),
+            "sec": round(time.monotonic() - t0, 2),
+        }), flush=True)
+
+        ref = docs.filter(F.col("doc_id") % 10 < 3)
+        stream_side = docs.filter(F.col("doc_id") % 10 >= 3)
+        t0 = time.monotonic()
+        flagged = DC.decontam_winnow_stream(
+            stream_side, ref, "text", "doc_id", min_shared=2
+        ).count()
+        print(json.dumps({
+            "probe": "decontam_winnow", "mult": mult, "docs": n_docs,
+            "flagged": flagged, "sec": round(time.monotonic() - t0, 2),
+        }), flush=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "longdoc":
         longdoc_main()
@@ -1131,6 +1202,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "sketches100":
         sketches100_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "streamcur":
+        streamcur_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names
