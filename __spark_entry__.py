@@ -1746,6 +1746,19 @@ def _q_events_rolling_avg(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", "roll_n", "roll_avg")
 
 
+def _q_events_time_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-based rolling window per user (analytics.rolling_time_stats,
+    300 s horizon): RANGE frame over epoch seconds — count/sum/avg of
+    the trailing 5 minutes evaluated AT EVERY EVENT, the wall-clock
+    sibling of the trailing-10-row frame. Same-second rows are frame
+    PEERS on both engines, so the frame needs no total order; one
+    shuffle, O(rows) add/retract accumulator."""
+    events = load_table(spark, sf, "events")
+    return analytics.rolling_time_stats(
+        events, "user_id", "ts", "value", horizon_s=300, tiebreak="event_id"
+    )
+
+
 def _q_events_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Population z-score outliers per event_type
     (analytics.zscore_anomalies): one moment aggregate + broadcast-back,
@@ -4465,6 +4478,20 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
     """),
+    # RANGE frame over epoch seconds: same-second rows are peers, so
+    # the frame is well-defined without a total order
+    "events_time_rolling": (_q_events_time_rolling, """
+        SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+               event_id, value,
+               CAST(count(*) OVER w AS BIGINT) AS win_n,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS win_sum,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                 / count(*) OVER w AS win_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
+                     RANGE BETWEEN 299 PRECEDING AND CURRENT ROW)
+    """),
     "events_zscore": (_q_events_zscore, """
         WITH s AS (
           SELECT event_type, count(*) AS n,
@@ -5421,7 +5448,7 @@ _FRONT = [
     # (1c) new in the r12 fourth sitting, never sampled
     "s_winnow_candidates", "events_hll_setops", "s_sample_topk",
     "corpus_profile", "s_profile_running", "extras_pivot",
-    "s_decontam_winnow",
+    "s_decontam_winnow", "events_time_rolling",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",
@@ -5449,15 +5476,15 @@ _FRONT = [
     "tpch_q7_nation_volume", "tpch_q10_returned_revenue",
     "tpch_q13_custdist",
     # (tpch_q14_promo / tpch_q18_large_orders slipped past the 50-cut
-    # for the two never-green r12c sketch entries; the seven r12d
+    # for the two never-green r12c sketch entries; the eight r12d
     # entries (s_winnow_candidates, events_hll_setops, s_sample_topk,
     # corpus_profile, s_profile_running, extras_pivot,
-    # s_decontam_winnow — never-green, lint-required inside) push
-    # tpch_q3/q4/q5/q6/q7/q10/q13 past the cut too. All nine displaced
-    # tpch headliners are r8-green, r12-builder-gated at both scales,
-    # AND wall-measured by the driver every round via the frozen
-    # 23-query bench headline; they rotate FIRST in r13 with the r9
-    # tail.)
+    # s_decontam_winnow, events_time_rolling — never-green,
+    # lint-required inside) push the whole tpch block past the cut.
+    # All ten displaced tpch headliners are r8-green, r12-builder-
+    # gated at both scales, AND wall-measured by the driver every
+    # round via the frozen 23-query bench headline (6 of them ride
+    # it); they rotate FIRST in r13 with the r9 tail.)
     # (a4_session_count, a3_windowed_sum, a2_windowed_count,
     # a1_count_per_key, t2..t5, branch_merge and sim_cosine_topk —
     # the ten oldest r9 fills — demoted one-for-one as the ten new r12

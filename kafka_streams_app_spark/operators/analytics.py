@@ -255,3 +255,52 @@ def cohort_retention(
     return ages.groupBy("cohort_start_s", "age").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+def rolling_time_stats(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    horizon_s: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Per-key TIME-based rolling aggregate: at each event, the count
+    and exact-DECIMAL sum/average of the key's values with timestamps
+    in (event_ts - horizon_s, event_ts] — the wall-clock sibling of
+    rolling_stats' row-count frame ("requests and spend in the last 5
+    minutes, evaluated at every event"), and the frame that stays
+    meaningful under irregular event spacing where trailing-n does
+    not.
+
+    Plan: ONE shuffle on ``key``; a RANGE frame over integer epoch
+    seconds evaluated inside the partition with the same add/retract
+    sliding accumulator as the ROWS frame — O(rows), not
+    O(rows x frame). Rows sharing a timestamp are PEERS in a RANGE
+    frame (both engines): every same-second row sees the full
+    same-second group, which is what makes the result well-defined
+    without a total order — ``tiebreak`` only fixes the OUTPUT row
+    identity, not the frame contents. Same hot-key hazard and
+    range-bucketing remedy as rolling_stats.
+
+    Output: key, ts_s (epoch seconds), tiebreak, value, win_n,
+    win_sum (DECIMAL->double), win_avg.
+    """
+    ts_s = F.unix_seconds(F.col(ts).cast("timestamp")).alias("ts_s")
+    base = df.select(key, ts_s, tiebreak, value)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("ts_s")
+        .rangeBetween(-(horizon_s - 1), Window.currentRow)
+    )
+    win_sum = F.sum(F.col(value).cast(_DEC)).over(w).cast("double")
+    win_n = F.count(F.lit(1)).over(w)
+    return base.select(
+        key,
+        "ts_s",
+        tiebreak,
+        value,
+        win_n.cast("bigint").alias("win_n"),
+        win_sum.alias("win_sum"),
+        (win_sum / win_n).alias("win_avg"),
+    )

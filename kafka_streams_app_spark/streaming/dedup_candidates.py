@@ -12,12 +12,13 @@ verify/cluster stages the batch path uses — i.e. "near-dup dedup at
 ingest" instead of a nightly batch self-join.
 
 Shape: a stateless prefix computes each document's distinct winnowing
-fingerprints with the SAME pure-Column path as the batch operator
-(functions/text.py:winnowing_of_hashes over md5 token hashes — the
-oracle-checkable idiom), explodes to (fp, doc_id) rows, and a
-transformWithState operator keyed by fingerprint holds the bucket's
-member list. A new member emits one (fp, min(a,b), max(a,b)) row per
-existing member, then joins the list.
+fingerprints (default: the Arrow-batched fingerprint-set UDF — same
+md5 values as the batch operator's pure-Column path, which remains
+selectable; equality pinned), explodes to (fp, doc_id) rows, and a
+transformWithState operator holds each fingerprint bucket's member
+list (default layout: bucketed MapState — see _BucketPairsMap). A new
+member emits one (fp, min(a,b), max(a,b)) row per existing member,
+then joins the list.
 
 Emission contract (what makes this ORACLE-CHECKABLE despite being
 order-sensitive row by row): each unordered pair is emitted EXACTLY

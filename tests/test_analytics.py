@@ -336,3 +336,38 @@ def test_cohort_retention_matrix(spark):
         (base, 0): 2, (base, 1): 1, (base, 3): 1,
         (base + wk, 0): 1, (base + wk, 1): 1,
     }
+
+
+def test_rolling_time_stats_frame_contents(spark):
+    """RANGE frame: at each event the frame holds exactly the key's
+    rows within (t - horizon, t] — including same-second PEERS that
+    sort after the current row — and excludes anything older."""
+    from datetime import datetime, timezone
+
+    from kafka_streams_app_spark.operators.analytics import rolling_time_stats
+
+    def ts(s):
+        return datetime.fromtimestamp(1_700_000_000 + s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        ("u", ts(0), 1, 10.0),
+        ("u", ts(100), 2, 20.0),
+        ("u", ts(100), 3, 30.0),   # same-second peer of event 2
+        ("u", ts(350), 4, 40.0),   # 0 and the 100s pair out of 300s? 350-299=51 -> only itself+... 100 < 51? no: 100 >= 51 -> peers in
+        ("u", ts(700), 5, 50.0),   # everything else aged out
+        ("v", ts(100), 6, 99.0),   # other key: isolated
+    ]
+    out = {
+        r["event_id"]: (r["win_n"], r["win_sum"])
+        for r in rolling_time_stats(
+            spark.createDataFrame(rows, "k string, ts timestamp, event_id long, value double"),
+            "k", "ts", "value", horizon_s=300, tiebreak="event_id",
+        ).collect()
+    }
+    assert out[1] == (1, 10.0)
+    # events 2 and 3 are peers: both see {1, 2, 3}
+    assert out[2] == (3, 60.0) and out[3] == (3, 60.0)
+    # event 4 at 350: frame (51, 350] holds {2, 3, 4}, not event 1
+    assert out[4] == (3, 90.0)
+    assert out[5] == (1, 50.0)
+    assert out[6] == (1, 99.0)
