@@ -2229,6 +2229,45 @@ def _q_s_decontam_winnow(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, out, _sink(), "update")
 
 
+def _q_s_time_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental trailing-5-minute rolling aggregate per user
+    (streaming/rolling.py:rolling_time_avg_stream) — the wall-clock
+    twin of s_rolling_avg: per-key ring of (ts_s, micro-unit) pairs,
+    front-evicted at the horizon; each record's frame cuts at its own
+    (ts_s, event_id) position (an incremental operator cannot see
+    future same-second peers — the one contract difference from the
+    batch RANGE frame, which gives peers the whole group). The oracle
+    is the correlated form with exactly that cut, all-integer
+    comparisons, and the ring sum replays the oracle's
+    CAST(SUM(DECIMAL) AS DOUBLE) / count operation order."""
+    from kafka_streams_app_spark.streaming import rolling as SR
+    from kafka_streams_app_spark.streaming import zscore as SZ
+
+    def prep(df):
+        return SZ.with_micro_units(
+            df.select(
+                "user_id", "event_id", "value",
+                F.unix_seconds(F.col("ts").cast("timestamp")).alias("ts_s"),
+            ),
+            "value",
+        )
+
+    if tws_available(spark):
+        ev = prep(load_stream(spark, sf, "events"))
+        out = SR.rolling_time_avg_stream(
+            ev, ["user_id"], "event_id", "ts_s", "value", horizon_s=300
+        )
+        res = run_available_now(spark, out, _sink(), "update")
+    else:
+        ev = prep(load_table(spark, sf, "events"))
+        res = SR.rolling_time_avg_batch(
+            ev, ["user_id"], "event_id", "ts_s", "value", horizon_s=300
+        )
+    return res.select(
+        "user_id", "ts_s", "event_id", "value", "win_n", "win_sum", "win_avg"
+    )
+
+
 def _q_s_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming fixed-k deterministic sample (streaming/sample.py):
     per-source bottom-20 md5-rank membership maintained in TWS state
@@ -4817,6 +4856,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SELECT nl.col_name, nl.n_nulls, nl.sum_len, es.est_distinct
         FROM nl JOIN es USING (col_name)
     """),
+    # incremental wall-clock frame: each record's frame cuts at its own
+    # (ts_s, event_id) position — the correlated form, all-int bounds
+    "s_time_rolling": (_q_s_time_rolling, """
+        SELECT e1.user_id,
+               CAST(epoch_us(e1.ts) // 1000000 AS BIGINT) AS ts_s,
+               e1.event_id, e1.value,
+               CAST(count(*) AS BIGINT) AS win_n,
+               CAST(SUM(CAST(e2.value AS DECIMAL(30,6))) AS DOUBLE) AS win_sum,
+               CAST(SUM(CAST(e2.value AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(*) AS win_avg
+        FROM events e1 JOIN events e2
+          ON e2.user_id = e1.user_id
+         AND (epoch_us(e2.ts) // 1000000 < epoch_us(e1.ts) // 1000000
+              OR (epoch_us(e2.ts) // 1000000 = epoch_us(e1.ts) // 1000000
+                  AND e2.event_id <= e1.event_id))
+         AND epoch_us(e2.ts) // 1000000 > epoch_us(e1.ts) // 1000000 - 300
+        GROUP BY e1.user_id, epoch_us(e1.ts) // 1000000, e1.event_id, e1.value
+    """),
     # streaming deterministic reservoir: changelog net-positive set ==
     # the batch stratified_fixed_k draw (same oracle SQL)
     "s_sample_topk": (_q_s_sample_topk, """
@@ -5448,7 +5505,7 @@ _FRONT = [
     # (1c) new in the r12 fourth sitting, never sampled
     "s_winnow_candidates", "events_hll_setops", "s_sample_topk",
     "corpus_profile", "s_profile_running", "extras_pivot",
-    "s_decontam_winnow", "events_time_rolling",
+    "s_decontam_winnow", "events_time_rolling", "s_time_rolling",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",

@@ -83,3 +83,68 @@ def test_stream_equals_grouped_replay_and_batch_window(spark):
         stream = sorted(tuple(x) for x in r.drain())
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_time_ring_carries_and_evicts_across_micro_batches(spark):
+    """Trailing-100s frame over two batches: the frame at t=150 must
+    reach back into batch 1 (t=60 inside (50,150]), t=0 must have aged
+    out, and a same-second later peer is NOT visible to the earlier
+    record (the incremental peer-cut contract)."""
+    schema = "k string, seq long, ts_s long, v double"
+
+    def build(src):
+        return SR.rolling_time_avg_stream(
+            SZ.with_micro_units(src, "v"), ["k"], "seq", "ts_s", "v",
+            horizon_s=100,
+        )
+
+    with MicroBatchReplay(spark, schema, build, "update") as r:
+        r.pipe([("k", 1, 0, 10.0), ("k", 2, 60, 20.0)])
+        got1 = {x["seq"]: (x["win_n"], x["win_sum"]) for x in r.drain()}
+        assert got1[1] == (1, 10.0)
+        assert got1[2] == (2, 30.0)
+        # batch 2: same-second peers at 150 (seq 3 then 4) + t=170
+        r.pipe([("k", 3, 150, 30.0), ("k", 4, 150, 40.0), ("k", 5, 170, 50.0)])
+        got2 = {x["seq"]: (x["win_n"], x["win_sum"]) for x in r.drain()}
+        # t=150: frame (50,150] — 60 in, 0 out; seq 3 does NOT see seq 4
+        assert got2[3] == (2, 50.0)
+        assert got2[4] == (3, 90.0)
+        # t=170: frame (70,170] — both 0 and 60 now aged out
+        assert got2[5] == (3, 120.0)
+
+
+def test_time_stream_equals_grouped_replay_on_events(spark):
+    """Stream (two batches) == grouped replay on the real events slice."""
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("ts_s"),
+        "value",
+    )
+    ev = SZ.with_micro_units(base, "value")
+    replay = sorted(
+        tuple(r)
+        for r in SR.rolling_time_avg_batch(
+            ev, ["user_id"], "event_id", "ts_s", "value", horizon_s=300
+        ).collect()
+    )
+    assert len(replay) > 0
+    rows = [
+        (r["user_id"], r["event_id"], r["ts_s"], r["value"])
+        for r in base.orderBy("ts_s", "event_id").collect()
+    ]
+    with MicroBatchReplay(
+        spark,
+        "user_id long, event_id long, ts_s long, value double",
+        lambda src: SR.rolling_time_avg_stream(
+            SZ.with_micro_units(src, "value"),
+            ["user_id"], "event_id", "ts_s", "value", horizon_s=300,
+        ),
+        "update",
+    ) as r:
+        half = len(rows) // 2
+        r.pipe(rows[:half])
+        r.pipe(rows[half:])
+        stream = sorted(tuple(x) for x in r.drain())
+    assert stream == replay
