@@ -290,6 +290,22 @@ def main() -> None:
             SR.rolling_avg_stream(ev8, ["user_id"], "event_id", "value", n=10),
             "update",
         ))
+        ev9 = SZ.with_micro_units(
+            stream_events(spark, events_path).select(
+                "user_id", "event_id", "value",
+                F.unix_seconds(F.col("ts").cast("timestamp")).alias("ts_s"),
+            ),
+            "value",
+        )
+        shapes.append((
+            # wall-clock frame ring (r12d): state bounded by horizon x
+            # per-key rate instead of n
+            "rolling_time_avg_tws",
+            SR.rolling_time_avg_stream(
+                ev9, ["user_id"], "event_id", "ts_s", "value", horizon_s=300
+            ),
+            "update",
+        ))
     else:
         print(json.dumps({"shape": "ktable_latest_tws", "skipped": "no TWS protobuf"}))
 
