@@ -102,3 +102,39 @@ def test_portable_bucket_matches_python_twin(spark, vals, n):
     }
     for i, v in enumerate(vals):
         assert got[i] == pipeline.portable_bucket_py(str(v), n), (v, n)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    cuts=st.lists(st.integers(0, 60), max_size=4),
+    seed=st.integers(0, 5),
+    k=st.sampled_from([1, 3, 7]),
+)
+@_SETTINGS
+def test_bottom_k_changelog_invariant_python_twin(ids, cuts, seed, k):
+    """The streaming sample's core claim, pure-Python: for ANY batch
+    split of ANY arrival order, replaying the bottom-k merge and
+    emitting +1/-1 membership changes yields net-positive set == the
+    batch bottom-k draw, with every net in {0, 1} (streaming/sample.py
+    _BottomK's handleInputRows is exactly this fold)."""
+    import hashlib
+
+    def rank(i):
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+
+    truth = sorted((rank(i), i) for i in ids)[:k]
+    bounds = sorted({min(c, len(ids)) for c in cuts} | {0, len(ids)})
+    batches = [ids[a:b] for a, b in zip(bounds, bounds[1:])]
+    state: list[tuple[int, int]] = []
+    net: dict[int, int] = {}
+    for batch in batches:
+        cand = {(rank(i), i) for i in batch}
+        merged = sorted(set(state) | cand)[:k]
+        for _, i in set(merged) - set(state):
+            net[i] = net.get(i, 0) + 1
+        for _, i in set(state) - set(merged):
+            net[i] = net.get(i, 0) - 1
+        state = merged
+    final = sorted((rank(i), i) for i, v in net.items() if v > 0)
+    assert final == truth
+    assert set(net.values()) <= {0, 1}
