@@ -1759,6 +1759,20 @@ def _q_events_time_rolling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_events_time_rolling_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """The same trailing-5-minute RANGE frame computed with the HOT-KEY
+    remedy as code (analytics.rolling_time_stats_bucketed): the window
+    partitions on (user, time-bucket) with the trailing horizon of
+    each bucket replicated forward as discarded context rows — a hot
+    key's sort splits into independent bucket partitions. Result ==
+    the plain form row for row, so the oracle is SHARED verbatim."""
+    events = load_table(spark, sf, "events")
+    return analytics.rolling_time_stats_bucketed(
+        events, "user_id", "ts", "value", horizon_s=300,
+        tiebreak="event_id", bucket_s=4800,
+    )
+
+
 def _q_events_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Population z-score outliers per event_type
     (analytics.zscore_anomalies): one moment aggregate + broadcast-back,
@@ -4531,6 +4545,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                      ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
                      RANGE BETWEEN 299 PRECEDING AND CURRENT ROW)
     """),
+    # overlap-and-discard bucketing: identical result, shared oracle
+    "events_time_rolling_bucketed": (_q_events_time_rolling_bucketed, """
+        SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+               event_id, value,
+               CAST(count(*) OVER w AS BIGINT) AS win_n,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS win_sum,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                 / count(*) OVER w AS win_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
+                     RANGE BETWEEN 299 PRECEDING AND CURRENT ROW)
+    """),
     "events_zscore": (_q_events_zscore, """
         WITH s AS (
           SELECT event_type, count(*) AS n,
@@ -5506,6 +5533,7 @@ _FRONT = [
     "s_winnow_candidates", "events_hll_setops", "s_sample_topk",
     "corpus_profile", "s_profile_running", "extras_pivot",
     "s_decontam_winnow", "events_time_rolling", "s_time_rolling",
+    "events_time_rolling_bucketed",
     # (2) changed in r12
     "dsir_select", "a9_cohort_retention",
     "sim_semdedup", "corpus_scrub_dup_spans",

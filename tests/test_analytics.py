@@ -371,3 +371,46 @@ def test_rolling_time_stats_frame_contents(spark):
     assert out[4] == (3, 90.0)
     assert out[5] == (1, 50.0)
     assert out[6] == (1, 99.0)
+
+
+def test_rolling_time_bucketed_equals_plain_on_hot_key(spark):
+    """The overlap-and-discard bucketed form equals the plain RANGE
+    frame row for row on a single HOT key spanning many buckets —
+    including rows whose frames reach across bucket boundaries — at
+    several bucket sizes down to the bucket_s == horizon_s floor."""
+    from datetime import datetime, timezone
+
+    from kafka_streams_app_spark.operators.analytics import (
+        rolling_time_stats,
+        rolling_time_stats_bucketed,
+    )
+
+    def ts(s):
+        return datetime.fromtimestamp(1_700_000_000 + s, tz=timezone.utc).replace(tzinfo=None)
+
+    # hot key: 300 events over 3000s (boundary-dense for bucket_s=300)
+    rows = [("hot", ts(i * 10 + (i % 3)), i, float(i % 17)) for i in range(300)]
+    rows += [("cold", ts(5), 999, 1.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, event_id long, value double")
+    plain = sorted(
+        tuple(r)
+        for r in rolling_time_stats(
+            df, "k", "ts", "value", horizon_s=100, tiebreak="event_id"
+        ).collect()
+    )
+    for bucket_s in (100, 250, 1600):
+        bucketed = sorted(
+            tuple(r)
+            for r in rolling_time_stats_bucketed(
+                df, "k", "ts", "value", horizon_s=100,
+                tiebreak="event_id", bucket_s=bucket_s,
+            ).collect()
+        )
+        assert bucketed == plain, f"bucket_s={bucket_s}"
+    import pytest
+
+    with pytest.raises(ValueError):
+        rolling_time_stats_bucketed(
+            df, "k", "ts", "value", horizon_s=100,
+            tiebreak="event_id", bucket_s=99,
+        )
