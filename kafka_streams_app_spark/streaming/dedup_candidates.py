@@ -54,6 +54,24 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _STATE_SCHEMA = StructType([StructField("members", StringType(), True)])
 
+# Uncapped member lists are O(df^2) pair emission + full-rewrite state
+# per arrival; past this df, log loudly (once per power-of-two growth
+# step so a hot boilerplate fingerprint can't spam the executor log).
+_HOT_BUCKET_WARN = 1024
+
+
+def _warn_hot_bucket(fp: int, n_members: int, max_members: int | None) -> None:
+    if max_members is None and n_members >= _HOT_BUCKET_WARN and (
+        n_members & (n_members - 1) == 0
+    ):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "winnow candidate bucket fp=%d has %d uncapped members "
+            "(O(df^2) pair emission); pass max_members to freeze hot "
+            "boilerplate buckets", fp, n_members,
+        )
+
 _OUT_SCHEMA = StructType(
     [
         StructField("fp", LongType(), True),
@@ -98,6 +116,7 @@ class _BucketPairs(StatefulProcessor):
             )
             members.append(doc)
             seen.add(doc)
+        _warn_hot_bucket(fp, len(members), self.max_members)
         self.state.update((",".join(str(x) for x in members),))
         if out:
             yield pd.DataFrame(out, columns=["fp", "doc_a", "doc_b"])
@@ -164,6 +183,7 @@ class _BucketPairsMap(StatefulProcessor):
                 members.append(doc)
                 seen.add(doc)
                 changed = True
+            _warn_hot_bucket(fp, len(members), self.max_members)
             if changed:
                 self.state.updateValue(
                     (fp,), (",".join(str(x) for x in members),)

@@ -26,6 +26,8 @@ key, RocksDB); per-record work is O(n) on tiny ints.
 
 from __future__ import annotations
 
+from bisect import bisect_left, bisect_right
+from collections import deque
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,11 +59,13 @@ class _RollingAvg(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(rows)).sort_values(self.seq_col, kind="stable")
-        ring: list[int] = (
-            [int(x) for x in self.state.get()[0].split(",") if x]
-            if self.state.exists()
-            else []
-        )
+        ring: deque[int] = deque(
+            int(x) for x in self.state.get()[0].split(",") if x
+        ) if self.state.exists() else deque()
+        # running exact-int sum: O(1) per record instead of O(n) re-sum,
+        # with deque.popleft O(1) eviction (a list's pop(0) shifts the
+        # whole ring)
+        s = sum(ring)
         out: list[tuple] = []
         for seq, val, u in zip(
             pdf[self.seq_col].tolist(),
@@ -69,10 +73,11 @@ class _RollingAvg(StatefulProcessor):
             pdf["zu"].tolist(),
         ):
             ring.append(int(u))
+            s += int(u)
             if len(ring) > self.n:
-                ring.pop(0)
+                s -= ring.popleft()
             cnt = len(ring)
-            out.append(key + (seq, val, cnt, (sum(ring) / 1e6) / cnt))
+            out.append(key + (seq, val, cnt, (s / 1e6) / cnt))
         self.state.update((",".join(str(x) for x in ring),))
         yield pd.DataFrame(out, columns=self.out_columns)
 
@@ -143,10 +148,10 @@ _TIME_STATE_SCHEMA = StructType([StructField("ring", StringType(), True)])
 class _TimeRollingAvg(StatefulProcessor):
     """Trailing-HORIZON (wall-clock) rolling aggregate — the streaming
     twin of operators/analytics.py:rolling_time_stats, under the same
-    Kafka-Streams-aggregate contract as _RollingAvg: state updated per
-    record in (ts_s, seq) order, one emission per record covering the
-    records up to and including itself with ts_s in
-    (cur - horizon, cur].
+    Kafka-Streams-aggregate contract as _RollingAvg: one emission per
+    input record whose frame is the records with (ts_s, seq) at or
+    before its own and ts_s in (cur - horizon, cur] — in EVENT order,
+    not arrival order.
 
     Peer note (what distinguishes this from the batch RANGE frame): a
     batch RANGE frame gives every same-second row the WHOLE
@@ -155,20 +160,45 @@ class _TimeRollingAvg(StatefulProcessor):
     (ts_s, seq) position — the oracle is the correlated form with
     exactly that cut, all-integer comparisons.
 
-    State: the ring of (ts_s, micro-unit value) pairs still inside
-    the horizon — bounded by horizon x per-key event rate (the honest
-    bound of any wall-clock frame; the ROWS-frame twin bounds by n
-    instead). Arrival in event order keeps eviction O(1) amortized
-    from the ring front.
+    Out-of-order arrival (the r12 ADVICE hazard): a row may arrive in
+    a LATER micro-batch than rows with larger ts_s. Appending it at
+    the ring tail would silently pollute its frame with future events,
+    so instead:
+
+    - the ring is kept SORTED by (ts_s, seq); a late row is
+      bisect-inserted at its event-time position and its frame is read
+      off the sorted ring exactly;
+    - rows already emitted whose frame should have included the late
+      row (ts_s in [late, late + horizon), at-or-after it in event
+      order) are RE-EMITTED with corrected win_n/win_sum/win_avg —
+      update-mode changelog semantics; a sink applying last-wins per
+      (key, seq) converges to the batch/oracle result;
+    - correctness is guaranteed for lateness ≤ ``lateness_s``:
+      eviction keeps everything within horizon + lateness of the
+      per-key max ts_s, so no frame member a tolerated late row needs
+      has been discarded. A row later than that RAISES (fail-fast
+      guard, never silent corruption). lateness_s=0 still handles
+      same-second seq disorder exactly.
+
+    State: "maxts|t:q:u:vhex,..." — the sorted ring of
+    (ts_s, seq, micro-units, value-bits) within horizon + lateness of
+    the per-key max event time, bounded by (horizon+lateness) x
+    per-key event rate (the honest bound of any wall-clock frame; the
+    ROWS-frame twin bounds by n instead). Per-record work is
+    O(frame) — same as the sum it must produce. seq values must be
+    integral (the driver contract uses event_id longs); value bits
+    round-trip via float.hex() so re-emitted rows carry the exact
+    original double.
     """
 
     def __init__(self, keys: list[str], seq_col: str, ts_col: str,
-                 value_col: str, horizon_s: int):
+                 value_col: str, horizon_s: int, lateness_s: int = 0):
         self.keys = keys
         self.seq_col = seq_col
         self.ts_col = ts_col
         self.value_col = value_col
         self.horizon_s = horizon_s
+        self.lateness_s = lateness_s
         self.out_columns = keys + [
             ts_col, seq_col, value_col, "win_n", "win_sum", "win_avg"
         ]
@@ -176,18 +206,31 @@ class _TimeRollingAvg(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.state = handle.getValueState("ring", _TIME_STATE_SCHEMA)
 
+    def _emit(self, key, ring, pos):
+        """Frame of ring[pos]: entries at index ≤ pos with
+        ts > ring[pos].ts - horizon, read off the sorted ring."""
+        ts_s, seq, _, vhex = ring[pos]
+        start = bisect_right(ring, ts_s - self.horizon_s, key=lambda e: e[0])
+        s = sum(ring[i][2] for i in range(start, pos + 1))
+        cnt = pos + 1 - start
+        return key + (
+            ts_s, seq, float.fromhex(vhex), cnt, s / 1e6, (s / 1e6) / cnt
+        )
+
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(rows)).sort_values(
             [self.ts_col, self.seq_col], kind="stable"
         )
-        ring: list[tuple[int, int]] = (
-            [
-                (int(t), int(u))
-                for t, u in (x.split(":") for x in self.state.get()[0].split(",") if x)
-            ]
-            if self.state.exists()
-            else []
-        )
+        ring: list[tuple[int, int, int, str]] = []
+        max_ts: int | None = None
+        if self.state.exists():
+            blob = self.state.get()[0]
+            head, _, body = blob.partition("|")
+            max_ts = int(head) if head else None
+            for x in body.split(","):
+                if x:
+                    t, q, u, vhex = x.split(":", 3)
+                    ring.append((int(t), int(q), int(u), vhex))
         out: list[tuple] = []
         for ts_s, seq, val, u in zip(
             pdf[self.ts_col].tolist(),
@@ -195,18 +238,33 @@ class _TimeRollingAvg(StatefulProcessor):
             pdf[self.value_col].tolist(),
             pdf["zu"].tolist(),
         ):
-            ts_s = int(ts_s)
-            ring.append((ts_s, int(u)))
-            cutoff = ts_s - self.horizon_s
-            while ring and ring[0][0] <= cutoff:
-                ring.pop(0)
-            cnt = len(ring)
-            s = sum(u for _, u in ring)
-            out.append(
-                key + (ts_s, seq, val, cnt, s / 1e6, (s / 1e6) / cnt)
-            )
+            ts_s, seq = int(ts_s), int(seq)
+            if max_ts is not None and ts_s < max_ts - self.lateness_s:
+                raise ValueError(
+                    f"rolling_time_avg_stream: record (ts_s={ts_s}, "
+                    f"{self.seq_col}={seq}) arrived {max_ts - ts_s}s "
+                    f"behind per-key stream time {max_ts}, beyond "
+                    f"lateness_s={self.lateness_s}; its frame may "
+                    "already be evicted. Raise lateness_s or feed the "
+                    "source in (ts, seq) order."
+                )
+            entry = (ts_s, seq, int(u), float(val).hex())
+            pos = bisect_left(ring, entry[:2], key=lambda e: e[:2])
+            ring.insert(pos, entry)
+            out.append(self._emit(key, ring, pos))
+            # changelog corrections for already-emitted later rows whose
+            # frame now includes this (late) row
+            for j in range(pos + 1, len(ring)):
+                if ring[j][0] >= ts_s + self.horizon_s:
+                    break
+                out.append(self._emit(key, ring, j))
+            max_ts = ts_s if max_ts is None else max(max_ts, ts_s)
+        cutoff = max_ts - self.horizon_s - self.lateness_s
+        ring = ring[bisect_right(ring, cutoff, key=lambda e: e[0]):]
         self.state.update(
-            (",".join(f"{t}:{u}" for t, u in ring),)
+            (f"{max_ts}|" + ",".join(
+                f"{t}:{q}:{u}:{vhex}" for t, q, u, vhex in ring
+            ),)
         )
         yield pd.DataFrame(out, columns=self.out_columns)
 
@@ -214,8 +272,10 @@ class _TimeRollingAvg(StatefulProcessor):
         pass
 
 
-def _time_plan(df, keys, seq_col, ts_col, value_col, horizon_s):
-    proc = _TimeRollingAvg(keys, seq_col, ts_col, value_col, horizon_s)
+def _time_plan(df, keys, seq_col, ts_col, value_col, horizon_s, lateness_s=0):
+    proc = _TimeRollingAvg(
+        keys, seq_col, ts_col, value_col, horizon_s, lateness_s
+    )
     in_schema = df.schema
     out_schema = StructType(
         [StructField(k, in_schema[k].dataType, True) for k in keys]
@@ -243,15 +303,24 @@ def rolling_time_avg_stream(
     ts_col: str,
     value_col: str,
     horizon_s: int = 300,
+    lateness_s: int = 0,
 ) -> DataFrame:
     """Incremental trailing-horizon rolling aggregate over a streaming
     DataFrame carrying zscore.with_micro_units' `zu` column and an
-    integer epoch-seconds `ts_col`."""
+    integer epoch-seconds `ts_col`.
+
+    lateness_s bounds tolerated cross-batch event-time disorder: late
+    rows within it are bisect-inserted and already-emitted frames they
+    belong to are re-emitted corrected (last-wins per (key, seq) — the
+    max-win_n row — converges to the batch result); rows later than it
+    fail fast instead of silently mis-framing."""
     from kafka_streams_app_spark.streaming.ktable import _require_rocksdb
 
     _require_rocksdb(df.sparkSession)
     df = _time_prepared(df, keys, seq_col, ts_col, value_col)
-    proc, out_schema = _time_plan(df, keys, seq_col, ts_col, value_col, horizon_s)
+    proc, out_schema = _time_plan(
+        df, keys, seq_col, ts_col, value_col, horizon_s, lateness_s
+    )
     return df.groupBy(*keys).transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=out_schema,
@@ -267,10 +336,13 @@ def rolling_time_avg_batch(
     ts_col: str,
     value_col: str,
     horizon_s: int = 300,
+    lateness_s: int = 0,
 ) -> DataFrame:
     """Grouped-replay twin (streaming/replay.py) — the TWS-less path."""
     from kafka_streams_app_spark.streaming.replay import grouped_replay
 
     df = _time_prepared(df, keys, seq_col, ts_col, value_col)
-    proc, out_schema = _time_plan(df, keys, seq_col, ts_col, value_col, horizon_s)
+    proc, out_schema = _time_plan(
+        df, keys, seq_col, ts_col, value_col, horizon_s, lateness_s
+    )
     return grouped_replay(df, keys, proc, out_schema)

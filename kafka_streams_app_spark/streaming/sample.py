@@ -111,7 +111,10 @@ def _prepared(df: DataFrame, strata_col: str, id_col: str, seed: int) -> DataFra
         strata_col,
         F.col(id_col).cast("long").alias(id_col),
         rank_hash(F.col(id_col), seed).alias("_h"),
-    ).na.drop(subset=[strata_col])
+        # id_col in the drop subset too: a null id would reach the
+        # processor as NaN (long -> pandas float) and int() would kill
+        # the whole query instead of skipping the row
+    ).na.drop(subset=[strata_col, id_col])
 
 
 def _out_schema(df: DataFrame, strata_col: str, id_col: str) -> StructType:

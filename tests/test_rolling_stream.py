@@ -148,3 +148,92 @@ def test_time_stream_equals_grouped_replay_on_events(spark):
         r.pipe(rows[half:])
         stream = sorted(tuple(x) for x in r.drain())
     assert stream == replay
+
+
+def test_time_late_row_corrects_already_emitted_frames(spark):
+    """r12 ADVICE (rolling.py out-of-order): a row arriving in a LATER
+    micro-batch with a SMALLER ts must (a) get the frame at its own
+    event-time position, and (b) trigger corrected re-emissions for
+    already-emitted rows whose frame should include it. Last-wins per
+    seq (= the max-win_n row, frames only grow) equals the in-order
+    result."""
+    schema = "k string, seq long, ts_s long, v double"
+
+    def build(src):
+        return SR.rolling_time_avg_stream(
+            SZ.with_micro_units(src, "v"), ["k"], "seq", "ts_s", "v",
+            horizon_s=100, lateness_s=100,
+        )
+
+    with MicroBatchReplay(spark, schema, build, "update") as r:
+        r.pipe([("k", 1, 0, 10.0), ("k", 3, 60, 30.0), ("k", 4, 120, 40.0)])
+        r.drain()
+        # late: ts=50 lands between seq 1 and seq 3 (70s behind max 120)
+        r.pipe([("k", 2, 50, 20.0)])
+        got = {x["seq"]: (x["win_n"], x["win_sum"]) for x in r.drain()}
+    # the late row's own frame: (−50,50] -> {10,20}
+    assert got[2] == (2, 30.0)
+    # corrected frames: seq 3 (−40,60] now {10,20,30}; seq 4 (20,120]
+    # now {20,30,40}
+    assert got[3] == (3, 60.0)
+    assert got[4] == (3, 90.0)
+
+
+def test_time_out_of_order_stream_converges_to_batch(spark):
+    """Shuffled multi-batch arrival within lateness_s: last-wins
+    (max win_n per seq) == the event-order grouped replay on the same
+    rows — the full changelog-convergence contract."""
+    rows = [
+        ("k", 5, 90, 50.0), ("k", 1, 10, 10.0), ("k", 7, 130, 70.0),
+        ("k", 3, 40, 30.0), ("k", 2, 30, 20.0), ("k", 6, 100, 60.0),
+        ("k", 4, 40, 40.0),
+    ]
+    schema = "k string, seq long, ts_s long, v double"
+    batch_src = spark.createDataFrame(
+        sorted(rows, key=lambda t: (t[2], t[1])), schema
+    )
+    expected = {
+        r["seq"]: (r["win_n"], r["win_sum"], r["win_avg"])
+        for r in SR.rolling_time_avg_batch(
+            SZ.with_micro_units(batch_src, "v"), ["k"], "seq", "ts_s", "v",
+            horizon_s=50, lateness_s=200,
+        ).collect()
+    }
+
+    def build(src):
+        return SR.rolling_time_avg_stream(
+            SZ.with_micro_units(src, "v"), ["k"], "seq", "ts_s", "v",
+            horizon_s=50, lateness_s=200,
+        )
+
+    with MicroBatchReplay(spark, schema, build, "update") as r:
+        r.pipe(rows[:3])
+        r.pipe(rows[3:5])
+        r.pipe(rows[5:])
+        drained = r.drain()
+    last = {}
+    for x in drained:
+        cur = last.get(x["seq"])
+        if cur is None or x["win_n"] > cur[0]:
+            last[x["seq"]] = (x["win_n"], x["win_sum"], x["win_avg"])
+    assert last == expected
+
+
+def test_time_beyond_lateness_fails_fast(spark):
+    """A row later than lateness_s must kill the query loudly (its
+    frame may be evicted — silent corruption is the r12 ADVICE bug)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    schema = "k string, seq long, ts_s long, v double"
+
+    def build(src):
+        return SR.rolling_time_avg_stream(
+            SZ.with_micro_units(src, "v"), ["k"], "seq", "ts_s", "v",
+            horizon_s=10, lateness_s=0,
+        )
+
+    with MicroBatchReplay(spark, schema, build, "update") as r:
+        r.pipe([("k", 1, 1000, 1.0)])
+        with pytest.raises(StreamingQueryException, match="beyond"):
+            r.pipe([("k", 2, 999, 2.0)])
