@@ -646,13 +646,18 @@ def pq_topk(
     Arrow-batched einsum pass, NO shuffle, emitting m int codes per
     vector (8x smaller than the double vector here; a production
     deployment packs uint8 codes for 64x — the longs keep the oracle
-    portable); queries collect once (the broadcast-small side, same as
-    every ANN op here) into (q, m, n_centroids) int64 LUTs captured by
-    the scoring UDF; scoring reads ONLY the codes — per-row cost is
-    q x m int table-lookups, never q x d float ops; ranking is the
-    per-query window top-k. Recall behaves like IVF at matched budget
-    (quantization error is the documented trade; raise m to shrink
-    cells); the planted-duplicate and rank-structure pins live in
+    portable); queries stay DISTRIBUTED (r12 verdict: no driver
+    collect of the query set) — one Arrow pass turns each query into
+    its flat (m x n_centroids) int64 ADC LUT, and the scan side joins
+    the broadcast query/LUT table, summing m JVM-side element_at
+    lookups per (code, query) pair — scoring reads ONLY the codes,
+    never q x d float ops, with no Python in the scoring path at all;
+    ranking is the per-query window top-k. For corpus-sized query
+    sets drop the broadcast hint — ADC's full scan is inherently
+    O(n x q) work, but nothing any longer bottlenecks on the driver.
+    Recall behaves like IVF at matched budget (quantization error is
+    the documented trade; raise m to shrink cells); the
+    planted-duplicate and rank-structure pins live in
     tests/test_clusters_ivf.py.
 
     Output: query_id, neighbor_id, rank, adc_dist (exact int64).
@@ -693,45 +698,31 @@ def pq_topk(
         codes = _sub_dists(_quant(vs)).argmin(axis=2).astype(np.int32)
         return pd.Series(list(codes))
 
-    q_rows = sorted(
-        (r[0], list(r[1]))
-        for r in queries.select(
-            F.col(id_col), as_double(F.col(vec_col))
-        ).collect()
-    )
-    qids = [int(q) for q, _ in q_rows]
-    if not qids:  # empty query set -> empty result, stable schema
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, adc_dist long"
-        )
-    qmat = np.floor(
-        np.array([v for _, v in q_rows], dtype=np.float64) * 1e6
-    ).astype(np.int64)
-    luts = _sub_dists(qmat)  # (q, m, nc)
-    flat_luts = luts.reshape(len(qids), m * nc)
-    j_offsets = (np.arange(m) * nc).astype(np.int64)
-
     @pandas_udf("array<long>")
-    def adc_all(codes: "pd.Series") -> "pd.Series":
-        cm = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
-        idx = cm + j_offsets[None, :]  # (n, m) flat LUT positions
-        out = np.stack(
-            [flat_luts[qi].take(idx).sum(axis=1) for qi in range(len(qids))],
-            axis=1,
-        )  # (n, q)
-        return pd.Series(list(out))
+    def q_lut(vs: "pd.Series") -> "pd.Series":
+        # flat (m * nc) exact-int64 ADC table per query vector
+        luts = _sub_dists(_quant(vs)).reshape(len(vs), m * nc)
+        return pd.Series(list(luts))
 
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            q_lut(as_double(F.col(vec_col))).alias("_lut"),
+        )
+    )
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
     ).select("neighbor_id", encode(F.col("_v")).alias("_code"))
-    qid_arr = F.array(*[F.lit(q) for q in qids])
+    # ADC = sum_j lut[j*nc + code_j]: m JVM-side array lookups per
+    # (corpus row, query) pair against the broadcast-resident LUT
+    adc = F.expr(
+        f"aggregate(transform(_code, (cd, j) -> element_at(_lut, "
+        f"j * {nc} + cd + 1)), 0L, (acc, x) -> acc + x)"
+    )
     scored = (
-        c.select("neighbor_id", F.posexplode(adc_all(F.col("_code"))).alias("_qi", "adc_dist"))
-        .select(
-            F.element_at(qid_arr, F.col("_qi") + 1).alias("query_id"),
-            "neighbor_id", "adc_dist",
-        )
+        c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist"), F.col("neighbor_id")
@@ -772,12 +763,17 @@ def ivfpq_topk(
 
     Plan at scale: two bounded codebook collects (coarse ~sqrt(n) rows,
     PQ sample similar); corpus encoding is ONE Arrow pass — coarse
-    assignment + residual PQ codes, no shuffle; queries collect once
-    (broadcast-small side) and carry one (m, nc_pq) LUT PER PROBED
-    LIST (residuals differ per coarse centroid — the IVFADC term);
-    candidate scoring touches only rows whose coarse id is probed by
-    the query (n*nprobe/n_coarse of the corpus), reading codes, not
-    vectors; ranking is the per-query window top-k.
+    assignment + residual PQ codes, no shuffle; queries stay
+    DISTRIBUTED (r12 verdict: no driver collect of the query set) —
+    one Arrow pass per query emits its nprobe (coarse id, flat
+    residual-LUT) probe rows (residuals differ per coarse centroid —
+    the IVFADC term), and candidate scoring is an EQUI-JOIN of corpus
+    codes against the probe table on the coarse id (broadcast here;
+    a corpus-sized query set can shuffle-hash on that same key), so
+    it touches only rows whose coarse list is probed
+    (n*nprobe/n_coarse of the corpus), reading codes, not vectors,
+    with the ADC sum evaluated JVM-side; ranking is the per-query
+    window top-k.
 
     Output: query_id, neighbor_id, rank, adc_dist (exact int64).
     Excludes the query row itself; only probed-list candidates appear.
@@ -830,67 +826,50 @@ def ivfpq_topk(
         codes = _pq_dists(mat - c_cmat[cl]).argmin(axis=2).astype(np.int32)
         return pd.DataFrame({"cl": cl.astype(np.int32), "code": list(codes)})
 
-    # queries: one LUT per (query, probed list) — driver-side, bounded
-    # by q * nprobe * m * ncp ints
-    q_rows = sorted(
-        (r[0], list(r[1]))
-        for r in queries.select(
-            F.col(id_col), as_double(F.col(vec_col))
-        ).collect()
-    )
-    qids = [int(q) for q, _ in q_rows]
-    if not qids:  # empty query set -> empty result, stable schema
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, adc_dist long"
+    # queries: nprobe (coarse id, flat residual LUT) probe rows per
+    # query, built in one distributed Arrow pass — broadcast size is
+    # q * nprobe * m * ncp longs, on executors, never the driver
+    @pandas_udf("array<struct<cl:int, lut:array<long>>>")
+    def q_probes(vs: "pd.Series") -> "pd.Series":
+        qmat = _quant(vs)
+        qd = (
+            (qmat ** 2).sum(axis=1)[:, None]
+            - 2 * (qmat @ c_cmat.T)
+            + cc2[None, :]
         )
-    qmat = np.floor(
-        np.array([v for _, v in q_rows], dtype=np.float64) * 1e6
-    ).astype(np.int64)
-    qd = (qmat ** 2).sum(axis=1)[:, None] - 2 * (qmat @ c_cmat.T) + cc2[None, :]
-    probe_idx = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # (q, nprobe)
-    # flat LUTs per (query, probed list): (q, nprobe, m*ncp)
-    flat_luts = np.stack([
-        _pq_dists(qmat[qi] - c_cmat[probe_idx[qi]]).reshape(nprobe, m * ncp)
-        for qi in range(len(qids))
-    ])
-    # probed-list membership as {coarse_idx: [(qi, probe_slot), ...]}
-    probes_by_list: dict[int, list[tuple[int, int]]] = {}
-    for qi in range(len(qids)):
-        for slot in range(nprobe):
-            probes_by_list.setdefault(int(probe_idx[qi, slot]), []).append(
-                (qi, slot)
-            )
-    j_offsets = (np.arange(m) * ncp).astype(np.int64)
-
-    @pandas_udf("array<struct<qi:int, adc:long>>")
-    def adc_probed(cl: "pd.Series", codes: "pd.Series") -> "pd.Series":
-        cls = cl.to_numpy()
-        cm = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
-        idx = cm + j_offsets[None, :]
+        probe_idx = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
         out = []
-        for i in range(len(cls)):
-            hits = probes_by_list.get(int(cls[i]), ())
+        for i in range(len(qmat)):
+            luts = _pq_dists(qmat[i] - c_cmat[probe_idx[i]]).reshape(
+                nprobe, m * ncp
+            )
             out.append([
-                {"qi": qi, "adc": int(flat_luts[qi, slot].take(idx[i]).sum())}
-                for qi, slot in hits
+                {"cl": int(probe_idx[i, s]), "lut": luts[s].tolist()}
+                for s in range(nprobe)
             ])
         return pd.Series(out)
 
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(q_probes(as_double(F.col(vec_col)))).alias("_p"),
+        ).select(
+            "query_id",
+            F.col("_p.cl").alias("_qcl"),
+            F.col("_p.lut").alias("_lut"),
+        )
+    )
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("_e")
     ).select("neighbor_id", F.col("_e.cl").alias("_cl"), F.col("_e.code").alias("_code"))
-    qid_arr = F.array(*[F.lit(q) for q in qids])
+    adc = F.expr(
+        f"aggregate(transform(_code, (cd, j) -> element_at(_lut, "
+        f"j * {ncp} + cd + 1)), 0L, (acc, x) -> acc + x)"
+    )
     scored = (
-        c.select(
-            "neighbor_id",
-            F.explode(adc_probed(F.col("_cl"), F.col("_code"))).alias("_s"),
-        )
-        .select(
-            F.element_at(qid_arr, F.col("_s.qi") + 1).alias("query_id"),
-            "neighbor_id",
-            F.col("_s.adc").alias("adc_dist"),
-        )
+        c.join(q, on=F.col("_cl") == F.col("_qcl"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist"), F.col("neighbor_id")

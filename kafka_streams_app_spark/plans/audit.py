@@ -65,17 +65,43 @@ def audit_registry(
     # and the size-estimate join strategy; AQE can only improve on it
     # at runtime (skew split, coalesce, SMJ->broadcast).
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    # patch the CONCRETE class: under Spark 4 instances are
+    # pyspark.sql.classic.dataframe.DataFrame, whose collect overrides
+    # the pyspark.sql.DataFrame base — patching only the base is a no-op
     try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    except ImportError:  # older layout: one class
+        _CDF = DataFrame
+    orig_collect = _CDF.collect
+    counts = {"n": 0, "rows": 0}
+
+    def counting_collect(self, *a, **kw):
+        rows = orig_collect(self, *a, **kw)
+        counts["n"] += 1
+        counts["rows"] += len(rows)
+        return rows
+
+    try:
+        # Driver-side collects during PLAN BUILD are only legitimate
+        # when bounded by model size (codebooks, centroid sums), never
+        # by data size (r12 verdict: PQ/IVF-PQ once collected the whole
+        # query set) — count them and their row volume per query so the
+        # audit table shows any new unbounded driver pull.
+        _CDF.collect = counting_collect
         out: dict[str, dict] = {}
         for name, fn in queries.items():
             if skip and name in skip:
                 continue
+            counts["n"] = counts["rows"] = 0
             df = fn(spark, sf_dir)  # may (re)enable AQE via configure_session
             # the conf is read lazily when the physical plan is built, so
             # disable AQE after building the DataFrame, before plan access
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             out[name] = plan_report(df)
+            out[name]["build_collects"] = counts["n"]
+            out[name]["build_collect_rows"] = counts["rows"]
             spark.conf.set("spark.sql.adaptive.enabled", prev)
         return out
     finally:
+        _CDF.collect = orig_collect
         spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -374,3 +374,33 @@ def test_ivfpq_planted_twin_and_probed_lists_only(spark):
     d = ((r100[:, None, :] - psub) ** 2).sum(axis=2)  # (4, ncp)
     self_err = int(d[np.arange(4), d.argmin(axis=1)].sum())
     assert top1_100["adc_dist"] == self_err
+
+
+def test_pq_family_never_collects_query_dataframe(spark, sf_dir):
+    """r12 verdict #2: the query set must stay distributed. Poison the
+    query DataFrame's collect(); plan construction must still succeed
+    (only the bounded codebook collects may run) and the result must
+    still rank correctly."""
+    from pyspark.sql import DataFrame
+
+    from kafka_streams_app_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    poisoned = {"hit": False}
+    orig = DataFrame.collect
+
+    def poison(self, *a, **kw):
+        poisoned["hit"] = True
+        raise AssertionError("query DataFrame collected on the driver")
+
+    queries.collect = poison.__get__(queries, DataFrame)
+    out_pq = pq_topk(emb, queries, "vec_id", "embedding", dim=64, k=3)
+    out_ivfpq = ivfpq_topk(emb, queries, "vec_id", "embedding", dim=64, k=3)
+    assert not poisoned["hit"]
+    assert orig(out_pq.filter("rank = 1").limit(1))  # executes fine
+    assert orig(out_ivfpq.filter("rank = 1").limit(1))
