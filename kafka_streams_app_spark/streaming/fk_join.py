@@ -861,6 +861,28 @@ class FKJoinReplay:
         self.q1.processAllAvailable()
         self._right.query.processAllAvailable()
 
+    def settle(self) -> None:
+        """Drive both queries to quiescence without new input — after a
+        restart this consumes any committed-but-unprocessed files."""
+        self.q1.processAllAvailable()
+        self._right.query.processAllAvailable()
+
+    def crash_join_query(self) -> None:
+        """Kill ONLY query 2 (the join) — with query 1 still running,
+        this opens the mid-pipeline crash window where intermediate
+        changelog files are committed with no consumer."""
+        self._right.query.stop()
+
+    def pipe_left_q1_only(self, rows: list[tuple]) -> None:
+        """Deliver a left micro-batch through query 1 ONLY (the
+        intermediate "subscription response" files get committed while
+        query 2 is down) — restart() must then replay the handoff from
+        query 2's checkpointed source offsets exactly once."""
+        full = [r + (self._next_seq(),) for r in rows]
+        df = self.spark.createDataFrame(full, self._left_replay_schema)
+        df.coalesce(1).write.mode("append").parquet(self._left_staging)
+        self.q1.processAllAvailable()
+
     def pipe_right(self, rows: list[tuple]) -> None:
         self._right.pipe([r + (self._next_seq(),) for r in rows])
 

@@ -291,3 +291,56 @@ def test_fk_pipeline_survives_restart(spark, n_buckets):
         assert p.drain() == [("3 bands", "delete", None, None)]
         p.pipe_left([("3 bands", None, None, True)])
         assert p.drain() == []
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_fk_pipeline_mid_handoff_crash(spark, n_buckets):
+    """r12 verdict #6: crash BETWEEN the two chained stateful queries —
+    query 1 commits intermediate "subscription response" files that
+    query 2 never consumed, then everything restarts. The recovered
+    pipeline must replay exactly the missed handoff (each pending
+    instruction applied once, none lost, none doubled) and end in the
+    same changelog state as an uninterrupted run."""
+    from kafka_streams_app_spark.streaming.fk_join import FKJoinReplay
+    from kafka_streams_app_spark.streaming.replay import tws_available
+
+    if not tws_available(spark):
+        pytest.skip("TWS protobuf unavailable in this session")
+
+    LEFT = "pk string, fk string, name string, is_delete boolean, seq long"
+    RIGHT = "rk string, rank int, is_delete boolean, seq long"
+    with FKJoinReplay(
+        spark, LEFT, RIGHT,
+        pk="pk", fk="fk", left_payload=["fk", "name"],
+        left_tombstone="is_delete",
+        right_key="rk", right_payload=["rank"], right_tombstone="is_delete",
+        how="left", n_buckets=n_buckets, sink="parquet",
+    ) as p:
+        p.pipe_left([("a1", "adidas", "Ann", False)])
+        assert p.drain() == [("a1", "upsert", "Ann", None)]
+        p.pipe_right([("adidas", 3, False)])
+        assert p.drain() == [("a1", "upsert", "Ann", 3)]
+
+        # ---- the mid-handoff crash window ----
+        p.crash_join_query()
+        # two committed-but-unconsumed intermediate files: an FK move
+        # (unsubscribe adidas / subscribe puma against pre-crash state)
+        # and a brand-new subscriber of adidas
+        p.pipe_left_q1_only([("a1", "puma", "Ann", False)])
+        p.pipe_left_q1_only([("b2", "adidas", "Bob", False)])
+        p.restart()
+        p.settle()
+
+        # catch-up: each pending instruction applied exactly once —
+        # a1 re-keys to (unmatched) puma, b2 joins the recovered
+        # right store's rank 3
+        assert sorted(p.drain()) == [
+            ("a1", "upsert", "Ann", None),
+            ("b2", "upsert", "Bob", 3),
+        ]
+        # nothing pending: an idle drain stays empty
+        assert p.drain() == []
+
+        # the replayed subscription is live: puma arriving now joins a1
+        p.pipe_right([("puma", 7, False)])
+        assert p.drain() == [("a1", "upsert", "Ann", 7)]
