@@ -91,6 +91,52 @@ SKETCHES = [
 ]
 
 
+# Frozen per-query baselines (r12 idle-host readings, BENCH_r12.json /
+# BASELINE.md) for the 2x regression rule (r12 verdict ask #7): a query
+# reading more than 2x its baseline — with a 0.8 s absolute floor so
+# host-contention noise on sub-second queries can't flap the gate — is
+# reported loudly on stderr and in the JSON's `regressions` key.
+# SPARK_GRAFT_BENCH_STRICT=1 additionally makes the process exit 2.
+BASELINE_SEC = {
+    # headline (r12)
+    "t1_wordcount": 0.256, "a2_windowed_count": 0.386,
+    "a3_windowed_sum": 0.501, "a4_session_count": 0.498,
+    "w3_hopping_count": 0.485, "j1_interval_join_inner": 0.434,
+    "j4_asof_enrich": 0.508, "j5_table_join_inner": 0.624,
+    "j8_fk_join_inner_agg": 0.431, "q5_window_fetch_all": 0.304,
+    "dedup_exact": 0.182, "dedup_minhash_lsh": 2.297,
+    "sim_cosine_topk": 0.774, "sim_lsh_ann_topk": 0.941,
+    "text_quality": 0.38, "text_pii_scrub": 1.095,
+    "pack_sequences": 0.281, "tpch_q1_pricing": 1.213,
+    "tpch_q3_top_revenue": 0.723, "tpch_q5_local_revenue": 0.78,
+    "tpch_q6_forecast_revenue": 0.264, "tpch_q13_custdist": 0.43,
+    "tpch_q18_large_orders": 1.17,
+    # curation (r12 first stable series)
+    "sim_semdedup": 1.467, "cluster_kmeans": 1.022, "dsir_select": 1.305,
+    "corpus_scrub_dup_spans": 2.278, "dedup_minhash_lsh_cross": 2.506,
+    "sim_hard_negatives_ann": 1.044,
+    # sketches (r12 first stable series)
+    "events_hll_distinct": 0.396, "events_hll_windowed": 0.62,
+    "events_cms_topk": 0.767, "events_hist_quantiles": 0.35,
+    "events_hll_setops": 0.558, "corpus_softdedup_sample": 1.251,
+    "ktable_history_asof": 0.383,
+}
+
+
+def check_regressions(per_query: dict[str, float]) -> list[str]:
+    bad = []
+    for name, sec in per_query.items():
+        base = BASELINE_SEC.get(name)
+        if base is not None and sec > max(2.0 * base, 0.8):
+            bad.append(name)
+            print(
+                f"BENCH REGRESSION: {name} {sec:.3f}s > 2x baseline "
+                f"{base:.3f}s",
+                file=sys.stderr,
+            )
+    return bad
+
+
 def _bench_group(spark, queries, names: list[str]) -> dict[str, float]:
     # Warm-up (not timed): run every query once at the smallest SF.
     # This pays the one-time JVM JIT + Python-worker-pool startup
@@ -146,7 +192,14 @@ def main() -> None:
         out["sketch_queries"] = sq
         if group == "sketches":
             out.update(metric="sketch_total", value=out["sketch_total"])
+    regressions = check_regressions(
+        {**out.get("queries", {}), **out.get("curation_queries", {}),
+         **out.get("sketch_queries", {})}
+    )
+    out["regressions"] = regressions
     print(json.dumps(out))
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -319,3 +319,67 @@ def test_png_features_spark_matches_bmp_features(spark):
         ).collect()
     )
     assert png == bmp and len(png) == 12
+
+
+# --- real WAV codec ---------------------------------------------------------
+
+
+def test_wav_roundtrip_identity():
+    """encode -> decode recovers exact samples/rate/channels for every
+    synthetic shape (mono and stereo; int16 data is always word-sized,
+    so the odd-chunk pad path is pinned by the splice test below)."""
+    for mid in range(0, 40):
+        rate, ch, samples = multimodal.synth_wav_samples(mid)
+        payload = multimodal.wav_encode(rate, ch, samples)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        assert multimodal.wav_decode(payload) == (rate, ch, samples)
+
+
+def test_wav_decode_skips_unknown_chunks():
+    """A spec-correct reader skips chunks it does not know (LIST/INFO
+    etc.) with word-aligned advancement — including an ODD-length one
+    whose pad byte must not desync the walk."""
+    import struct
+
+    rate, ch, samples = multimodal.synth_wav_samples(3)
+    payload = multimodal.wav_encode(rate, ch, samples)
+    # splice an odd-length junk chunk between WAVE and fmt
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    spliced = payload[:12] + junk + payload[12:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8) + spliced[8:]
+    assert multimodal.wav_decode(spliced) == (rate, ch, samples)
+
+
+def test_wav_decode_rejects_corruption():
+    import pytest
+
+    rate, ch, samples = multimodal.synth_wav_samples(5)
+    payload = multimodal.wav_encode(rate, ch, samples)
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.wav_decode(b"OggS" + payload[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.wav_decode(payload[:-3])
+    # compressed fmt tag rejected
+    import struct as _s
+    mangled = bytearray(payload)
+    _s.pack_into("<H", mangled, 20, 85)  # fmt tag -> MP3
+    with pytest.raises(ValueError, match="PCM"):
+        multimodal.wav_decode(bytes(mangled))
+
+
+def test_wav_features_spark(spark):
+    """End-to-end through the Arrow pipeline: exact-integer features
+    match a direct Python recomputation."""
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    got = {
+        r["media_id"]: (r["sample_rate"], r["channels"], r["n_frames"],
+                        r["s0"], r["sum_samples"])
+        for r in multimodal.wav_features(
+            multimodal.synth_wav_media(docs, "doc_id")
+        ).collect()
+    }
+    for i in range(10):
+        rate, ch, samples = multimodal.synth_wav_samples(i)
+        assert got[i] == (rate, ch, len(samples) // ch,
+                          samples[0], sum(samples))
