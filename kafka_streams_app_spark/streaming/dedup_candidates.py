@@ -195,6 +195,75 @@ class _BucketPairsMap(StatefulProcessor):
         pass
 
 
+class _BucketPairsBlob(StatefulProcessor):
+    """Whole-bucket ValueState layout of _BucketPairs: ONE blob per
+    bucket key holding every resident fingerprint's member list
+    ("fp:d1,d2;fp2:d3"), so a micro-batch costs 2 state-server round
+    trips PER BUCKET instead of 2 per DISTINCT FINGERPRINT — the
+    bulk-ingest dial. r12 attribution showed the RPC term dominating
+    this shape (the batch twin fingerprints the same 50k docs in ~3 s
+    while the MapState stream took ~21 s); with ~720 fps per bucket a
+    single AvailableNow batch drops ~184k getValue/updateValue calls
+    to 256. The trade is honest and documented: each arrival batch
+    rewrites the whole bucket blob, so with MANY tiny micro-batches
+    touching few fingerprints MapState's per-entry updates win — pick
+    the layout to the ingest pattern. Emitted set identical (pinned).
+    """
+
+    def __init__(self, max_members: int | None = None):
+        self.max_members = max_members
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getValueState("buckets", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows)).sort_values(
+            ["fp", "doc_id"], kind="stable"
+        )
+        table: dict[int, list[int]] = {}
+        if self.state.exists():
+            for ent in self.state.get()[0].split(";"):
+                if ent:
+                    f, _, ms = ent.partition(":")
+                    table[int(f)] = [int(x) for x in ms.split(",") if x]
+        fps = pdf["fp"].to_numpy()
+        docs = pdf["doc_id"].to_numpy()
+        out: list[tuple[int, int, int]] = []
+        changed = False
+        i, n = 0, len(fps)
+        while i < n:
+            fp = int(fps[i])
+            members = table.setdefault(fp, [])
+            seen = set(members)
+            while i < n and fps[i] == fp:
+                doc = int(docs[i])
+                i += 1
+                if doc in seen:
+                    continue  # idempotence under re-delivery
+                if (
+                    self.max_members is not None
+                    and len(members) >= self.max_members
+                ):
+                    continue  # frozen hot bucket
+                out.extend((fp, min(m, doc), max(m, doc)) for m in members)
+                members.append(doc)
+                seen.add(doc)
+                changed = True
+            _warn_hot_bucket(fp, len(members), self.max_members)
+            if not members:
+                del table[fp]
+        if changed:
+            self.state.update((";".join(
+                f"{f}:{','.join(str(x) for x in ms)}"
+                for f, ms in table.items()
+            ),))
+        if out:
+            yield pd.DataFrame(out, columns=["fp", "doc_a", "doc_b"])
+
+    def close(self) -> None:
+        pass
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text: str,
@@ -254,21 +323,31 @@ def winnow_candidates_stream(
     window: int = 4,
     max_members: int | None = None,
     n_buckets: int | None = 128,
+    layout: str = "map",
 ) -> DataFrame:
     """Streaming near-dup candidate pairs over a document stream.
 
-    n_buckets selects the state layout (identical emitted set): the
-    bucketed MapState form (default 128 — the production dial, >= 2-4x
+    n_buckets selects the state partitioning (identical emitted set):
+    the bucketed form (default 128 — the production dial, >= 2-4x
     total cores) amortizes the per-grouping-key TWS framework cost
     over ~fingerprints/n_buckets fingerprints; None groups by raw
-    fingerprint (one TWS key per bucket — the didactic layout)."""
+    fingerprint (one TWS key per bucket — the didactic layout).
+    layout picks the bucketed state store: 'map' (MapState entry per
+    fingerprint — steady trickle ingest) or 'blob' (one ValueState
+    blob per bucket, 2 state round trips per bucket per batch — the
+    bulk/backfill dial; see _BucketPairsBlob)."""
     from kafka_streams_app_spark.streaming.ktable import _require_rocksdb
 
     _require_rocksdb(df.sparkSession)
     fps = winnow_fingerprints(df, text, id_col, k=k, window=window)
     if n_buckets is not None:
+        proc = (
+            _BucketPairsBlob(max_members)
+            if layout == "blob"
+            else _BucketPairsMap(max_members)
+        )
         return _bucketed(fps, n_buckets).groupBy("_b").transformWithStateInPandas(
-            statefulProcessor=_BucketPairsMap(max_members),
+            statefulProcessor=proc,
             outputStructType=_OUT_SCHEMA,
             outputMode="Update",
             timeMode="None",
@@ -289,15 +368,20 @@ def winnow_candidates_batch(
     window: int = 4,
     max_members: int | None = None,
     n_buckets: int | None = 128,
+    layout: str = "map",
 ) -> DataFrame:
     """Grouped-replay twin (streaming/replay.py) — the TWS-less path."""
     from kafka_streams_app_spark.streaming.replay import grouped_replay
 
     fps = winnow_fingerprints(df, text, id_col, k=k, window=window)
     if n_buckets is not None:
+        proc = (
+            _BucketPairsBlob(max_members)
+            if layout == "blob"
+            else _BucketPairsMap(max_members)
+        )
         return grouped_replay(
-            _bucketed(fps, n_buckets), ["_b"],
-            _BucketPairsMap(max_members), _OUT_SCHEMA,
+            _bucketed(fps, n_buckets), ["_b"], proc, _OUT_SCHEMA,
         )
     return grouped_replay(fps, ["fp"], _BucketPairs(max_members), _OUT_SCHEMA)
 

@@ -277,3 +277,46 @@ def test_winnow_candidates_survive_restart(spark):
     finally:
         for d in (staging, checkpoint, out_dir):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_blob_layout_same_pair_set_and_cap(spark):
+    """The whole-bucket ValueState blob layout (layout='blob' — the
+    bulk-ingest dial, 2 state round trips per bucket per batch) emits
+    the IDENTICAL pair set as the MapState layout: batch replay over
+    several bucket counts, a multi-batch stream (state carried across
+    batches inside the blob), and the member cap all match."""
+    docs = [_doc(i, f"p{i} q{i} r{i}") for i in range(1, 7)]
+    expected = _batch_pairs(spark, docs)
+    assert len(expected) > 0
+    df = spark.createDataFrame(docs, SCHEMA)
+    for nb in (1, 4, 128):
+        got = sorted(
+            tuple(r)
+            for r in DC.winnow_candidates_batch(
+                df, "text", "doc_id", n_buckets=nb, layout="blob"
+            ).collect()
+        )
+        assert got == expected, f"n_buckets={nb}"
+    with MicroBatchReplay(
+        spark, SCHEMA,
+        lambda src: DC.winnow_candidates_stream(
+            src, "text", "doc_id", n_buckets=4, layout="blob"
+        ),
+        "update",
+    ) as r:
+        for d in docs:
+            r.pipe([d])
+        stream = sorted(tuple(x) for x in r.drain())
+    assert stream == expected
+    # cap semantics identical: frozen buckets emit/store nothing more
+    capped_map = sorted(
+        tuple(r) for r in DC.winnow_candidates_batch(
+            df, "text", "doc_id", n_buckets=4, max_members=2
+        ).collect()
+    )
+    capped_blob = sorted(
+        tuple(r) for r in DC.winnow_candidates_batch(
+            df, "text", "doc_id", n_buckets=4, max_members=2, layout="blob"
+        ).collect()
+    )
+    assert capped_blob == capped_map
