@@ -348,6 +348,17 @@ def main() -> None:
             n_docs,
         ))
         doc_shapes.append((
+            # whole-bucket blob layout (r13): 2 state round trips per
+            # bucket per batch — the bulk-ingest dial
+            "winnow_candidates_tws_blob",
+            DC.winnow_candidates_stream(
+                stream_docs(), "text", "doc_id", n_buckets=128,
+                layout="blob",
+            ),
+            "update",
+            n_docs,
+        ))
+        doc_shapes.append((
             # bottom-k membership: k-row state per stratum, O(k) merge
             "sample_topk_tws",
             SSample.sample_topk_stream(
