@@ -138,3 +138,80 @@ def test_bottom_k_changelog_invariant_python_twin(ids, cuts, seed, k):
     final = sorted((rank(i), i) for i, v in net.items() if v > 0)
     assert final == truth
     assert set(net.values()) <= {0, 1}
+
+
+@given(
+    tss=st.lists(st.integers(0, 200), min_size=1, max_size=40),
+    jitters=st.lists(st.integers(-30, 30), min_size=40, max_size=40),
+    cuts=st.lists(st.integers(0, 40), max_size=5),
+    horizon=st.sampled_from([1, 7, 50]),
+)
+@_SETTINGS
+def test_time_rolling_out_of_order_converges(tss, jitters, cuts, horizon):
+    """r13 rewrite of streaming/rolling._TimeRollingAvg, driven
+    DIRECTLY (fake ValueState, no Spark): for ANY arrival order whose
+    disorder is bounded by lateness_s and ANY batch split, last-wins
+    per seq (= the max-win_n row; frames only grow) equals the exact
+    event-order frame computation — late rows get their true frame
+    and retro-affected rows are re-emitted corrected, with eviction
+    (horizon + lateness behind max ts) never discarding a needed
+    entry."""
+    import pandas as pd
+
+    from kafka_streams_app_spark.streaming.rolling import _TimeRollingAvg
+
+    lateness = 60
+    events = [
+        (ts, seq, float(seq % 7), (seq % 7) * 1_000_000)
+        for seq, ts in enumerate(tss)
+    ]
+    # arrival: event order perturbed by bounded jitter -> per-key
+    # stream-time regressions never exceed the jitter span (<= 60)
+    arrival = sorted(
+        events, key=lambda e: (e[0] + jitters[e[1] % len(jitters)], e[1])
+    )
+    bounds = sorted({min(c, len(events)) for c in cuts} | {0, len(events)})
+    batches = [arrival[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+
+    class _FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, t):
+            self.v = t
+
+    proc = _TimeRollingAvg(["k"], "seq", "ts_s", "v", horizon, lateness)
+    proc.state = _FakeState()
+    last: dict[int, tuple] = {}
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "k": ["k"] * len(batch),
+                "ts_s": [e[0] for e in batch],
+                "seq": [e[1] for e in batch],
+                "v": [e[2] for e in batch],
+                "zu": [e[3] for e in batch],
+            }
+        )
+        for out in proc.handleInputRows(("k",), iter([pdf]), None):
+            for row in out.itertuples(index=False):
+                cur = last.get(row.seq)
+                if cur is None or row.win_n > cur[2]:
+                    last[row.seq] = (
+                        row.ts_s, row.v, row.win_n, row.win_sum, row.win_avg
+                    )
+
+    for ts, seq, val, zu in events:
+        frame = [
+            e for e in events
+            if e[0] > ts - horizon and (e[0], e[1]) <= (ts, seq)
+        ]
+        s = sum(e[3] for e in frame)
+        expected = (ts, val, len(frame), s / 1e6, (s / 1e6) / len(frame))
+        assert last[seq] == expected, (seq, ts)
