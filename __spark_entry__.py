@@ -2210,6 +2210,26 @@ def _q_s_winnow_candidates(spark: SparkSession, sf: str) -> DataFrame:
     return DC.winnow_candidates_batch(docs, "text", "doc_id")
 
 
+def _q_s_winnow_candidates_blob(spark: SparkSession, sf: str) -> DataFrame:
+    """s_winnow_candidates through the r13 whole-bucket BLOB state
+    layout (streaming/dedup_candidates.py:_BucketPairsBlob — 2 state
+    round trips per bucket per micro-batch, the bulk-ingest dial
+    measured 6.3x the MapState form in SCALE.md). Same emitted SET by
+    construction, so the oracle is SHARED verbatim — the driver
+    signature covers the blob state machine end to end."""
+    from kafka_streams_app_spark.streaming import dedup_candidates as DC
+    from kafka_streams_app_spark.streaming.replay import tws_available
+
+    if tws_available(spark):
+        docs = load_stream(spark, sf, "documents")
+        out = DC.winnow_candidates_stream(
+            docs, "text", "doc_id", layout="blob"
+        )
+        return run_available_now(spark, out, _sink(), "update")
+    docs = load_table(spark, sf, "documents")
+    return DC.winnow_candidates_batch(docs, "text", "doc_id", layout="blob")
+
+
 def _q_s_profile_running(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming data-quality monitor
     (streaming/windows.py:profile_cell_stream): corpus_profile's
@@ -5075,6 +5095,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the batch winnowing posting-list self-join (exactly-once emission
     # contract, streaming/dedup_candidates.py)
     "s_winnow_candidates": (_q_s_winnow_candidates, _winnow_candidates_md5_sql()),
+    "s_winnow_candidates_blob": (
+        _q_s_winnow_candidates_blob, _winnow_candidates_md5_sql()),
     # decontamination at ingest: stream-static broadcast fingerprint
     # join; update-mode emission == the batch join (one row per doc)
     "s_decontam_winnow": (_q_s_decontam_winnow, f"""
@@ -5842,7 +5864,7 @@ _FRONT = [
     "sim_pq_topk", "sim_ivfpq_topk",
     "s_time_rolling", "events_time_rolling",
     "events_time_rolling_bucketed", "s_sample_topk",
-    "s_winnow_candidates", "s_decontam_winnow",
+    "s_winnow_candidates", "s_winnow_candidates_blob", "s_decontam_winnow",
     # (3) the r8-signed 16
     "multimodal_bmp_decode", "multimodal_features", "multimodal_frames",
     "multimodal_meta", "multimodal_resize", "pipeline_hash_split",
@@ -5860,7 +5882,7 @@ _FRONT = [
     "t2_mapvalues_square", "t3_selectkey_rekey", "t4_groupby_mapper",
     "t5_groupbykey_count", "branch_merge",
     "w3_hopping_count", "w5_emit_on_close",
-    "q1_point_lookup", "q2_full_scan",
+    "q1_point_lookup",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]
