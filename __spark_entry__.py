@@ -2084,6 +2084,21 @@ def _q_multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.png_features(media)
 
 
+def _q_multimodal_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL media decode #4 (the hardest pure-stdlib codec): per-doc
+    GIF89a files — global color table, 255-byte sub-block framing,
+    LSB-first variable-width codes, FULL GIF-LZW (dynamic table,
+    width transitions, KwKwK), and 4-pass interlace on every odd
+    media_id — generated then parsed per spec by gif_decode inside the
+    Arrow mapInPandas pipeline. Palette and index grid are closed-form
+    functions of (doc_id, i, x, y), so the DuckDB oracle recomputes
+    the decoded RGB analytically: any LZW-table, bit-unpacking,
+    palette, or interlace bug hash-mismatches."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synth_gif_media(docs, "doc_id")
+    return multimodal.gif_features(media)
+
+
 def _q_multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL media decode #3 — audio: per-document PCM WAVs (genuine
     RIFF framing — FOURCC chunks, word-aligned advancement, fmt
@@ -5029,6 +5044,36 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  / 1000000.0 AS mean_b
         FROM px GROUP BY media_id, w, h
     """),
+    "multimodal_gif_decode": (_q_multimodal_gif_decode, """
+        WITH d AS (
+          SELECT doc_id AS media_id,
+                 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT media_id, w, h, xs.x, ys.y,
+                 (media_id + 3 * xs.x + 7 * ys.y) % 16 AS ci
+          FROM d, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+                  LATERAL (SELECT unnest(range(0, h)) AS y) ys
+        ),
+        rgb AS (
+          SELECT media_id, w, h, x, y,
+                 (media_id + 29 * ci) % 256 AS r,
+                 (2 * media_id + 31 * ci) % 256 AS g,
+                 (3 * media_id + 37 * ci) % 256 AS b
+          FROM px
+        )
+        SELECT media_id,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               CAST((media_id + 29 * (media_id % 16)) % 256 AS INTEGER) AS r00,
+               floor(CAST(SUM(r) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_r,
+               floor(CAST(SUM(g) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_g,
+               floor(CAST(SUM(b) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_b
+        FROM rgb GROUP BY media_id, w, h
+    """),
     "multimodal_wav_decode": (_q_multimodal_wav_decode, """
         WITH d AS (
           SELECT doc_id AS media_id,
@@ -5859,7 +5904,7 @@ _FRONT = [
     # q4_window_fetch to the r14 rotation to hold the 50-slot line)
     "tpch_q12_shipmode_priority", "tpch_q20_excess_inventory",
     "tpch_q21_suppliers_kept_waiting", "multimodal_png_decode",
-    "multimodal_wav_decode",
+    "multimodal_wav_decode", "multimodal_gif_decode",
     # (2) code changed in r13
     "sim_pq_topk", "sim_ivfpq_topk",
     "s_time_rolling", "events_time_rolling",
@@ -5882,7 +5927,6 @@ _FRONT = [
     "t2_mapvalues_square", "t3_selectkey_rekey", "t4_groupby_mapper",
     "t5_groupbykey_count", "branch_merge",
     "w3_hopping_count", "w5_emit_on_close",
-    "q1_point_lookup",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

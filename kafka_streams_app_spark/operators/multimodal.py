@@ -450,6 +450,302 @@ def _rgb_features(df: DataFrame, decode) -> DataFrame:
     return df.mapInPandas(run, schema=BMP_FEATURE_SCHEMA)
 
 
+# --- real media format #4: GIF (LZW, palette, interlace) -------------------
+#
+# The hardest of the pure-stdlib codecs: GIF89a per the spec — logical
+# screen/image descriptors, global color table, 255-byte data
+# sub-block framing, LSB-first variable-width code packing, and FULL
+# GIF-LZW with dynamic table growth, code-width transitions, CLEAR
+# resets at table exhaustion, the KwKwK special case, and 4-pass
+# interlace reordering. The encoder emits genuinely compressed
+# streams (shared-prefix table entries), so the decoder's table
+# dynamics are exercised on every image.
+
+
+class _BitWriter:
+    """LSB-first variable-width code packer (GIF appendix F)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bw = _BitWriter()
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    bw.write(clear, width)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the decoder's table runs ONE entry behind the encoder's
+            # (it reconstructs wk only upon the NEXT code), so its
+            # width transition fires at next_code - 1 == 2^width; the
+            # naive next_code == 2^width test desyncs the stream at
+            # every boundary
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:                       # table full: reset mid-stream
+            bw.write(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = bytes([k])
+    if w:
+        bw.write(table[w], width)
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW first code {code} out of table")
+            prev = table[code]
+            out += prev
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]          # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table")
+        out += entry
+        if len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+_GIF_NC = 16  # palette size -> 4-bit min LZW code size
+
+
+def _gif_palette(media_id: int) -> list[tuple[int, int, int]]:
+    return [
+        (
+            (media_id + 29 * i) % 256,
+            (2 * media_id + 31 * i) % 256,
+            (3 * media_id + 37 * i) % 256,
+        )
+        for i in range(_GIF_NC)
+    ]
+
+
+def _interlace_order(height: int) -> list[int]:
+    """GIF 4-pass interlace: stored row order for a given height."""
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def gif_encode(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    index_rows: list[list[int]],
+    interlace: bool = False,
+) -> bytes:
+    """Encode palette-indexed rows (row 0 = visual TOP) as a GIF89a
+    with a global color table; optionally 4-pass interlaced storage."""
+    nc = len(palette)
+    if nc & (nc - 1) or not 2 <= nc <= 256 or len(index_rows) != height:
+        raise ValueError("palette must be power-of-two sized, rows == height")
+    szbits = nc.bit_length() - 2  # field stores log2(nc) - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF0 | szbits, 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    rows = (
+        [index_rows[y] for y in _interlace_order(height)]
+        if interlace else index_rows
+    )
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
+    )
+    mcs = max(2, (nc - 1).bit_length())
+    out.append(mcs)
+    lzw = _lzw_encode([i for row in rows for i in row], mcs)
+    for off in range(0, len(lzw), 255):
+        block = lzw[off:off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_decode(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
+    """Parse a GIF87a/89a per spec: screen/image descriptors, color
+    tables, extension skipping, sub-block reassembly, full GIF-LZW,
+    palette mapping, and interlace reordering. Returns (width, height,
+    rows of (r, g, b) with row 0 = visual TOP) for the first image.
+    Raises ValueError on malformed streams."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF8xa magic)")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette: list[tuple[int, int, int]] | None = None
+    if flags & 0x80:
+        nc = 2 << (flags & 0x07)
+        raw = payload[pos:pos + 3 * nc]
+        if len(raw) != 3 * nc:
+            raise ValueError("truncated GIF global color table")
+        palette = [tuple(raw[i:i + 3]) for i in range(0, len(raw), 3)]
+        pos += 3 * nc
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:                       # trailer
+            break
+        if marker == 0x21:                       # extension: skip blocks
+            pos += 1                             # label
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
+        _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iflags & 0x80:                        # local color table wins
+            nc = 2 << (iflags & 0x07)
+            raw = payload[pos:pos + 3 * nc]
+            if len(raw) != 3 * nc:
+                raise ValueError("truncated GIF local color table")
+            palette = [tuple(raw[i:i + 3]) for i in range(0, len(raw), 3)]
+            pos += 3 * nc
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        mcs = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunk = payload[pos:pos + n]
+            if len(chunk) != n:
+                raise ValueError("truncated GIF data sub-block")
+            lzw += chunk
+            pos += n
+        indices = _lzw_decode(bytes(lzw), mcs)
+        if len(indices) != iw * ih:
+            raise ValueError(
+                f"GIF pixel count {len(indices)} != {iw}x{ih}"
+            )
+        if max(indices) >= len(palette):
+            raise ValueError("GIF index outside color table")
+        stored = [
+            [palette[i] for i in indices[y * iw:(y + 1) * iw]]
+            for y in range(ih)
+        ]
+        if iflags & 0x40:                        # undo 4-pass interlace
+            rows: list = [None] * ih
+            for stored_row, visual_y in zip(stored, _interlace_order(ih)):
+                rows[visual_y] = stored_row
+        else:
+            rows = stored
+        return iw, ih, rows
+    raise ValueError("GIF contains no image block")
+
+
+def synth_gif_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Generate a genuine GIF payload per row: a closed-form 16-color
+    palette and index grid (idx = (id + 3x + 7y) % 16), so the decoded
+    RGB is analytically recomputable by the oracle. Images with odd
+    media_id are stored INTERLACED — half the corpus exercises the
+    4-pass reordering."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            payloads = []
+            for mid in ids:
+                w, h = 4 + mid % 5, 3 + mid % 4
+                idx_rows = [
+                    [(mid + 3 * x + 7 * y) % _GIF_NC for x in range(w)]
+                    for y in range(h)
+                ]
+                payloads.append(gif_encode(
+                    w, h, _gif_palette(mid), idx_rows,
+                    interlace=bool(mid % 2),
+                ))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image"] * len(ids),
+                "payload": payloads,
+                "meta_json": ['{"format": "gif"}'] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def gif_features(df: DataFrame) -> DataFrame:
+    """Real-decode feature extraction over GIF payloads (full LZW +
+    palette + interlace path), emitting the shared RGB feature shape
+    (_rgb_features) like the BMP/PNG twins."""
+    return _rgb_features(df, gif_decode)
+
+
 # --- real media format #3: WAV (RIFF PCM 16-bit) ---------------------------
 #
 # The audio member of the real-decoder family: canonical RIFF/WAVE with

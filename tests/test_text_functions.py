@@ -383,3 +383,99 @@ def test_wav_features_spark(spark):
         rate, ch, samples = multimodal.synth_wav_samples(i)
         assert got[i] == (rate, ch, len(samples) // ch,
                           samples[0], sum(samples))
+
+
+# --- real GIF codec ---------------------------------------------------------
+
+
+def test_gif_roundtrip_both_storage_orders():
+    """encode -> decode recovers exact RGB rows for every synthetic
+    shape, sequential AND 4-pass interlaced storage."""
+    for mid in range(0, 40):
+        w, h = 4 + mid % 5, 3 + mid % 4
+        pal = multimodal._gif_palette(mid)
+        idx_rows = [
+            [(mid + 3 * x + 7 * y) % 16 for x in range(w)] for y in range(h)
+        ]
+        expect = [[pal[i] for i in r] for r in idx_rows]
+        for inter in (False, True):
+            p = multimodal.gif_encode(w, h, pal, idx_rows, interlace=inter)
+            assert p[:6] == b"GIF89a"
+            assert multimodal.gif_decode(p) == (w, h, expect), (mid, inter)
+
+
+def test_gif_lzw_width_transitions_reset_and_kwkwk():
+    """The LZW paths a real decoder must get right: dynamic code-width
+    growth (the decoder's table runs one entry behind the encoder's —
+    the boundary off-by-one this test exists to pin), the mid-stream
+    CLEAR reset when the table hits 4096, and the KwKwK case."""
+    import random
+
+    rnd = random.Random(11)
+    for _ in range(10):
+        idx = [rnd.randrange(16) for _ in range(rnd.randrange(1, 20000))]
+        enc = multimodal._lzw_encode(idx, 4)
+        assert list(multimodal._lzw_decode(enc, 4)) == idx
+    repetitive = [1, 2, 3, 4] * 6000          # drives table past 4096
+    assert list(multimodal._lzw_decode(
+        multimodal._lzw_encode(repetitive, 4), 4)) == repetitive
+    runs = [5] * 50                            # KwKwK
+    assert list(multimodal._lzw_decode(
+        multimodal._lzw_encode(runs, 4), 4)) == runs
+
+
+def test_gif_decode_skips_extensions_and_rejects_corruption():
+    import struct
+
+    import pytest
+
+    mid = 9
+    w, h = 4 + mid % 5, 3 + mid % 4
+    pal = multimodal._gif_palette(mid)
+    idx_rows = [
+        [(mid + 3 * x + 7 * y) % 16 for x in range(w)] for y in range(h)
+    ]
+    expect = [[pal[i] for i in r] for r in idx_rows]
+    p = multimodal.gif_encode(w, h, pal, idx_rows)
+    # splice a Graphic Control Extension before the image descriptor
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    table_end = 13 + 3 * 16
+    spliced = p[:table_end] + gce + p[table_end:]
+    assert multimodal.gif_decode(spliced) == (w, h, expect)
+
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.gif_decode(b"PNG!" + p[4:])
+    with pytest.raises(ValueError, match="truncated|EOI"):
+        multimodal.gif_decode(p[:-6])
+    # pixel count mismatch: lie about the image height
+    mangled = bytearray(p)
+    struct.pack_into("<H", mangled, table_end + 7, h + 1)
+    with pytest.raises(ValueError):
+        multimodal.gif_decode(bytes(mangled))
+
+
+def test_gif_features_spark_matches_reference(spark):
+    """End-to-end through the Arrow pipeline (half the corpus
+    interlaced): features equal a direct Python recomputation."""
+    import math
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    got = {
+        r["media_id"]: tuple(r)[1:]
+        for r in multimodal.gif_features(
+            multimodal.synth_gif_media(docs, "doc_id")
+        ).collect()
+    }
+    for mid in range(12):
+        w, h = 4 + mid % 5, 3 + mid % 4
+        pal = multimodal._gif_palette(mid)
+        px = [
+            pal[(mid + 3 * x + 7 * y) % 16]
+            for y in range(h) for x in range(w)
+        ]
+        n = w * h
+        means = tuple(
+            math.floor(sum(p[c] for p in px) / n * 1e6 + 0.5) / 1e6
+            for c in range(3)
+        )
+        assert got[mid] == (w, h, px[0][0]) + means
