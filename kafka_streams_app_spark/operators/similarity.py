@@ -452,7 +452,11 @@ def kmeans_lloyd(
     codebook size, never by n. This is textbook distributed Lloyd:
     at 1000 executors each pass is embarrassingly parallel and the
     reduce is m*d partial sums. int64 is safe to ~9e12 members per
-    cluster at |q| <= 1e6.
+    cluster at |q| <= 1e6. Each iteration IS one synchronous job
+    round-trip (collect sums -> rebroadcast centroids) — inherent to
+    Lloyd's data dependency, which is why `iters` defaults small (2);
+    production k-means trades exactness for fewer rounds via
+    mini-batching, out of scope for this oracle-exact form.
 
     Output: (id_col, cluster_id) after `iters` refinements, cluster_id
     = the INITIAL sample row's id (stable labels across iterations).

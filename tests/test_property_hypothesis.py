@@ -215,3 +215,24 @@ def test_time_rolling_out_of_order_converges(tss, jitters, cuts, horizon):
         s = sum(e[3] for e in frame)
         expected = (ts, val, len(frame), s / 1e6, (s / 1e6) / len(frame))
         assert last[seq] == expected, (seq, ts)
+
+
+@given(
+    idx=st.lists(st.integers(0, 255), min_size=1, max_size=3000),
+    mcs_bump=st.integers(0, 4),
+)
+@_SETTINGS
+def test_gif_lzw_roundtrip_property(idx, mcs_bump):
+    """GIF-LZW encode->decode is the identity for ANY symbol stream at
+    ANY legal min-code-size >= the alphabet's: exercises width
+    transitions at arbitrary boundaries, runs (KwKwK), and — on long
+    low-entropy streams — the table-full CLEAR reset."""
+    from kafka_streams_app_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    alphabet_bits = max(2, max(idx).bit_length())
+    mcs = min(8, alphabet_bits + mcs_bump)
+    idx = [i % (1 << mcs) for i in idx]
+    assert list(_lzw_decode(_lzw_encode(idx, mcs), mcs)) == idx
