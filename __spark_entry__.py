@@ -2343,6 +2343,71 @@ def _q_s_time_rolling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s_time_rolling_late(spark: SparkSession, sf: str) -> DataFrame:
+    """The LATE-ARRIVAL path of the incremental wall-clock frame,
+    driver-signed end to end (r12 ADVICE fix): every 5th event is held
+    back into a SECOND micro-batch (two parquet files streamed in
+    order with maxFilesPerTrigger=1), so ~20% of rows arrive with
+    event time far behind per-key stream time. rolling_time_avg_stream
+    bisect-inserts them at their event-time ring position, emits their
+    true frame, and RE-EMITS corrected frames for the already-emitted
+    rows they retro-affect; the update-mode changelog is then reduced
+    last-wins (max win_n per record — frames only grow), which must
+    equal the in-event-order result — the SAME correlated oracle as
+    s_time_rolling."""
+    import tempfile as _tf
+
+    from kafka_streams_app_spark.streaming import rolling as SR
+    from kafka_streams_app_spark.streaming import zscore as SZ
+
+    def prep(df):
+        return SZ.with_micro_units(
+            df.select(
+                "user_id", "event_id", "value",
+                F.unix_seconds(F.col("ts").cast("timestamp")).alias("ts_s"),
+            ),
+            "value",
+        )
+
+    ev = prep(load_table(spark, sf, "events"))
+    if not tws_available(spark):
+        res = SR.rolling_time_avg_batch(
+            ev, ["user_id"], "event_id", "ts_s", "value",
+            horizon_s=3600, lateness_s=1 << 40,
+        )
+        return res.select(
+            "user_id", "ts_s", "event_id", "value",
+            "win_n", "win_sum", "win_avg",
+        )
+    staging = _tf.mkdtemp(prefix="s_time_rolling_late_")
+    on_time = ev.filter(F.col("event_id") % 5 != 0)
+    late = ev.filter(F.col("event_id") % 5 == 0)
+    on_time.coalesce(1).write.mode("append").parquet(staging)
+    late.coalesce(1).write.mode("append").parquet(staging)
+    src = (
+        spark.readStream.schema(on_time.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(staging)
+    )
+    out = SR.rolling_time_avg_stream(
+        src, ["user_id"], "event_id", "ts_s", "value",
+        horizon_s=3600, lateness_s=1 << 40,
+    )
+    changelog = run_available_now(spark, out, _sink(), "update")
+    best = F.max(F.struct("win_n", "win_sum", "win_avg")).alias("_b")
+    return (
+        changelog.groupBy("user_id", "ts_s", "event_id", "value")
+        .agg(best)
+        .select(
+            "user_id", "ts_s", "event_id", "value",
+            F.col("_b.win_n").alias("win_n"),
+            F.col("_b.win_sum").alias("win_sum"),
+            F.col("_b.win_avg").alias("win_avg"),
+        )
+    )
+
+
 def _q_s_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming fixed-k deterministic sample (streaming/sample.py):
     per-source bottom-20 md5-rank membership maintained in TWS state
@@ -5220,6 +5285,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
          AND epoch_us(e2.ts) // 1000000 > epoch_us(e1.ts) // 1000000 - 300
         GROUP BY e1.user_id, epoch_us(e1.ts) // 1000000, e1.event_id, e1.value
     """),
+    "s_time_rolling_late": (_q_s_time_rolling_late, """
+        SELECT e1.user_id,
+               CAST(epoch_us(e1.ts) // 1000000 AS BIGINT) AS ts_s,
+               e1.event_id, e1.value,
+               CAST(count(*) AS BIGINT) AS win_n,
+               CAST(SUM(CAST(e2.value AS DECIMAL(30,6))) AS DOUBLE) AS win_sum,
+               CAST(SUM(CAST(e2.value AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(*) AS win_avg
+        FROM events e1 JOIN events e2
+          ON e2.user_id = e1.user_id
+         AND (epoch_us(e2.ts) // 1000000 < epoch_us(e1.ts) // 1000000
+              OR (epoch_us(e2.ts) // 1000000 = epoch_us(e1.ts) // 1000000
+                  AND e2.event_id <= e1.event_id))
+         AND epoch_us(e2.ts) // 1000000 > epoch_us(e1.ts) // 1000000 - 3600
+        GROUP BY e1.user_id, epoch_us(e1.ts) // 1000000, e1.event_id, e1.value
+    """),
     # streaming deterministic reservoir: changelog net-positive set ==
     # the batch stratified_fixed_k draw (same oracle SQL)
     "s_sample_topk": (_q_s_sample_topk, """
@@ -5910,6 +5991,7 @@ _FRONT = [
     "s_time_rolling", "events_time_rolling",
     "events_time_rolling_bucketed", "s_sample_topk",
     "s_winnow_candidates", "s_winnow_candidates_blob", "s_decontam_winnow",
+    "s_time_rolling_late",
     # (3) the r8-signed 16
     "multimodal_bmp_decode", "multimodal_features", "multimodal_frames",
     "multimodal_meta", "multimodal_resize", "pipeline_hash_split",
@@ -5924,7 +6006,7 @@ _FRONT = [
     "j8_fk_join_inner_agg",
     "a1_count_per_key", "a2_windowed_count", "a3_windowed_sum",
     "a4_session_count",
-    "t2_mapvalues_square", "t3_selectkey_rekey", "t4_groupby_mapper",
+    "t3_selectkey_rekey", "t4_groupby_mapper",
     "t5_groupbykey_count", "branch_merge",
     "w3_hopping_count", "w5_emit_on_close",
 ]
