@@ -237,3 +237,41 @@ def test_time_beyond_lateness_fails_fast(spark):
         r.pipe([("k", 1, 1000, 1.0)])
         with pytest.raises(StreamingQueryException, match="beyond"):
             r.pipe([("k", 2, 999, 2.0)])
+
+
+def test_time_ring_state_survives_restart(spark):
+    """The r13 ring state blob ("maxts|t:q:u:vhex,...") must round-trip
+    through a checkpoint: frames spanning the restart include
+    pre-restart entries, the lateness guard's max_ts comes back (a
+    beyond-lateness row still fails fast after recovery), and a late
+    row arriving after the restart corrects a pre-restart emission."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    schema = "k string, seq long, ts_s long, v double"
+
+    def build(src):
+        return SR.rolling_time_avg_stream(
+            SZ.with_micro_units(src, "v"), ["k"], "seq", "ts_s", "v",
+            horizon_s=100, lateness_s=50,
+        )
+
+    with MicroBatchReplay(spark, schema, build, "update", sink="parquet") as r:
+        r.pipe([("k", 1, 0, 10.0), ("k", 3, 60, 30.0)])
+        got1 = {x["seq"]: (x["win_n"], x["win_sum"]) for x in r.drain()}
+        assert got1[3] == (2, 40.0)
+        r.restart()
+        # frame spanning the restart: (20,120] includes the
+        # pre-restart t=60 entry but not t=0
+        r.pipe([("k", 4, 120, 40.0)])
+        got2 = {x["seq"]: (x["win_n"], x["win_sum"]) for x in r.drain()}
+        assert got2[4] == (2, 70.0)
+        # late row within lateness (120-80=40 <= 50): lands between
+        # seq 3 and seq 4, corrects seq 4's frame ((20,120] gains it)
+        r.pipe([("k", 2, 80, 20.0)])
+        got3 = {x["seq"]: (x["win_n"], x["win_sum"]) for x in r.drain()}
+        assert got3[2] == (3, 60.0)   # frame (−20,80]: {0,60,80}
+        assert got3[4] == (3, 90.0)   # corrected re-emission
+        # max_ts recovered: beyond-lateness arrival still fails fast
+        with pytest.raises(StreamingQueryException, match="beyond"):
+            r.pipe([("k", 5, 10, 1.0)])
