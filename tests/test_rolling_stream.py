@@ -220,11 +220,31 @@ def test_time_out_of_order_stream_converges_to_batch(spark):
 
 
 def test_time_beyond_lateness_fails_fast(spark):
-    """A row later than lateness_s must kill the query loudly (its
-    frame may be evicted — silent corruption is the r12 ADVICE bug)."""
+    """on_late='fail' (opt-in strict mode): a row later than
+    lateness_s must kill the query loudly (its frame may be evicted —
+    silent corruption is the r12 ADVICE bug)."""
     import pytest
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
+    schema = "k string, seq long, ts_s long, v double"
+
+    def build(src):
+        return SR.rolling_time_avg_stream(
+            SZ.with_micro_units(src, "v"), ["k"], "seq", "ts_s", "v",
+            horizon_s=10, lateness_s=0, on_late="fail",
+        )
+
+    with MicroBatchReplay(spark, schema, build, "update") as r:
+        r.pipe([("k", 1, 1000, 1.0)])
+        with pytest.raises(StreamingQueryException, match="beyond"):
+            r.pipe([("k", 2, 999, 2.0)])
+
+
+def test_time_beyond_lateness_dead_letters_by_default(spark):
+    """Default on_late='dead_letter' (r13 verdict ask #6): a
+    beyond-bound row is NOT inserted (no silent mis-framing) and is
+    emitted as a countable win_n = -1 marker row; in-bound rows stay
+    exact as if the dropped row never arrived."""
     schema = "k string, seq long, ts_s long, v double"
 
     def build(src):
@@ -235,8 +255,14 @@ def test_time_beyond_lateness_fails_fast(spark):
 
     with MicroBatchReplay(spark, schema, build, "update") as r:
         r.pipe([("k", 1, 1000, 1.0)])
-        with pytest.raises(StreamingQueryException, match="beyond"):
-            r.pipe([("k", 2, 999, 2.0)])
+        r.drain()
+        # 999 < max_ts 1000 - lateness 0: dead-lettered, not fatal
+        r.pipe([("k", 2, 999, 2.0), ("k", 3, 1005, 3.0)])
+        got = {x["seq"]: (x["win_n"], x["win_sum"]) for x in r.drain()}
+    assert got[2] == (-1, None)
+    # seq 3's frame (995,1005] = {1000, 1005} — the dropped row is
+    # absent, the in-bound rows unaffected
+    assert got[3] == (2, 4.0)
 
 
 def test_time_ring_state_survives_restart(spark):
@@ -253,7 +279,7 @@ def test_time_ring_state_survives_restart(spark):
     def build(src):
         return SR.rolling_time_avg_stream(
             SZ.with_micro_units(src, "v"), ["k"], "seq", "ts_s", "v",
-            horizon_s=100, lateness_s=50,
+            horizon_s=100, lateness_s=50, on_late="fail",
         )
 
     with MicroBatchReplay(spark, schema, build, "update", sink="parquet") as r:
@@ -275,3 +301,37 @@ def test_time_ring_state_survives_restart(spark):
         # max_ts recovered: beyond-lateness arrival still fails fast
         with pytest.raises(StreamingQueryException, match="beyond"):
             r.pipe([("k", 5, 10, 1.0)])
+
+
+def test_time_legacy_state_blob_named_error():
+    """A pre-r13 checkpoint blob ('t:u,...' with no 'maxts|' head, or
+    2-field ring entries) must raise a DESCRIPTIVE incompatibility
+    error naming the fix, not an opaque int() ValueError (r13
+    ADVICE)."""
+    import pandas as pd
+    import pytest
+
+    from kafka_streams_app_spark.streaming.rolling import _TimeRollingAvg
+
+    class _FakeState:
+        def __init__(self, blob):
+            self.v = (blob,)
+
+        def exists(self):
+            return True
+
+        def get(self):
+            return self.v
+
+        def update(self, t):
+            self.v = t
+
+    pdf = pd.DataFrame(
+        {"k": ["k"], "ts_s": [10], "seq": [1], "v": [1.0],
+         "zu": [1_000_000]}
+    )
+    for blob in ("10:1000000,20:2000000", "99|10:1000000,20:2000000"):
+        proc = _TimeRollingAvg(["k"], "seq", "ts_s", "v", 100, 0)
+        proc.state = _FakeState(blob)
+        with pytest.raises(ValueError, match="incompatible state format"):
+            list(proc.handleInputRows(("k",), iter([pdf]), None))
