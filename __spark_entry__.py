@@ -460,6 +460,37 @@ def _pq_topk_sql(
     """
 
 
+def _pq_assign_sql(
+    m: int = 8, dsub: int = 8, mod: int = 17, rem: int = 3
+) -> str:
+    """DuckDB twin of pq_assign / s_pq_assign: the code-assignment
+    prefix of _pq_topk_sql — per-subspace codebooks from the
+    deterministic id-sample, exact-int64 L2 argmin per (vector,
+    subspace), ties -> lowest centroid id. One row per (vec_id, j)."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             [CAST(floor(x * 1000000.0) AS BIGINT)
+              FOR x IN embedding::DOUBLE[]] AS q
+      FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % {mod} = {rem}),
+    sub AS (SELECT unnest(range(0, {m})) AS j),
+    d AS (
+      SELECT e.vec_id, s.j, cb.cid,
+             CAST(list_sum(
+               [(e.q[s.j * {dsub} + i] - cb.cq[s.j * {dsub} + i])
+                * (e.q[s.j * {dsub} + i] - cb.cq[s.j * {dsub} + i])
+                FOR i IN range(1, {dsub + 1})]) AS BIGINT) AS dist
+      FROM e CROSS JOIN sub s CROSS JOIN cb
+    )
+    SELECT vec_id, j, cid FROM (
+      SELECT vec_id, j, cid, row_number() OVER (
+        PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM d)
+    WHERE rn = 1
+    """
+
+
 def _ivfpq_topk_sql(
     k: int = 5, m: int = 8, dsub: int = 8,
     coarse_mod: int = 17, coarse_rem: int = 3,
@@ -2243,6 +2274,26 @@ def _q_s_winnow_candidates_blob(spark: SparkSession, sf: str) -> DataFrame:
         return run_available_now(spark, out, _sink(), "update")
     docs = load_table(spark, sf, "documents")
     return DC.winnow_candidates_batch(docs, "text", "doc_id", layout="blob")
+
+
+def _q_s_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ANN INGEST (r13 verdict ask #4): new embedding
+    vectors stream in and are assigned their PQ codes incrementally —
+    stream-static against codebooks frozen from the static corpus
+    (operators/similarity.py:pq_assign). The plan is a stateless
+    Arrow encode per micro-batch (no state, no shuffle; the codebook
+    rides the UDF closure as a broadcast), so codes land the moment a
+    vector arrives — completing the at-ingest curation family (dedup,
+    decontam, quality, and now ANN indexing). Codes are bit-for-bit
+    pq_topk's (shared _pq_model), which is what the exact-int oracle
+    replays."""
+    emb_static = load_table(spark, sf, "embeddings")
+    stream = load_stream(spark, sf, "embeddings")
+    out = similarity.pq_assign(
+        stream, emb_static, "vec_id", "embedding", dim=64, m=8,
+        centroid_mod=(17, 3),
+    )
+    return run_available_now(spark, out, _sink(), "append")
 
 
 def _q_s_profile_running(spark: SparkSession, sf: str) -> DataFrame:
@@ -5207,6 +5258,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "s_winnow_candidates": (_q_s_winnow_candidates, _winnow_candidates_md5_sql()),
     "s_winnow_candidates_blob": (
         _q_s_winnow_candidates_blob, _winnow_candidates_md5_sql()),
+    "s_pq_assign": (_q_s_pq_assign, _pq_assign_sql()),
     # decontamination at ingest: stream-static broadcast fingerprint
     # join; update-mode emission == the batch join (one row per doc)
     "s_decontam_winnow": (_q_s_decontam_winnow, f"""

@@ -619,6 +619,112 @@ def hard_negatives_ann(
     )
 
 
+def _pq_model(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    centroid_mod: tuple[int, int],
+):
+    """Frozen PQ model shared by pq_topk and pq_assign: the
+    deterministic sub-codebooks (ONE bounded collect, O(sample x d)
+    ints) plus the two Arrow passes built over them — `encode` (m int
+    codes per vector, exact int64 L2 argmin per subspace, ties ->
+    lowest centroid id) and `q_lut` (flat m x nc exact-int64 ADC
+    table per query). The codebook arrays ride the UDF closures, so
+    the same model object serves batch scans and stream-static
+    micro-batch encoding alike."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    cids, cmat = _int_codebook(corpus, id_col, vec_col, centroid_mod)
+    nc = len(cids)
+    if nc == 0:
+        raise ValueError(
+            "pq model: empty codebook — no corpus id satisfies "
+            f"id % {centroid_mod[0]} == {centroid_mod[1]}"
+        )
+    csub = cmat.reshape(nc, m, dsub).transpose(1, 0, 2).copy()  # (m, nc, dsub)
+    c2 = (csub ** 2).sum(axis=2)  # (m, nc)
+
+    def _sub_dists(mat: "np.ndarray") -> "np.ndarray":
+        """(n, dim) quantized int64 -> (n, m, nc) exact int64 L2."""
+        sub = mat.reshape(len(mat), m, dsub)
+        x2 = (sub ** 2).sum(axis=2)
+        xc = np.einsum("nmd,mcd->nmc", sub, csub)
+        return x2[:, :, None] - 2 * xc + c2[None, :, :]
+
+    def _quant(vs: "pd.Series") -> "np.ndarray":
+        mm = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return np.floor(mm * 1e6).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def encode(vs: "pd.Series") -> "pd.Series":
+        # argmin takes the FIRST minimum; cids is sorted, so index
+        # order == centroid-id order -> ties resolve to lowest cid,
+        # matching the oracle's (dist, cid) row_number
+        codes = _sub_dists(_quant(vs)).argmin(axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    @pandas_udf("array<long>")
+    def q_lut(vs: "pd.Series") -> "pd.Series":
+        # flat (m * nc) exact-int64 ADC table per query vector
+        luts = _sub_dists(_quant(vs)).reshape(len(vs), m * nc)
+        return pd.Series(list(luts))
+
+    return cids, nc, encode, q_lut
+
+
+def pq_assign(
+    df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    centroid_mod: tuple[int, int] = (17, 3),
+) -> DataFrame:
+    """PQ code ASSIGNMENT for new vectors — the ingest-side face of
+    pq_topk (r13 verdict ask #4): freeze the sub-codebooks from the
+    static `corpus` (the same deterministic id-sample, ONE bounded
+    collect riding the Arrow UDF closure as a broadcast), then encode
+    each arriving vector to its m subspace codes in one vectorized
+    pass. `df` may be a BATCH or a STREAMING DataFrame: the plan is a
+    stateless stream-static projection (no shuffle, no state), so
+    under Structured Streaming each micro-batch encodes independently
+    and a new document's codes are available the moment it lands —
+    completing the at-ingest curation family (dedup / decontam /
+    quality already have streaming twins).
+
+    Output: (id_col, j, cid) — one row per (vector, subspace); cid is
+    the CENTROID ID (the codebook sample's vector id, the
+    engine-portable name), mapped JVM-side from encode's internal
+    codebook index via a literal id array. Codes are bit-for-bit the
+    assignments pq_topk scores against for the same corpus (exact
+    int64 L2, ties -> lowest centroid id; equality pinned in
+    tests/test_clusters_ivf.py and by the shared driver oracle).
+    """
+    cids, _, encode, _ = _pq_model(corpus, id_col, vec_col, dim, m,
+                                   centroid_mod)
+    cid_arr = F.array([F.lit(int(c)) for c in cids])
+    return (
+        df.select(
+            F.col(id_col),
+            encode(as_double(F.col(vec_col))).alias("_code"),
+        )
+        .select(
+            id_col,
+            F.posexplode("_code").alias("j", "_ci"),
+        )
+        .select(
+            id_col,
+            F.col("j").cast("long").alias("j"),
+            F.element_at(cid_arr, F.col("_ci") + 1).cast("long").alias("cid"),
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -670,44 +776,8 @@ def pq_topk(
     duplicate of the query scores the query's own quantization error
     (the minimum any vector sharing its codes can score), not 0.
     """
-    if dim % m != 0:
-        raise ValueError(f"dim={dim} not divisible by m={m}")
-    dsub = dim // m
-    cids, cmat = _int_codebook(corpus, id_col, vec_col, centroid_mod)
-    nc = len(cids)
-    if nc == 0:
-        raise ValueError(
-            "pq_topk: empty codebook — no corpus id satisfies "
-            f"id % {centroid_mod[0]} == {centroid_mod[1]}"
-        )
-    csub = cmat.reshape(nc, m, dsub).transpose(1, 0, 2).copy()  # (m, nc, dsub)
-    c2 = (csub ** 2).sum(axis=2)  # (m, nc)
-
-    def _sub_dists(mat: "np.ndarray") -> "np.ndarray":
-        """(n, dim) quantized int64 -> (n, m, nc) exact int64 L2."""
-        sub = mat.reshape(len(mat), m, dsub)
-        x2 = (sub ** 2).sum(axis=2)
-        xc = np.einsum("nmd,mcd->nmc", sub, csub)
-        return x2[:, :, None] - 2 * xc + c2[None, :, :]
-
-    def _quant(vs: "pd.Series") -> "np.ndarray":
-        mm = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        return np.floor(mm * 1e6).astype(np.int64)
-
-    @pandas_udf("array<int>")
-    def encode(vs: "pd.Series") -> "pd.Series":
-        # argmin takes the FIRST minimum; cids is sorted, so index
-        # order == centroid-id order -> ties resolve to lowest cid,
-        # matching the oracle's (dist, cid) row_number
-        codes = _sub_dists(_quant(vs)).argmin(axis=2).astype(np.int32)
-        return pd.Series(list(codes))
-
-    @pandas_udf("array<long>")
-    def q_lut(vs: "pd.Series") -> "pd.Series":
-        # flat (m * nc) exact-int64 ADC table per query vector
-        luts = _sub_dists(_quant(vs)).reshape(len(vs), m * nc)
-        return pd.Series(list(luts))
-
+    _, nc, encode, q_lut = _pq_model(corpus, id_col, vec_col, dim, m,
+                                     centroid_mod)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -404,3 +404,60 @@ def test_pq_family_never_collects_query_dataframe(spark, sf_dir):
     assert not poisoned["hit"]
     assert orig(out_pq.filter("rank = 1").limit(1))  # executes fine
     assert orig(out_ivfpq.filter("rank = 1").limit(1))
+
+
+def test_pq_assign_matches_numpy_and_stream_equals_batch(spark, sf_dir):
+    """pq_assign (r14 ingest-side twin): batch codes equal an
+    independent NumPy recompute of the exact-int subspace argmin
+    (centroid IDS, ties -> lowest), and the streaming stream-static
+    path emits the identical (id, j, cid) set per micro-batch."""
+    import numpy as np
+
+    from kafka_streams_app_spark.operators.similarity import pq_assign
+    from kafka_streams_app_spark.streaming.harness import MicroBatchReplay
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in pq_assign(
+            emb, emb, "vec_id", "embedding", dim=64, m=8
+        ).collect()
+    )
+
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.collect()
+    )
+    q = {i: np.floor(np.array(v) * 1e6).astype(np.int64) for i, v in rows}
+    cids = sorted(i for i, _ in rows if i % 17 == 3)
+    want = []
+    for i, _ in rows:
+        for j in range(8):
+            sub = q[i][j * 8:(j + 1) * 8]
+            best = min(
+                (int(((sub - q[c][j * 8:(j + 1) * 8]) ** 2).sum()), c)
+                for c in cids
+            )
+            want.append((i, j, best[1]))
+    assert got == sorted(want)
+
+    # stream-static: two micro-batches over a head slice == batch
+    head = rows[:40]
+    schema = "vec_id long, embedding array<double>"
+    batch_head = sorted(
+        tuple(r)
+        for r in pq_assign(
+            spark.createDataFrame(head, schema), emb, "vec_id",
+            "embedding", dim=64, m=8,
+        ).collect()
+    )
+    with MicroBatchReplay(
+        spark, schema,
+        lambda src: pq_assign(src, emb, "vec_id", "embedding", dim=64, m=8),
+        "append",
+    ) as r:
+        r.pipe(head[:20])
+        r.pipe(head[20:])
+        stream = sorted(tuple(x) for x in r.drain())
+    assert stream == batch_head
+    assert len(stream) == 40 * 8
