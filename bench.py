@@ -172,6 +172,12 @@ def main() -> None:
     queries = entry_mod.queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Host-contention attribution (r13 verdict ask #2): r13's driver
+    # reading was +19% UNIFORM over an idle-host twin of the same code.
+    # Record the 1/5/15-min load averages at start AND end so a hot
+    # reading carries its own evidence (loadavg >> ncpus => contention,
+    # not regression).
+    loadavg_start = list(os.getloadavg())
     out: dict = {"unit": "sec", "sf": float(sf)}
     if group in ("all", "headline"):
         hq = _bench_group(spark, queries, HEADLINE)
@@ -197,6 +203,9 @@ def main() -> None:
          **out.get("sketch_queries", {})}
     )
     out["regressions"] = regressions
+    out["loadavg_start"] = [round(x, 2) for x in loadavg_start]
+    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    out["ncpus"] = os.cpu_count()
     print(json.dumps(out))
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         sys.exit(2)

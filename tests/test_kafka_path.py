@@ -98,3 +98,83 @@ def test_serde_projection_struct_and_primitive(spark):
 
     prim = _project(wire.withColumn("value", F.lit(b"41")), "long", "string")
     assert [r["value"] for r in prim.collect()] == [41, 41]
+
+
+def test_stream_topic_exact_option_set(spark, monkeypatch):
+    """Shape-pin for the broker-only path (r13 verdict ask #7): the
+    sandbox can never .load() a kafka source, so pin the EXACT reader
+    format + option set stream_topic/read_topic_batch hand the
+    connector, and run the downstream projection on a fake wire frame
+    returned by the patched loader — the whole builder short of the
+    socket."""
+    from pyspark.sql import SparkSession
+
+    from kafka_streams_app_spark.sources.kafka import (
+        read_topic_batch,
+        stream_topic,
+    )
+
+    wire = spark.createDataFrame(
+        [(b"7", b'{"a": 1}', "2024-01-01 00:00:00", 0, 10)],
+        "key binary, value binary, timestamp string, partition int, offset long",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+
+    class _FakeReader:
+        def __init__(self):
+            self.fmt = None
+            self.opts = {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            return wire
+
+    stream_reader = _FakeReader()
+    batch_reader = _FakeReader()
+    monkeypatch.setattr(
+        type(spark), "readStream", property(lambda self: stream_reader)
+    )
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: batch_reader)
+    )
+    assert isinstance(spark, SparkSession)
+
+    out = stream_topic(
+        spark, "clicks", "broker:9092", "struct<a: long>", key_type="long"
+    )
+    assert stream_reader.fmt == "kafka"
+    assert stream_reader.opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "clicks",
+        "startingOffsets": "earliest",
+    }
+    assert [(r["key"], r["a"]) for r in out.collect()] == [(7, 1)]
+
+    out_b = read_topic_batch(
+        spark, "clicks", "broker:9092", "struct<a: long>", key_type="long"
+    )
+    assert batch_reader.fmt == "kafka"
+    assert batch_reader.opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "clicks",
+        "startingOffsets": "earliest",
+        "endingOffsets": "latest",
+    }
+    assert [(r["key"], r["a"]) for r in out_b.collect()] == [(7, 1)]
+
+    # non-default offsets thread through
+    stream_reader2 = _FakeReader()
+    monkeypatch.setattr(
+        type(spark), "readStream", property(lambda self: stream_reader2)
+    )
+    stream_topic(
+        spark, "clicks", "broker:9092", "long",
+        starting_offsets="latest",
+    )
+    assert stream_reader2.opts["startingOffsets"] == "latest"
