@@ -479,3 +479,134 @@ def test_gif_features_spark_matches_reference(spark):
             for c in range(3)
         )
         assert got[mid] == (w, h, px[0][0]) + means
+
+
+def test_jpeg_spectral_roundtrip_bit_exact():
+    """Baseline JPEG on the spectral synth images: the lossy pipeline
+    (FDCT -> flat quant -> Annex K Huffman -> decode) is BIT-EXACT
+    because every block has exactly two integer DCT coefficients —
+    including non-8-multiple dims (edge-MCU crop)."""
+    from kafka_streams_app_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        synth_jpeg_pixels,
+    )
+
+    for mid in range(20):
+        w, h, rows = synth_jpeg_pixels(mid)
+        dw, dh, got = jpeg_decode(jpeg_encode_gray(w, h, rows))
+        assert (dw, dh) == (w, h)
+        assert got == [r[:w] for r in rows[:h]]
+        if mid % 5:
+            assert w % 8 != 0  # crop genuinely exercised
+
+
+def test_jpeg_general_pixels_within_quant_error():
+    """Arbitrary (non-spectral) pixels: the codec is genuinely lossy
+    but with the flat quant table every coefficient error is <= 0.5,
+    so reconstruction stays within a small bound — and the entropy
+    stream exercises dense AC runs (not just ZRL/EOB)."""
+    from kafka_streams_app_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_gray,
+    )
+
+    w = h = 16
+    rows = [
+        [(31 * x + 57 * y + x * y) % 256 for x in range(w)]
+        for y in range(h)
+    ]
+    dw, dh, got = jpeg_decode(jpeg_encode_gray(w, h, rows))
+    assert (dw, dh) == (w, h)
+    worst = max(
+        abs(got[y][x] - rows[y][x]) for y in range(h) for x in range(w)
+    )
+    assert worst <= 4, worst
+
+
+def test_jpeg_entropy_stream_byte_stuffing():
+    """An 0xFF entropy byte must be stuffed with 0x00 on encode and
+    silently unstuffed on decode. The spectral synth family hits the
+    stuffing path on nearly every id (292/300 measured), so assert the
+    stuffed bytes are PRESENT in the scan sections and that decode on
+    those payloads is still bit-exact (covered by the roundtrip pin);
+    a stray bare 0xFF mid-stream must raise instead."""
+    import pytest
+
+    from kafka_streams_app_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        synth_jpeg_pixels,
+    )
+
+    stuffed = 0
+    first = None
+    for mid in range(20):
+        w, h, rows = synth_jpeg_pixels(mid)
+        payload = jpeg_encode_gray(w, h, rows)
+        scan_at = payload.find(b"\xff\xda") + 14
+        n = payload[scan_at:-2].count(b"\xff\x00")
+        stuffed += n
+        if n and first is None:
+            first = (payload, scan_at)
+    assert stuffed > 0
+    # corrupt the first stuffed pair into a bare marker: must raise
+    payload, scan_at = first
+    idx = payload.index(b"\xff\x00", scan_at)
+    bad = payload[:idx + 1] + b"\xc4" + payload[idx + 2:]
+    with pytest.raises(ValueError, match="marker inside entropy"):
+        jpeg_decode(bad)
+
+
+def test_jpeg_decode_rejects_malformed():
+    """Structural guards: missing SOI, progressive SOF2, restart
+    intervals, and a truncated Huffman stream all raise."""
+    import pytest
+
+    from kafka_streams_app_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        synth_jpeg_pixels,
+    )
+
+    w, h, rows = synth_jpeg_pixels(3)
+    payload = jpeg_encode_gray(w, h, rows)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x00\x00" + payload[2:])
+    # flip SOF0 -> SOF2 (progressive)
+    sof = payload.find(b"\xff\xc0")
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(payload[:sof + 1] + b"\xc2" + payload[sof + 2:])
+    with pytest.raises((ValueError, IndexError)):
+        jpeg_decode(payload[:len(payload) // 2])
+
+
+def test_jpeg_features_spark_matches_oracle_formula(spark):
+    """jpeg_features through the Arrow mapInPandas flow equals the
+    closed-form pixel recomputation (the DuckDB oracle's formula) on a
+    documents slice."""
+    import math
+
+    from kafka_streams_app_spark.operators import multimodal
+    from kafka_streams_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    media = multimodal.synth_jpeg_media(docs, "doc_id")
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["p00"], r["mean_p"])
+        for r in multimodal.jpeg_features(media).collect()
+    }
+    assert len(got) == 60
+    sgn = [1, -1, -1, 1]
+    for mid, (w, h, p00, mean_p) in got.items():
+        ew = 8 * (2 + mid % 3) - mid % 5
+        eh = 8 * (1 + mid % 2) - mid % 3
+        assert (w, h) == (ew, eh)
+        assert p00 == 64 + mid % 128 + mid % 32 - 16
+        s = sum(
+            64 + (mid + 5 * (x // 8) + 9 * (y // 8)) % 128
+            + ((mid + 3 * (x // 8) + 7 * (y // 8)) % 32 - 16)
+            * sgn[x % 8 % 4] * sgn[y % 8 % 4]
+            for x in range(ew) for y in range(eh)
+        )
+        assert mean_p == math.floor(s / (ew * eh) * 1e6 + 0.5) / 1e6
