@@ -6049,60 +6049,55 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
 }
 
-# --- driver-sample ordering (r13 rotation) ---
+# --- driver-sample ordering (r14 rotation) ---
 # The driver samples the FIRST 50 registry entries each round
 # (tests/test_registry_order.py pins the never-green-inside-window
-# invariant). r13 rotation, per the r12 verdict's #1 ask ("retire the
-# driver-signature staleness tail") — the 65 r8/r9-signed entries plus
-# this round's new/changed code exceed one 50-slot window, so priority:
-# 1. NEW r13 entries, never driver-sampled (lint-required inside):
-#    tpch_q12/q20/q21 (the closed TPC-H ledger) and
-#    multimodal_png_decode (the real PNG decoder).
-# 2. Code changed in r13, so the driver re-signs current code:
-#    sim_pq_topk / sim_ivfpq_topk (distributed query path),
-#    s_time_rolling + events_time_rolling[_bucketed] (out-of-order
-#    ring rewrite), s_sample_topk (null-id drop),
-#    s_winnow_candidates / s_decontam_winnow (hot-bucket warning).
-# 3. ALL 16 r8-signed entries — the oldest tail: the five multimodal
-#    ops (bmp_decode also re-coded via _rgb_features), hash_split, and
-#    the ten displaced tpch headliners from r12.
-# 4. Fill to exactly 50 with the 22 reference-core r9-signed entries:
-#    the full join suite j1..j8, aggregations a1..a4, transforms
-#    t2..t5 + branch_merge, windows w3/w5, and IQ q1/q2/q4.
-# The 27 remaining r9-signed entries (embedding dedup family, the
-# closed-window streaming family, sim_cosine/lsh, IQ q5/q6,
-# text_lm_likelihood, corpus_chunk/ngram, shuffle_det) rotate in r14,
-# which fully retires the tail; all of them pass the builder's
-# both-scale local gates this round (artifacts/gate_logs_r13*).
+# invariant). r14 rotation, per the r13 verdict's #1 ask ("close the
+# driver-signature tail"):
+# 1. NEW r14 entries, never driver-sampled (lint-required inside):
+#    s_pq_assign (streaming ANN ingest) and multimodal_jpeg_decode
+#    (the baseline-JPEG decoder).
+# 2. Code changed in r14, so the driver re-signs current code:
+#    s_time_rolling / s_time_rolling_late (dead-letter lateness mode
+#    + legacy-state detection in streaming/rolling.py) and the winnow
+#    stream trio (auto layout default + step-crossing hot-bucket warn
+#    in streaming/dedup_candidates.py; s_winnow_candidates now signs
+#    the AUTO layout, s_winnow_candidates_blob the fixed blob).
+# 3. ALL 31 remaining r9-signed entries — this CLOSES the r9 tail:
+#    every registry entry is then driver-signed in r12-r14.
+# 4. Fill to exactly 50 with 12 of the now-oldest (r11-signed)
+#    entries: the flagship t1, q3 (completing the IQ family's
+#    refresh), the rolling/zscore TWS twins, the minhash/cross-corpus
+#    dedup heavies, kmeans/IVF/hard-negatives, and the two pipeline
+#    composites. The 34 remaining r11-signed entries rotate in r15.
 _FRONT = [
-    # (1) new in r13, never sampled (multimodal_wav_decode displaced
-    # q4_window_fetch to the r14 rotation to hold the 50-slot line)
-    "tpch_q12_shipmode_priority", "tpch_q20_excess_inventory",
-    "tpch_q21_suppliers_kept_waiting", "multimodal_png_decode",
-    "multimodal_wav_decode", "multimodal_gif_decode",
-    # (2) code changed in r13
-    "sim_pq_topk", "sim_ivfpq_topk",
-    "s_time_rolling", "events_time_rolling",
-    "events_time_rolling_bucketed", "s_sample_topk",
+    # (1) new in r14, never sampled
+    "s_pq_assign", "multimodal_jpeg_decode",
+    # (2) code changed in r14
+    "s_time_rolling", "s_time_rolling_late",
     "s_winnow_candidates", "s_winnow_candidates_blob", "s_decontam_winnow",
-    "s_time_rolling_late",
-    # (3) the r8-signed 16
-    "multimodal_bmp_decode", "multimodal_features", "multimodal_frames",
-    "multimodal_meta", "multimodal_resize", "pipeline_hash_split",
-    "tpch_q1_pricing", "tpch_q3_top_revenue", "tpch_q4_priority",
-    "tpch_q5_local_revenue", "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume", "tpch_q10_returned_revenue",
-    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q18_large_orders",
-    # (4) reference-core r9-signed 22
-    "j1_interval_join_inner", "j2_interval_join_left",
-    "j3_self_join_windowed", "j4_asof_enrich", "j5_table_join_inner",
-    "j6_table_join_left_tombstone", "j7_fk_join_left",
-    "j8_fk_join_inner_agg",
-    "a1_count_per_key", "a2_windowed_count", "a3_windowed_sum",
-    "a4_session_count",
-    "t3_selectkey_rekey", "t4_groupby_mapper",
-    "t5_groupbykey_count", "branch_merge",
-    "w3_hopping_count", "w5_emit_on_close",
+    # (3) the r9-signed 31 (closing the tail)
+    "corpus_chunk", "corpus_ngram_topk", "decontam_overlap",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "dedup_embedding_lsh_auto", "dedup_exact", "dedup_ngram_jaccard",
+    "pipeline_shuffle_det",
+    "q1_point_lookup", "q2_full_scan", "q4_window_fetch",
+    "q5_window_fetch_all", "q6_key_routing",
+    "s_count_complete", "s_dedup_within_watermark",
+    "s_hopping_count_closed", "s_interval_join_left",
+    "s_session_count", "s_session_count_grace",
+    "s_stream_stream_join", "s_stream_table_join",
+    "s_windowed_count_closed", "s_windowed_count_grace",
+    "s_windowed_join_ktime", "s_windowed_join_ktime_multibucket",
+    "s_windowed_sum_closed",
+    "sim_cosine_topk", "sim_lsh_ann_topk",
+    "t2_mapvalues_square", "text_lm_likelihood",
+    # (4) 12 r11-signed fills
+    "t1_wordcount", "q3_range_scan",
+    "s_rolling_avg", "s_zscore_running",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_cross", "dedup_cross_corpus",
+    "cluster_kmeans", "sim_ivf_topk", "sim_hard_negatives",
+    "pipeline_end_to_end", "mix_sources",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -274,6 +274,133 @@ class _BucketPairsBlob(StatefulProcessor):
         pass
 
 
+class _BucketPairsAuto(StatefulProcessor):
+    """Per-batch AUTO-SELECTED state layout (r13 verdict ask #3): the
+    'map' vs 'blob' dial left a 6.3× throughput gap to a manual
+    setting, so this processor registers BOTH stores and picks per
+    bucket per micro-batch by measured batch density — the number of
+    DISTINCT fingerprints the batch touches in this bucket:
+
+    - density >= bulk_threshold (bulk/backfill): whole-bucket blob
+      economics win (2 state round trips amortize over many
+      fingerprints); touched MapState entries MIGRATE into the blob.
+    - density < bulk_threshold (trickle): per-entry MapState updates
+      win (no whole-bucket rewrite per tiny batch); blob-resident
+      fingerprints keep updating in the blob (one rewrite — cheaper
+      than a thrash-y migration back).
+
+    Invariant: a fingerprint's member list lives in EXACTLY ONE store
+    (blob wins lookups; migration deletes the MapState entry in the
+    same batch), so the pair logic — and the emitted set, and the
+    oracle — are unchanged across arbitrary trickle/bulk interleaving.
+    State names match the single-layout processors ('buckets' /
+    'members'), so an auto restart on a checkpoint written by either
+    fixed layout resumes seamlessly.
+
+    Threshold: map-mode cost is ~2 state-server RPCs per touched
+    fingerprint; blob-mode is 2 RPCs + an O(bucket) blob rewrite. The
+    r13 attribution measured the RPC term dominating from tens of
+    fingerprints per bucket per batch (SCALE.md); the default 8 is
+    conservatively below that knee and measured to hold the blob
+    layout's bulk throughput while keeping trickle at MapState rates
+    (tools/stream_throughput.py fixtures).
+    """
+
+    def __init__(self, max_members: int | None = None,
+                 bulk_threshold: int = 8):
+        self.max_members = max_members
+        self.bulk_threshold = bulk_threshold
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.blob = handle.getValueState("buckets", _STATE_SCHEMA)
+        self.map = handle.getMapState(
+            "members",
+            StructType([StructField("fp", LongType(), True)]),
+            _STATE_SCHEMA,
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows)).sort_values(
+            ["fp", "doc_id"], kind="stable"
+        )
+        fps = pdf["fp"].to_numpy()
+        docs = pdf["doc_id"].to_numpy()
+        n = len(fps)
+        bulk = len(pdf["fp"].unique()) >= self.bulk_threshold
+        table: dict[int, list[int]] = {}
+        if self.blob.exists():
+            for ent in self.blob.get()[0].split(";"):
+                if ent:
+                    f, _, ms = ent.partition(":")
+                    table[int(f)] = [int(x) for x in ms.split(",") if x]
+        # Bulk batches must NOT probe MapState per fingerprint (that is
+        # exactly the 2-RPCs-per-fp cost the blob layout exists to
+        # avoid — measured 4x slower when they did): ONE streamed
+        # iterator() pass yields every map-resident entry, and on a
+        # pure-bulk history (nothing ever trickled in) it is empty.
+        map_snapshot: dict[int, tuple] | None = None
+        if bulk:
+            map_snapshot = {int(k[0]): v for k, v in self.map.iterator()}
+        out: list[tuple[int, int, int]] = []
+        blob_changed = False
+        i = 0
+        while i < n:
+            fp = int(fps[i])
+            in_blob = fp in table
+            cur = (
+                None if in_blob
+                else map_snapshot.get(fp) if map_snapshot is not None
+                else self.map.getValue((fp,))
+            )
+            members: list[int] = (
+                table[fp] if in_blob
+                else [int(x) for x in cur[0].split(",") if x]
+                if cur is not None
+                else []
+            )
+            seen = set(members)
+            n_before = len(members)
+            changed = False
+            while i < n and fps[i] == fp:
+                doc = int(docs[i])
+                i += 1
+                if doc in seen:
+                    continue  # idempotence under re-delivery
+                if (
+                    self.max_members is not None
+                    and len(members) >= self.max_members
+                ):
+                    continue  # frozen hot bucket
+                out.extend((fp, min(m, doc), max(m, doc)) for m in members)
+                members.append(doc)
+                seen.add(doc)
+                changed = True
+            _warn_hot_bucket(fp, n_before, len(members), self.max_members)
+            if in_blob:
+                blob_changed = blob_changed or changed
+            elif bulk and (changed or cur is not None):
+                # migrate map -> blob (exactly-one-store invariant)
+                if cur is not None:
+                    self.map.removeKey((fp,))
+                if members:
+                    table[fp] = members
+                    blob_changed = True
+            elif changed:
+                self.map.updateValue(
+                    (fp,), (",".join(str(x) for x in members),)
+                )
+        if blob_changed:
+            self.blob.update((";".join(
+                f"{f}:{','.join(str(x) for x in ms)}"
+                for f, ms in table.items()
+            ),))
+        if out:
+            yield pd.DataFrame(out, columns=["fp", "doc_a", "doc_b"])
+
+    def close(self) -> None:
+        pass
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text: str,
@@ -319,6 +446,18 @@ def winnow_fingerprints(
     )
 
 
+def _pick_layout(layout: str, max_members: int | None) -> StatefulProcessor:
+    if layout == "auto":
+        return _BucketPairsAuto(max_members)
+    if layout == "blob":
+        return _BucketPairsBlob(max_members)
+    if layout == "map":
+        return _BucketPairsMap(max_members)
+    raise ValueError(
+        f"layout must be 'auto', 'map' or 'blob', got {layout!r}"
+    )
+
+
 def _bucketed(fps: DataFrame, n_buckets: int) -> DataFrame:
     return fps.withColumn(
         "_b", F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).cast("int")
@@ -333,7 +472,7 @@ def winnow_candidates_stream(
     window: int = 4,
     max_members: int | None = None,
     n_buckets: int | None = 128,
-    layout: str = "map",
+    layout: str = "auto",
 ) -> DataFrame:
     """Streaming near-dup candidate pairs over a document stream.
 
@@ -342,20 +481,18 @@ def winnow_candidates_stream(
     total cores) amortizes the per-grouping-key TWS framework cost
     over ~fingerprints/n_buckets fingerprints; None groups by raw
     fingerprint (one TWS key per bucket — the didactic layout).
-    layout picks the bucketed state store: 'map' (MapState entry per
-    fingerprint — steady trickle ingest) or 'blob' (one ValueState
-    blob per bucket, 2 state round trips per bucket per batch — the
-    bulk/backfill dial; see _BucketPairsBlob)."""
+    layout picks the bucketed state store: 'auto' (default — per
+    bucket per micro-batch by measured batch density, bulk batches on
+    blob economics, trickle on MapState; see _BucketPairsAuto), 'map'
+    (MapState entry per fingerprint — steady trickle ingest) or 'blob'
+    (one ValueState blob per bucket, 2 state round trips per bucket
+    per batch — the bulk/backfill dial; see _BucketPairsBlob)."""
     from kafka_streams_app_spark.streaming.ktable import _require_rocksdb
 
     _require_rocksdb(df.sparkSession)
     fps = winnow_fingerprints(df, text, id_col, k=k, window=window)
     if n_buckets is not None:
-        proc = (
-            _BucketPairsBlob(max_members)
-            if layout == "blob"
-            else _BucketPairsMap(max_members)
-        )
+        proc = _pick_layout(layout, max_members)
         return _bucketed(fps, n_buckets).groupBy("_b").transformWithStateInPandas(
             statefulProcessor=proc,
             outputStructType=_OUT_SCHEMA,
@@ -378,18 +515,14 @@ def winnow_candidates_batch(
     window: int = 4,
     max_members: int | None = None,
     n_buckets: int | None = 128,
-    layout: str = "map",
+    layout: str = "auto",
 ) -> DataFrame:
     """Grouped-replay twin (streaming/replay.py) — the TWS-less path."""
     from kafka_streams_app_spark.streaming.replay import grouped_replay
 
     fps = winnow_fingerprints(df, text, id_col, k=k, window=window)
     if n_buckets is not None:
-        proc = (
-            _BucketPairsBlob(max_members)
-            if layout == "blob"
-            else _BucketPairsMap(max_members)
-        )
+        proc = _pick_layout(layout, max_members)
         return grouped_replay(
             _bucketed(fps, n_buckets), ["_b"], proc, _OUT_SCHEMA,
         )

@@ -344,3 +344,89 @@ def test_hot_bucket_warn_fires_on_step_crossing(caplog):
         assert len(caplog.records) == 2
         _warn_hot_bucket(1, 0, 4096, 64)          # capped: silent
         assert len(caplog.records) == 2
+
+
+def test_auto_layout_same_pair_set_mixed_ingest(spark):
+    """layout='auto' (the r14 default): the per-batch density switch
+    must preserve the exactly-once pair invariant across a MIXED
+    ingest — bulk backfill batch, then per-doc trickle, then bulk
+    again — and across batch replays at several bucket counts; capped
+    semantics equal the fixed layouts'."""
+    docs = [_doc(i, f"g{i} h{i} i{i}") for i in range(1, 10)]
+    expected = _batch_pairs(spark, docs)
+    assert len(expected) > 0
+    df = spark.createDataFrame(docs, SCHEMA)
+    for nb in (1, 4, 128):
+        got = sorted(
+            tuple(r)
+            for r in DC.winnow_candidates_batch(
+                df, "text", "doc_id", n_buckets=nb, layout="auto"
+            ).collect()
+        )
+        assert got == expected, f"n_buckets={nb}"
+    with MicroBatchReplay(
+        spark, SCHEMA,
+        lambda src: DC.winnow_candidates_stream(
+            src, "text", "doc_id", n_buckets=4, layout="auto"
+        ),
+        "update",
+    ) as r:
+        r.pipe(docs[:5])          # bulk: blob economics
+        r.pipe([docs[5]])         # trickle: MapState
+        r.pipe([docs[6]])
+        r.pipe(docs[7:])          # bulk again: migrates trickle fps
+        stream = sorted(tuple(x) for x in r.drain())
+    assert stream == expected
+    capped_auto = sorted(
+        tuple(r) for r in DC.winnow_candidates_batch(
+            df, "text", "doc_id", n_buckets=4, max_members=2, layout="auto"
+        ).collect()
+    )
+    capped_map = sorted(
+        tuple(r) for r in DC.winnow_candidates_batch(
+            df, "text", "doc_id", n_buckets=4, max_members=2, layout="map"
+        ).collect()
+    )
+    assert capped_auto == capped_map
+
+
+def test_auto_layout_store_residency_and_migration():
+    """Direct drive of _BucketPairsAuto (shim states, no Spark): a
+    bulk batch (>= bulk_threshold distinct fps) lands in the blob and
+    DELETES migrated MapState entries (exactly-one-store invariant);
+    a trickle batch lands new fps in MapState but keeps blob-resident
+    fps updating in the blob; pairs are emitted exactly once across
+    the stores."""
+    import pandas as pd
+
+    from kafka_streams_app_spark.streaming.dedup_candidates import (
+        _BucketPairsAuto,
+    )
+    from kafka_streams_app_spark.streaming.replay import _HandleShim
+
+    proc = _BucketPairsAuto(bulk_threshold=8)
+    proc.init(_HandleShim())
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=["fp", "doc_id"])
+        out = list(proc.handleInputRows((0,), iter([pdf]), None))
+        return sorted(
+            tuple(t) for o in out for t in o.itertuples(index=False)
+        )
+
+    # trickle first: 2 distinct fps -> MapState
+    assert feed([(1, 10), (2, 10)]) == []
+    assert proc.map.getValue((1,)) == ("10",)
+    assert not proc.blob.exists()
+    # bulk: 8 distinct fps (2 existing + 6 new) -> blob; fp 1/2 migrate
+    rows = [(f, 20) for f in range(1, 9)]
+    assert feed(rows) == [(1, 10, 20), (2, 10, 20)]
+    assert proc.map.getValue((1,)) is None
+    assert proc.map.getValue((2,)) is None
+    assert proc.blob.exists()
+    # trickle after bulk: blob-resident fp 1 updates IN the blob and
+    # pairs against both prior members; new fp 99 lands in MapState
+    assert feed([(1, 30), (99, 30)]) == [(1, 10, 30), (1, 20, 30)]
+    assert proc.map.getValue((1,)) is None
+    assert proc.map.getValue((99,)) == ("30",)
+    assert "1:10,20,30" in proc.blob.get()[0]

@@ -202,6 +202,68 @@ def _ann_fixed_queries(spark, sf_dir):
     )
 
 
+def _cosine_fixed_queries(spark, sf_dir):
+    """sim_cosine_topk with the query set PINNED to the base replica —
+    same rationale as _ann_fixed_queries: brute-force cosine is
+    O(queries x corpus) by contract, so the contract query set (which
+    grows with the corpus) would measure quadratic data construction,
+    not engine scaling."""
+    from kafka_streams_app_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
+    )
+    return similarity.cosine_topk(
+        emb, queries_df, "vec_id", "embedding", k=10
+    )
+
+
+def headline10_main() -> None:
+    """r13 verdict ask #5: the FROZEN 23-query bench headline set once
+    at ~sf1 (the x10 disjoint-replica build, ~6M lineitem / ~1M
+    events), recording per-query sf0.1 -> x10 wall ratios and flagging
+    anything scaling worse than ~12x (superlinear = a lurking
+    sort/skew/fan-out). The two ANN entries swap in base-replica-pinned
+    query sets (their contract query sets grow WITH the corpus — the
+    O(q x n) scan would measure data construction, quadratic by
+    design, not the engine). Dims (orders/customer/...) stay at sf0.1
+    in the x10 build, so dim-join-bound queries legitimately scale
+    sublinearly. One JSON line per query + a SUPERLINEAR flag list."""
+    spark = get_spark(app_name="scale-smoke-headline")
+    spark.sparkContext.setLogLevel("ERROR")
+    mult = 10
+    out = SCRATCH / f"x{mult}"
+    big_dir = (
+        str(out) if (out / "embeddings.parquet").exists()
+        else build(spark, mult)
+    )
+    import bench as bench_mod
+
+    queries = entry_mod.queries()
+    swapped = {
+        "sim_cosine_topk": ("sim_cosine_topk[fixed base-replica queries]",
+                            _cosine_fixed_queries),
+        "sim_lsh_ann_topk": ("sim_lsh_ann_topk[fixed base-replica queries]",
+                             _ann_fixed_queries),
+    }
+    flagged = []
+    for name in bench_mod.HEADLINE:
+        label, fn = swapped.get(name, (name, queries[name]))
+        fn(spark, BASE).write.format("noop").mode("overwrite").save()  # warm
+        base_s = timed(fn, spark, BASE)
+        big_s = timed(fn, spark, big_dir)
+        ratio = round(big_s / base_s, 2) if base_s else None
+        if ratio is not None and ratio > 12:
+            flagged.append(label)
+        print(json.dumps({
+            "query": label, "mult": mult, "sec_sf01": base_s,
+            "sec_big": big_s, "ratio": ratio,
+            "superlinear": bool(ratio and ratio > 12),
+        }), flush=True)
+    print(json.dumps({"flagged_superlinear": flagged}), flush=True)
+
+
 def _chunk_explode_first(df, max_tokens=64, overlap=8):
     """The REJECTED pre-r9 chunk_documents plan, kept here as the
     measured baseline: explode chunk ids first, slice the full token
@@ -1313,6 +1375,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "streamcur":
         streamcur_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "headline10":
+        headline10_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names

@@ -359,6 +359,17 @@ def main() -> None:
             n_docs,
         ))
         doc_shapes.append((
+            # per-batch density auto-select (r14): bulk batches on blob
+            # economics, trickle on MapState — one default for both
+            "winnow_candidates_tws_auto",
+            DC.winnow_candidates_stream(
+                stream_docs(), "text", "doc_id", n_buckets=128,
+                layout="auto",
+            ),
+            "update",
+            n_docs,
+        ))
+        doc_shapes.append((
             # bottom-k membership: k-row state per stratum, O(k) merge
             "sample_topk_tws",
             SSample.sample_topk_stream(
@@ -377,6 +388,56 @@ def main() -> None:
             print(json.dumps({
                 "shape": name, "rows_in": n, "sec": round(wall, 2),
                 "rows_per_sec": int(n / wall),
+            }))
+
+        # TRICKLE fixture (r14): the same winnow operator fed ~10 docs
+        # per micro-batch (60 batches via maxFilesPerTrigger=1 over
+        # 60 small files) — the steady-ingest pattern where per-entry
+        # MapState updates beat whole-bucket blob rewrites. Rates here
+        # are dominated by per-micro-batch framework cost; compare the
+        # three layouts WITHIN this fixture only.
+        trickle_dir = SCRATCH / "docs_trickle"
+        if not (trickle_dir / "_built").exists():
+            shutil.rmtree(trickle_dir, ignore_errors=True)
+            trickle_dir.mkdir(parents=True, exist_ok=True)
+            head = (
+                spark.read.parquet(docs_path)
+                .orderBy("doc_id").limit(600).collect()
+            )
+            cols = list(head[0].asDict().keys())
+            for j in range(0, 600, 10):
+                spark.createDataFrame(
+                    [r.asDict() for r in head[j:j + 10]],
+                    spark.read.parquet(docs_path).schema,
+                ).coalesce(1).select(cols).write.mode("append").parquet(
+                    str(trickle_dir / f"f{j:04d}.pq")
+                )
+            (trickle_dir / "_built").touch()
+
+        def stream_docs_trickle() -> DataFrame:
+            schema = spark.read.parquet(docs_path).schema
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{trickle_dir}/*.pq")
+            )
+
+        trickle_best: dict[str, float] = {}
+        for _ in range(2):
+            for layout in ("map", "blob", "auto"):
+                name = f"winnow_trickle_{layout}"
+                out_df = DC.winnow_candidates_stream(
+                    stream_docs_trickle(), "text", "doc_id",
+                    n_buckets=128, layout=layout,
+                )
+                wall = run_noop(out_df, "update")
+                trickle_best[name] = min(
+                    trickle_best.get(name, float("inf")), wall
+                )
+        for name, wall in trickle_best.items():
+            print(json.dumps({
+                "shape": name, "rows_in": 600, "sec": round(wall, 2),
+                "rows_per_sec": int(600 / wall),
             }))
 
     # best-of-3, interleaved — same methodology as bench.py: this host
