@@ -491,6 +491,64 @@ def _pq_assign_sql(
     """
 
 
+def _ivfpq_assign_sql(
+    m: int = 8, dsub: int = 8,
+    coarse_mod: int = 17, coarse_rem: int = 3,
+    pq_mod: int = 13, pq_rem: int = 5,
+) -> str:
+    """DuckDB twin of ivfpq_assign / s_ivfpq_assign: the index-build
+    prefix of _ivfpq_topk_sql — coarse assignment (ties -> lowest
+    cid), residual computation, the residual-space PQ codebook in
+    ascending-sample-id order, and the per-(vector, subspace) residual
+    code (ties -> lowest pidx). One row per (vec_id, j)."""
+    full = ("list_sum([(a.q[i] - b.cq[i]) * (a.q[i] - b.cq[i]) "
+            "FOR i IN range(1, len(a.q) + 1)])")
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             [CAST(floor(x * 1000000.0) AS BIGINT)
+              FOR x IN embedding::DOUBLE[]] AS q
+      FROM embeddings
+    ),
+    cc AS (SELECT vec_id AS cid, q AS cq FROM e
+           WHERE vec_id % {coarse_mod} = {coarse_rem}),
+    ca AS (
+      SELECT vec_id, cid, cq FROM (
+        SELECT a.vec_id, b.cid, b.cq,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {full}, b.cid) AS rn
+        FROM e a CROSS JOIN cc b)
+      WHERE rn = 1
+    ),
+    res AS (
+      SELECT e.vec_id,
+             [e.q[i] - a.cq[i] FOR i IN range(1, len(e.q) + 1)] AS r
+      FROM e JOIN ca a ON e.vec_id = a.vec_id
+    ),
+    pc AS (SELECT r AS pr,
+                  CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS pidx
+           FROM res WHERE vec_id % {pq_mod} = {pq_rem}),
+    sub AS (SELECT unnest(range(0, {m})) AS j),
+    pd AS (
+      SELECT res.vec_id, s.j, p.pidx,
+             CAST(list_sum(
+               [(res.r[s.j * {dsub} + i] - p.pr[s.j * {dsub} + i])
+                * (res.r[s.j * {dsub} + i] - p.pr[s.j * {dsub} + i])
+                FOR i IN range(1, {dsub + 1})]) AS BIGINT) AS dist
+      FROM res CROSS JOIN sub s CROSS JOIN pc p
+    ),
+    code AS (
+      SELECT vec_id, j, pidx FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY dist, pidx) AS rn FROM pd)
+      WHERE rn = 1
+    )
+    SELECT c0.vec_id, c0.cid AS coarse_cid, cd.j,
+           CAST(cd.pidx AS BIGINT) AS pidx
+    FROM ca c0 JOIN code cd ON cd.vec_id = c0.vec_id
+    """
+
+
 def _ivfpq_topk_sql(
     k: int = 5, m: int = 8, dsub: int = 8,
     coarse_mod: int = 17, coarse_rem: int = 3,
@@ -2309,6 +2367,24 @@ def _q_s_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
     out = similarity.pq_assign(
         stream, emb_static, "vec_id", "embedding", dim=64, m=8,
         centroid_mod=(17, 3),
+    )
+    return run_available_now(spark, out, _sink(), "append")
+
+
+def _q_s_ivfpq_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming IVF-PQ index assignment — the production-index
+    sibling of s_pq_assign (operators/similarity.py:ivfpq_assign):
+    arriving vectors get their coarse inverted-list id AND m
+    residual-space PQ codes per micro-batch, stream-static against
+    codebooks frozen from the static corpus. Stateless Arrow encode,
+    no shuffle/state; assignments are bit-for-bit the ivfpq_topk index
+    build (shared _ivfpq_model), replayed exactly by the oracle's
+    index-prefix CTEs."""
+    emb_static = load_table(spark, sf, "embeddings")
+    stream = load_stream(spark, sf, "embeddings")
+    out = similarity.ivfpq_assign(
+        stream, emb_static, "vec_id", "embedding", dim=64, m=8,
+        coarse_mod=(17, 3), pq_mod=(13, 5),
     )
     return run_available_now(spark, out, _sink(), "append")
 
@@ -5301,6 +5377,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "s_winnow_candidates_blob": (
         _q_s_winnow_candidates_blob, _winnow_candidates_md5_sql()),
     "s_pq_assign": (_q_s_pq_assign, _pq_assign_sql()),
+    "s_ivfpq_assign": (_q_s_ivfpq_assign, _ivfpq_assign_sql()),
     # decontamination at ingest: stream-static broadcast fingerprint
     # join; update-mode emission == the batch join (one row per doc)
     "s_decontam_winnow": (_q_s_decontam_winnow, f"""
@@ -6065,15 +6142,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    the AUTO layout, s_winnow_candidates_blob the fixed blob).
 # 3. ALL 31 remaining r9-signed entries — this CLOSES the r9 tail:
 #    every registry entry is then driver-signed in r12-r14.
-# 4. Fill to exactly 50 with 12 of the now-oldest (r11-signed)
+# 4. Fill to exactly 50 with 11 of the now-oldest (r11-signed)
 #    entries: the flagship t1, q3 (completing the IQ family's
 #    refresh), the rolling/zscore TWS twins, the minhash/cross-corpus
-#    dedup heavies, kmeans/IVF/hard-negatives, and the two pipeline
-#    composites. The 34 remaining r11-signed entries rotate in r15.
+#    dedup heavies, kmeans/IVF/hard-negatives, and the end-to-end
+#    pipeline composite. The 35 remaining r11-signed entries rotate
+#    in r15.
 _FRONT = [
-    # (1) new in r14, never sampled
-    "s_pq_assign", "multimodal_jpeg_decode",
-    # (2) code changed in r14
+    # (1) new in r14, never sampled (s_ivfpq_assign displaced the
+    # mix_sources r11 fill to the r15 rotation to hold the 50 line)
+    "s_pq_assign", "s_ivfpq_assign", "multimodal_jpeg_decode",
+    # (2) code changed in r14 (sim_pq/ivfpq_topk also changed — the
+    # model-factoring refactor — but both are r13-driver-signed and
+    # re-gated locally on the refactored code, so they wait for r15)
     "s_time_rolling", "s_time_rolling_late",
     "s_winnow_candidates", "s_winnow_candidates_blob", "s_decontam_winnow",
     # (3) the r9-signed 31 (closing the tail)
@@ -6097,7 +6178,7 @@ _FRONT = [
     "s_rolling_avg", "s_zscore_running",
     "dedup_minhash_lsh", "dedup_minhash_lsh_cross", "dedup_cross_corpus",
     "cluster_kmeans", "sim_ivf_topk", "sim_hard_negatives",
-    "pipeline_end_to_end", "mix_sources",
+    "pipeline_end_to_end",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -808,6 +808,122 @@ def pq_topk(
     )
 
 
+def _ivfpq_model(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    coarse_mod: tuple[int, int],
+    pq_mod: tuple[int, int],
+) -> dict:
+    """Frozen IVF-PQ index model shared by ivfpq_topk and
+    ivfpq_assign: the coarse codebook, the residual-space PQ codebook
+    (the pq-sample's residuals vs their own coarse centroids, both ONE
+    bounded collect each), and the Arrow `encode` pass emitting
+    (coarse index, m residual codes) per vector — all exact int64, so
+    any engine replays the assignments bit-for-bit."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    c_cids, c_cmat = _int_codebook(corpus, id_col, vec_col, coarse_mod)
+    ncc = len(c_cids)
+    if ncc == 0:
+        raise ValueError(
+            "ivfpq model: empty coarse codebook — no corpus id satisfies "
+            f"id % {coarse_mod[0]} == {coarse_mod[1]}"
+        )
+    cc2 = (c_cmat ** 2).sum(axis=1)  # (ncc,)
+
+    def _quant(vs) -> "np.ndarray":
+        mm = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return np.floor(mm * 1e6).astype(np.int64)
+
+    def _coarse_assign(mat: "np.ndarray") -> "np.ndarray":
+        # exact-int matmul expansion; argmin first-index = lowest cid
+        d = (mat ** 2).sum(axis=1)[:, None] - 2 * (mat @ c_cmat.T) + cc2[None, :]
+        return d.argmin(axis=1)
+
+    # PQ codebook: residuals of the pq_mod sample vs their own coarse
+    # centroids (one bounded collect; rows sorted by id like the coarse)
+    p_ids, p_mat = _int_codebook(corpus, id_col, vec_col, pq_mod)
+    if len(p_ids) == 0:
+        raise ValueError(
+            "ivfpq model: empty PQ codebook — no corpus id satisfies "
+            f"id % {pq_mod[0]} == {pq_mod[1]}"
+        )
+    p_res = p_mat - c_cmat[_coarse_assign(p_mat)]
+    ncp = len(p_ids)
+    psub = p_res.reshape(ncp, m, dsub).transpose(1, 0, 2).copy()  # (m, ncp, dsub)
+    p2 = (psub ** 2).sum(axis=2)  # (m, ncp)
+
+    def _pq_dists(res: "np.ndarray") -> "np.ndarray":
+        """(n, dim) int64 residuals -> (n, m, ncp) exact int64 L2."""
+        sub = res.reshape(len(res), m, dsub)
+        x2 = (sub ** 2).sum(axis=2)
+        xc = np.einsum("nmd,mcd->nmc", sub, psub)
+        return x2[:, :, None] - 2 * xc + p2[None, :, :]
+
+    @pandas_udf("struct<cl:int, code:array<int>>")
+    def encode(vs: "pd.Series") -> "pd.DataFrame":
+        mat = _quant(vs)
+        cl = _coarse_assign(mat)
+        codes = _pq_dists(mat - c_cmat[cl]).argmin(axis=2).astype(np.int32)
+        return pd.DataFrame({"cl": cl.astype(np.int32), "code": list(codes)})
+
+    return {
+        "c_cids": c_cids, "c_cmat": c_cmat, "cc2": cc2, "ncp": ncp,
+        "quant": _quant, "pq_dists": _pq_dists, "encode": encode,
+    }
+
+
+def ivfpq_assign(
+    df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    coarse_mod: tuple[int, int] = (17, 3),
+    pq_mod: tuple[int, int] = (13, 5),
+) -> DataFrame:
+    """IVF-PQ index ASSIGNMENT for new vectors — the ingest-side face
+    of ivfpq_topk and the production-index sibling of pq_assign: the
+    coarse + residual-PQ codebooks freeze from the static `corpus`
+    (two bounded collects riding the Arrow closure as broadcasts), and
+    each arriving vector gets its inverted-list id and m residual
+    codes in one vectorized pass. Stateless stream-static projection —
+    batch or streaming `df` alike — so a new document enters the IVF
+    index structure the moment it lands.
+
+    Output: (id_col, coarse_cid, j, pidx) — coarse_cid is the coarse
+    CENTROID ID (the codebook sample's vector id); pidx is the
+    1-based residual-codebook position in ascending-sample-id order,
+    exactly the index the ivfpq_topk oracle uses — so the codes are
+    bit-for-bit the ones the batch index scores against.
+    """
+    mdl = _ivfpq_model(corpus, id_col, vec_col, dim, m, coarse_mod, pq_mod)
+    cid_arr = F.array([F.lit(int(c)) for c in mdl["c_cids"]])
+    return (
+        df.select(
+            F.col(id_col),
+            mdl["encode"](as_double(F.col(vec_col))).alias("_e"),
+        )
+        .select(
+            id_col,
+            F.element_at(cid_arr, F.col("_e.cl") + 1).cast("long")
+            .alias("coarse_cid"),
+            F.posexplode("_e.code").alias("j", "_ci"),
+        )
+        .select(
+            id_col,
+            "coarse_cid",
+            F.col("j").cast("long").alias("j"),
+            (F.col("_ci") + 1).cast("long").alias("pidx"),
+        )
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -852,53 +968,9 @@ def ivfpq_topk(
     Output: query_id, neighbor_id, rank, adc_dist (exact int64).
     Excludes the query row itself; only probed-list candidates appear.
     """
-    if dim % m != 0:
-        raise ValueError(f"dim={dim} not divisible by m={m}")
-    dsub = dim // m
-    c_cids, c_cmat = _int_codebook(corpus, id_col, vec_col, coarse_mod)
-    ncc = len(c_cids)
-    if ncc == 0:
-        raise ValueError(
-            "ivfpq_topk: empty coarse codebook — no corpus id satisfies "
-            f"id % {coarse_mod[0]} == {coarse_mod[1]}"
-        )
-    cc2 = (c_cmat ** 2).sum(axis=1)  # (ncc,)
-
-    def _quant(vs) -> "np.ndarray":
-        mm = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        return np.floor(mm * 1e6).astype(np.int64)
-
-    def _coarse_assign(mat: "np.ndarray") -> "np.ndarray":
-        # exact-int matmul expansion; argmin first-index = lowest cid
-        d = (mat ** 2).sum(axis=1)[:, None] - 2 * (mat @ c_cmat.T) + cc2[None, :]
-        return d.argmin(axis=1)
-
-    # PQ codebook: residuals of the pq_mod sample vs their own coarse
-    # centroids (one bounded collect; rows sorted by id like the coarse)
-    p_ids, p_mat = _int_codebook(corpus, id_col, vec_col, pq_mod)
-    if len(p_ids) == 0:
-        raise ValueError(
-            "ivfpq_topk: empty PQ codebook — no corpus id satisfies "
-            f"id % {pq_mod[0]} == {pq_mod[1]}"
-        )
-    p_res = p_mat - c_cmat[_coarse_assign(p_mat)]
-    ncp = len(p_ids)
-    psub = p_res.reshape(ncp, m, dsub).transpose(1, 0, 2).copy()  # (m, ncp, dsub)
-    p2 = (psub ** 2).sum(axis=2)  # (m, ncp)
-
-    def _pq_dists(res: "np.ndarray") -> "np.ndarray":
-        """(n, dim) int64 residuals -> (n, m, ncp) exact int64 L2."""
-        sub = res.reshape(len(res), m, dsub)
-        x2 = (sub ** 2).sum(axis=2)
-        xc = np.einsum("nmd,mcd->nmc", sub, psub)
-        return x2[:, :, None] - 2 * xc + p2[None, :, :]
-
-    @pandas_udf("struct<cl:int, code:array<int>>")
-    def encode(vs: "pd.Series") -> "pd.DataFrame":
-        mat = _quant(vs)
-        cl = _coarse_assign(mat)
-        codes = _pq_dists(mat - c_cmat[cl]).argmin(axis=2).astype(np.int32)
-        return pd.DataFrame({"cl": cl.astype(np.int32), "code": list(codes)})
+    mdl = _ivfpq_model(corpus, id_col, vec_col, dim, m, coarse_mod, pq_mod)
+    c_cmat, cc2, ncp = mdl["c_cmat"], mdl["cc2"], mdl["ncp"]
+    _quant, _pq_dists, encode = mdl["quant"], mdl["pq_dists"], mdl["encode"]
 
     # queries: nprobe (coarse id, flat residual LUT) probe rows per
     # query, built in one distributed Arrow pass — broadcast size is

@@ -461,3 +461,67 @@ def test_pq_assign_matches_numpy_and_stream_equals_batch(spark, sf_dir):
         stream = sorted(tuple(x) for x in r.drain())
     assert stream == batch_head
     assert len(stream) == 40 * 8
+
+
+def test_ivfpq_assign_matches_numpy_and_stream_equals_batch(spark, sf_dir):
+    """ivfpq_assign (r14): batch (coarse_cid, j, pidx) assignments
+    equal an independent NumPy rebuild of the IVF-PQ index prefix
+    (coarse argmin ties->lowest cid; residual codebook in ascending-
+    sample-id order; residual code ties->lowest pidx), and the
+    streaming stream-static path emits the identical set."""
+    import numpy as np
+
+    from kafka_streams_app_spark.operators.similarity import ivfpq_assign
+    from kafka_streams_app_spark.streaming.harness import MicroBatchReplay
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_assign(
+            emb, emb, "vec_id", "embedding", dim=64, m=8
+        ).collect()
+    )
+
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.collect()
+    )
+    q = {i: np.floor(np.array(v) * 1e6).astype(np.int64) for i, v in rows}
+    ccids = sorted(i for i, _ in rows if i % 17 == 3)
+    cmat = np.stack([q[c] for c in ccids])
+
+    def coarse(vec):
+        d = ((cmat - vec) ** 2).sum(axis=1)
+        return int(d.argmin())  # first min = lowest cid (sorted ids)
+
+    pids = sorted(i for i, _ in rows if i % 13 == 5)
+    pres = np.stack([q[p] - cmat[coarse(q[p])] for p in pids])
+    want = []
+    for i, _ in rows:
+        ci = coarse(q[i])
+        r = q[i] - cmat[ci]
+        for j in range(8):
+            sub = r[j * 8:(j + 1) * 8]
+            d = ((pres[:, j * 8:(j + 1) * 8] - sub) ** 2).sum(axis=1)
+            want.append((i, ccids[ci], j, int(d.argmin()) + 1))
+    assert got == sorted(want)
+
+    head = rows[:30]
+    schema = "vec_id long, embedding array<double>"
+    batch_head = sorted(
+        tuple(r)
+        for r in ivfpq_assign(
+            spark.createDataFrame(head, schema), emb, "vec_id",
+            "embedding", dim=64, m=8,
+        ).collect()
+    )
+    with MicroBatchReplay(
+        spark, schema,
+        lambda src: ivfpq_assign(src, emb, "vec_id", "embedding", dim=64, m=8),
+        "append",
+    ) as r:
+        r.pipe(head[:15])
+        r.pipe(head[15:])
+        stream = sorted(tuple(x) for x in r.drain())
+    assert stream == batch_head
+    assert len(stream) == 30 * 8
