@@ -456,7 +456,14 @@ def kmeans_lloyd(
     round-trip (collect sums -> rebroadcast centroids) — inherent to
     Lloyd's data dependency, which is why `iters` defaults small (2);
     production k-means trades exactness for fewer rounds via
-    mini-batching, out of scope for this oracle-exact form.
+    mini-batching, out of scope for this oracle-exact form. If iters
+    ever grows large, the per-iteration driver collect stays m*d-
+    bounded but the SEQUENTIAL round count becomes the term to attack:
+    the Spark-native remedy is a treeAggregate-shaped reduction of the
+    (cluster, dim) partials (depth-2 combine keeps the driver fan-in
+    at sqrt(partitions)) and/or batching multiple Lloyd steps per pass
+    over a broadcast history — noted here per the r13 review so the
+    dial is named before anyone raises iters.
 
     Output: (id_col, cluster_id) after `iters` refinements, cluster_id
     = the INITIAL sample row's id (stable labels across iterations).
@@ -734,6 +741,7 @@ def pq_topk(
     k: int = 5,
     m: int = 8,
     centroid_mod: tuple[int, int] = (17, 3),
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou, Douze, Schmid 2011, "Product
     Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): split
@@ -763,8 +771,10 @@ def pq_topk(
     lookups per (code, query) pair — scoring reads ONLY the codes,
     never q x d float ops, with no Python in the scoring path at all;
     ranking is the per-query window top-k. For corpus-sized query
-    sets drop the broadcast hint — ADC's full scan is inherently
-    O(n x q) work, but nothing any longer bottlenecks on the driver.
+    sets pass broadcast_queries=False — the LUT side then shuffles
+    instead of shipping to every executor (ADC's full scan is
+    inherently O(n x q) work either way, but nothing bottlenecks on
+    broadcast memory); results are identical (pinned).
     Recall behaves like IVF at matched budget (quantization error is
     the documented trade; raise m to shrink cells); the
     planted-duplicate and rank-structure pins live in
@@ -778,12 +788,12 @@ def pq_topk(
     """
     _, nc, encode, q_lut = _pq_model(corpus, id_col, vec_col, dim, m,
                                      centroid_mod)
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            q_lut(as_double(F.col(vec_col))).alias("_lut"),
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        q_lut(as_double(F.col(vec_col))).alias("_lut"),
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
     ).select("neighbor_id", encode(F.col("_v")).alias("_code"))
@@ -935,6 +945,7 @@ def ivfpq_topk(
     coarse_mod: tuple[int, int] = (17, 3),
     pq_mod: tuple[int, int] = (13, 5),
     nprobe: int = 4,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-PQ ANN (Jégou et al. 2011 §V: "IVFADC") — the composition
     that runs billion-vector search RAM-resident: a coarse quantizer
@@ -995,16 +1006,19 @@ def ivfpq_topk(
             ])
         return pd.Series(out)
 
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.explode(q_probes(as_double(F.col(vec_col)))).alias("_p"),
-        ).select(
-            "query_id",
-            F.col("_p.cl").alias("_qcl"),
-            F.col("_p.lut").alias("_lut"),
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(q_probes(as_double(F.col(vec_col)))).alias("_p"),
+    ).select(
+        "query_id",
+        F.col("_p.cl").alias("_qcl"),
+        F.col("_p.lut").alias("_lut"),
     )
+    if broadcast_queries:
+        # corpus-sized query sets: pass broadcast_queries=False — the
+        # probe/LUT side then equi-joins on the coarse id via shuffle
+        # (shuffle-hash-able), identical results (pinned)
+        q = F.broadcast(q)
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("_e")
     ).select("neighbor_id", F.col("_e.cl").alias("_cl"), F.col("_e.code").alias("_code"))

