@@ -2188,6 +2188,21 @@ def _q_multimodal_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.gif_features(media)
 
 
+def _q_multimodal_png_pal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL media decode #6 — the indexed-color PNG variant (closing
+    the r13 'PNG color types' note): per-doc color-type-3 PNGs with a
+    PLTE chunk, bit depth 4 on odd ids (two indexes per byte, high
+    nibble first — the sub-byte unpacking path) and 8 on even,
+    scanline filters still cycling all five types, generated then
+    parsed per spec by png_decode inside the Arrow mapInPandas
+    pipeline. Palette and index grid are closed-form, so the DuckDB
+    oracle recomputes the decoded RGB analytically — any PLTE, nibble,
+    filter, or CRC bug hash-mismatches."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synth_png_pal_media(docs, "doc_id")
+    return multimodal.png_features(media)
+
+
 def _q_multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL media decode #5 — the lossy codec (r13 verdict ask #8):
     per-doc baseline JPEGs (genuine JFIF — marker segments, DQT/DHT
@@ -5253,6 +5268,37 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  / 1000000.0 AS mean_b
         FROM px GROUP BY media_id, w, h
     """),
+    "multimodal_png_pal_decode": (_q_multimodal_png_pal_decode, """
+        WITH d AS (
+          SELECT doc_id AS media_id,
+                 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT media_id, w, h, xs.x, ys.y,
+                 (media_id + 3 * xs.x + 7 * ys.y) % 16 AS ci
+          FROM d, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+                  LATERAL (SELECT unnest(range(0, h)) AS y) ys
+        ),
+        rgb AS (
+          SELECT media_id, w, h,
+                 (media_id + 41 * ci) % 256 AS r,
+                 (2 * media_id + 43 * ci) % 256 AS g,
+                 (3 * media_id + 47 * ci) % 256 AS b
+          FROM px
+        )
+        SELECT media_id,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               CAST((media_id + 41 * (media_id % 16)) % 256 AS INTEGER)
+                 AS r00,
+               floor(CAST(SUM(r) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_r,
+               floor(CAST(SUM(g) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_g,
+               floor(CAST(SUM(b) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_b
+        FROM rgb GROUP BY media_id, w, h
+    """),
     "multimodal_jpeg_decode": (_q_multimodal_jpeg_decode, """
         WITH d AS (
           SELECT doc_id AS media_id,
@@ -6142,16 +6188,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    the AUTO layout, s_winnow_candidates_blob the fixed blob).
 # 3. ALL 31 remaining r9-signed entries — this CLOSES the r9 tail:
 #    every registry entry is then driver-signed in r12-r14.
-# 4. Fill to exactly 50 with 11 of the now-oldest (r11-signed)
+# 4. Fill to exactly 50 with 10 of the now-oldest (r11-signed)
 #    entries: the flagship t1, q3 (completing the IQ family's
 #    refresh), the rolling/zscore TWS twins, the minhash/cross-corpus
-#    dedup heavies, kmeans/IVF/hard-negatives, and the end-to-end
-#    pipeline composite. The 35 remaining r11-signed entries rotate
-#    in r15.
+#    dedup heavies, kmeans/IVF, and the end-to-end pipeline
+#    composite. The 36 remaining r11-signed entries rotate in r15.
 _FRONT = [
-    # (1) new in r14, never sampled (s_ivfpq_assign displaced the
-    # mix_sources r11 fill to the r15 rotation to hold the 50 line)
+    # (1) new in r14, never sampled (s_ivfpq_assign and
+    # multimodal_png_pal_decode displaced the mix_sources and
+    # sim_hard_negatives r11 fills to the r15 rotation to hold the 50)
     "s_pq_assign", "s_ivfpq_assign", "multimodal_jpeg_decode",
+    "multimodal_png_pal_decode",
     # (2) code changed in r14 (sim_pq/ivfpq_topk also changed — the
     # model-factoring refactor — but both are r13-driver-signed and
     # re-gated locally on the refactored code, so they wait for r15)
@@ -6177,7 +6224,7 @@ _FRONT = [
     "t1_wordcount", "q3_range_scan",
     "s_rolling_avg", "s_zscore_running",
     "dedup_minhash_lsh", "dedup_minhash_lsh_cross", "dedup_cross_corpus",
-    "cluster_kmeans", "sim_ivf_topk", "sim_hard_negatives",
+    "cluster_kmeans", "sim_ivf_topk",
     "pipeline_end_to_end",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))

@@ -353,15 +353,62 @@ def png_encode(width: int, height: int, rgb_rows: list[list[tuple]]) -> bytes:
     )
 
 
+def png_encode_palette(
+    width: int,
+    height: int,
+    palette: list[tuple],
+    index_rows: list[list[int]],
+    depth: int = 8,
+) -> bytes:
+    """Encode palette-indexed pixels as a standard color-type-3 PNG
+    (PLTE chunk + index scanlines), bit depth 8 (one index per byte)
+    or 4 (two per byte, HIGH nibble first, last byte padded — the
+    sub-byte packing path). Filters cycle y % 5 with bpp=1 (per spec,
+    filtering operates on BYTES for sub-byte depths)."""
+    if depth not in (8, 4):
+        raise ValueError(f"palette PNG depth must be 8 or 4, got {depth}")
+    if len(palette) > (1 << depth):
+        raise ValueError(f"palette has {len(palette)} entries > 2^{depth}")
+    raw = bytearray()
+    stride = width if depth == 8 else (width + 1) // 2
+    prev = bytes(stride)
+    for y in range(height):
+        idx = index_rows[y]
+        if depth == 8:
+            cur = bytes(idx)
+        else:
+            packed = bytearray(stride)
+            for x, ci in enumerate(idx):
+                if ci >= 16:
+                    raise ValueError(f"index {ci} exceeds 4-bit palette")
+                packed[x // 2] |= ci << (4 if x % 2 == 0 else 0)
+            cur = bytes(packed)
+        ft = y % 5
+        raw.append(ft)
+        raw += _png_filter(ft, cur, prev, 1)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    plte = bytes(c for px in palette for c in px)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def png_decode(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
-    """Parse an 8-bit truecolor PNG per spec: chunk framing with CRC-32
-    checks, IHDR validation, concatenated-IDAT zlib inflate, and
-    per-scanline filter reconstruction. Returns (width, height, rows of
-    (r, g, b) with row 0 = visual TOP). Raises ValueError on anything
-    that is not a non-interlaced 8-bit RGB PNG."""
+    """Parse a PNG per spec: chunk framing with CRC-32 checks, IHDR
+    validation, concatenated-IDAT zlib inflate, and per-scanline
+    filter reconstruction. Handles 8-bit truecolor (color type 2) AND
+    palette images (color type 3, bit depth 8 or 4 — PLTE lookup,
+    sub-byte nibble unpacking at depth 4). Returns (width, height,
+    rows of (r, g, b) with row 0 = visual TOP). Raises ValueError on
+    any other variant or structural corruption."""
     if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload (missing signature)")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4:pos + 8]
@@ -373,6 +420,8 @@ def png_decode(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = data
+        elif tag == b"PLTE":
+            plte = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -381,24 +430,47 @@ def png_decode(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+    ok = (color == 2 and depth == 8) or (color == 3 and depth in (8, 4))
+    if not ok or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
-            f"only non-interlaced 8-bit RGB supported "
+            f"only non-interlaced 8-bit RGB or 8/4-bit palette supported "
             f"(depth={depth}, color={color}, interlace={interlace})"
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     raw = zlib.decompress(bytes(idat))
-    stride = 1 + 3 * w
+    if color == 2:
+        bpp, px_stride = 3, 3 * w
+    else:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        pal = [tuple(plte[3 * i:3 * i + 3]) for i in range(len(plte) // 3)]
+        bpp, px_stride = 1, (w if depth == 8 else (w + 1) // 2)
+    stride = 1 + px_stride
     if len(raw) != stride * h:
         raise ValueError("PNG pixel data length mismatch")
-    rows, prev = [], bytes(3 * w)
+    rows, prev = [], bytes(px_stride)
     for y in range(h):
         line = raw[y * stride:(y + 1) * stride]
-        cur = _png_unfilter(line[0], line[1:], prev, 3)
-        rows.append([
-            (cur[3 * x], cur[3 * x + 1], cur[3 * x + 2]) for x in range(w)
-        ])
+        cur = _png_unfilter(line[0], line[1:], prev, bpp)
+        if color == 2:
+            rows.append([
+                (cur[3 * x], cur[3 * x + 1], cur[3 * x + 2])
+                for x in range(w)
+            ])
+        else:
+            if depth == 8:
+                idx = cur[:w]
+            else:  # two indexes per byte, HIGH nibble first
+                idx = [
+                    (cur[x // 2] >> 4) if x % 2 == 0 else (cur[x // 2] & 0xF)
+                    for x in range(w)
+                ]
+            if max(idx) >= len(pal):
+                raise ValueError(
+                    f"palette index {max(idx)} outside PLTE ({len(pal)})"
+                )
+            rows.append([pal[i] for i in idx])
         prev = cur
     return w, h, rows
 
@@ -416,6 +488,54 @@ def synth_png_media(df: DataFrame, id_col: str) -> DataFrame:
                 "media_type": ["image"] * len(ids),
                 "payload": [png_encode(*synth_bmp_pixels(i)) for i in ids],
                 "meta_json": ['{"format": "png"}'] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synth_png_pal_pixels(
+    media_id: int,
+) -> tuple[int, int, list[tuple], list[list[int]], int]:
+    """Deterministic palette image for media_id: the GIF synth's
+    closed-form shape (16-color palette, index grid a linear function
+    of (id, x, y)) with DIFFERENT palette constants, bit depth 4 on
+    odd ids (sub-byte nibble packing) and 8 on even — both decode
+    paths exercised across any documents slice."""
+    w, h = 4 + media_id % 5, 3 + media_id % 4
+    palette = [
+        (
+            (media_id + 41 * ci) % 256,
+            (2 * media_id + 43 * ci) % 256,
+            (3 * media_id + 47 * ci) % 256,
+        )
+        for ci in range(16)
+    ]
+    rows = [
+        [(media_id + 3 * x + 7 * y) % 16 for x in range(w)]
+        for y in range(h)
+    ]
+    return w, h, palette, rows, (4 if media_id % 2 else 8)
+
+
+def synth_png_pal_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Generate a genuine color-type-3 PNG payload per row
+    (png_encode_palette over synth_png_pal_pixels) through the
+    standard media schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            payloads = []
+            for i in ids:
+                w, h, pal, rows, depth = synth_png_pal_pixels(i)
+                payloads.append(
+                    png_encode_palette(w, h, pal, rows, depth=depth)
+                )
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image"] * len(ids),
+                "payload": payloads,
+                "meta_json": ['{"format": "png8"}'] * len(ids),
             })
 
     return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)

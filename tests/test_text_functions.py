@@ -610,3 +610,40 @@ def test_jpeg_features_spark_matches_oracle_formula(spark):
             for x in range(ew) for y in range(eh)
         )
         assert mean_p == math.floor(s / (ew * eh) * 1e6 + 0.5) / 1e6
+
+
+def test_png_palette_roundtrip_and_corruption():
+    """Color-type-3 PNG: depth-8 and depth-4 (nibble-packed, odd
+    widths exercise the pad byte) round-trip exactly through the
+    shared png_decode; a missing PLTE and an out-of-range index both
+    raise."""
+    import pytest
+
+    from kafka_streams_app_spark.operators.multimodal import (
+        png_decode,
+        png_encode_palette,
+        synth_png_pal_pixels,
+    )
+
+    for mid in range(12):
+        w, h, pal, rows, depth = synth_png_pal_pixels(mid)
+        payload = png_encode_palette(w, h, pal, rows, depth=depth)
+        dw, dh, got = png_decode(payload)
+        assert (dw, dh) == (w, h)
+        assert got == [[pal[ci] for ci in row] for row in rows]
+    # odd-width depth-4 image hits the padded last nibble
+    assert any(
+        synth_png_pal_pixels(m)[0] % 2 == 1 and synth_png_pal_pixels(m)[4] == 4
+        for m in range(12)
+    )
+    # missing PLTE: strip the chunk (12-byte header + 48 palette bytes)
+    w, h, pal, rows, _ = synth_png_pal_pixels(3)
+    payload = png_encode_palette(w, h, pal, rows, depth=4)
+    at = payload.find(b"PLTE") - 4
+    end = at + 12 + 48
+    with pytest.raises(ValueError, match="PLTE"):
+        png_decode(payload[:at] + payload[end:])
+    # index outside a SHORT palette
+    short = png_encode_palette(w, h, pal[:8], rows, depth=4)
+    with pytest.raises(ValueError, match="outside PLTE"):
+        png_decode(short)
