@@ -460,6 +460,33 @@ def _pq_topk_sql(
     """
 
 
+_PNG_FEATURES_SQL = """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id + 3 * xs.x + 7 * ys.y) % 256 AS r,
+             (2 * media_id + 5 * xs.x + 11 * ys.y) % 256 AS g,
+             (3 * media_id + 13 * xs.x + 17 * ys.y) % 256 AS b
+      FROM d, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+              LATERAL (SELECT unnest(range(0, h)) AS y) ys
+    )
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(media_id % 256 AS INTEGER) AS r00,
+           floor(CAST(SUM(r) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_r,
+           floor(CAST(SUM(g) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_g,
+           floor(CAST(SUM(b) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_b
+    FROM px GROUP BY media_id, w, h
+"""
+
+
 def _pq_assign_sql(
     m: int = 8, dsub: int = 8, mod: int = 17, rem: int = 3
 ) -> str:
@@ -2201,6 +2228,33 @@ def _q_multimodal_png_pal_decode(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     media = multimodal.synth_png_pal_media(docs, "doc_id")
     return multimodal.png_features(media)
+
+
+def _q_multimodal_wav_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio ANALYSIS on top of the real decode: exact-integer energy
+    and lag-1/lag-4 autocorrelation over each clip's PCM samples
+    (operators/multimodal.py:wav_autocorr_features) — the periodicity
+    screens a curation pipeline runs after decode. The samples are
+    closed-form in (id, i), so the DuckDB oracle recomputes the sums
+    via a lead() window over the regenerated signal, bit-for-bit."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synth_wav_media(docs, "doc_id")
+    return multimodal.wav_autocorr_features(media)
+
+
+def _q_s_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode AT INGEST: the real PNG decoder running per
+    micro-batch over a document stream (stateless mapInPandas — the
+    media generate + parse + featurize pipeline is scan-stage, so
+    Structured Streaming runs it unchanged, no state, no shuffle).
+    Completes the at-ingest curation family for the media modality
+    (text dedup/decontam/quality and ANN assignment already have
+    streaming twins). Oracle: the batch PNG analytic oracle verbatim —
+    the emitted set is batch-equal by statelessness."""
+    docs = load_stream(spark, sf, "documents")
+    media = multimodal.synth_png_media(docs, "doc_id")
+    out = multimodal.png_features(media)
+    return run_available_now(spark, out, _sink(), "append")
 
 
 def _q_multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
@@ -5243,30 +5297,33 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                  / 1000000.0 AS mean_b
         FROM px GROUP BY media_id, w, h
     """),
-    "multimodal_png_decode": (_q_multimodal_png_decode, """
+    "multimodal_png_decode": (_q_multimodal_png_decode, _PNG_FEATURES_SQL),
+    # stateless per-micro-batch decode == the batch result, so the
+    # analytic PNG oracle is SHARED verbatim (the winnow-blob pattern)
+    "s_multimodal_decode": (_q_s_multimodal_decode, _PNG_FEATURES_SQL),
+    "multimodal_wav_autocorr": (_q_multimodal_wav_autocorr, """
         WITH d AS (
           SELECT doc_id AS media_id,
-                 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                 (64 + doc_id % 37) * (1 + doc_id % 2) AS n
           FROM documents
         ),
-        px AS (
-          SELECT media_id, w, h,
-                 (media_id + 3 * xs.x + 7 * ys.y) % 256 AS r,
-                 (2 * media_id + 5 * xs.x + 11 * ys.y) % 256 AS g,
-                 (3 * media_id + 13 * xs.x + 17 * ys.y) % 256 AS b
-          FROM d, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
-                  LATERAL (SELECT unnest(range(0, h)) AS y) ys
+        sig AS (
+          SELECT media_id, n, ii.i,
+                 ((media_id * 7919 + ii.i * 104729) % 65536) - 32768 AS s
+          FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) ii
+        ),
+        w AS (
+          SELECT media_id, n, s,
+                 lead(s, 1) OVER (PARTITION BY media_id ORDER BY i) AS s1,
+                 lead(s, 4) OVER (PARTITION BY media_id ORDER BY i) AS s4
+          FROM sig
         )
         SELECT media_id,
-               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-               CAST(media_id % 256 AS INTEGER) AS r00,
-               floor(CAST(SUM(r) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
-                 / 1000000.0 AS mean_r,
-               floor(CAST(SUM(g) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
-                 / 1000000.0 AS mean_g,
-               floor(CAST(SUM(b) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
-                 / 1000000.0 AS mean_b
-        FROM px GROUP BY media_id, w, h
+               CAST(max(n) AS BIGINT) AS n_samples,
+               CAST(SUM(s * s) AS BIGINT) AS energy,
+               CAST(SUM(s * s1) AS BIGINT) AS ac1,
+               CAST(SUM(s * s4) AS BIGINT) AS ac4
+        FROM w GROUP BY media_id
     """),
     "multimodal_png_pal_decode": (_q_multimodal_png_pal_decode, """
         WITH d AS (
@@ -6188,17 +6245,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    the AUTO layout, s_winnow_candidates_blob the fixed blob).
 # 3. ALL 31 remaining r9-signed entries — this CLOSES the r9 tail:
 #    every registry entry is then driver-signed in r12-r14.
-# 4. Fill to exactly 50 with 10 of the now-oldest (r11-signed)
+# 4. Fill to exactly 50 with 8 of the now-oldest (r11-signed)
 #    entries: the flagship t1, q3 (completing the IQ family's
-#    refresh), the rolling/zscore TWS twins, the minhash/cross-corpus
-#    dedup heavies, kmeans/IVF, and the end-to-end pipeline
-#    composite. The 36 remaining r11-signed entries rotate in r15.
+#    refresh), the rolling/zscore TWS twins, the minhash dedup
+#    heavies, IVF, and the end-to-end pipeline composite. The 38
+#    remaining r11-signed entries rotate in r15.
 _FRONT = [
-    # (1) new in r14, never sampled (s_ivfpq_assign and
-    # multimodal_png_pal_decode displaced the mix_sources and
-    # sim_hard_negatives r11 fills to the r15 rotation to hold the 50)
+    # (1) new in r14, never sampled (each new entry displaced one r11
+    # fill — mix_sources, sim_hard_negatives, dedup_cross_corpus,
+    # cluster_kmeans — to the r15 rotation to hold the 50 line)
     "s_pq_assign", "s_ivfpq_assign", "multimodal_jpeg_decode",
-    "multimodal_png_pal_decode",
+    "multimodal_png_pal_decode", "multimodal_wav_autocorr",
+    "s_multimodal_decode",
     # (2) code changed in r14 (sim_pq/ivfpq_topk also changed — the
     # model-factoring refactor — but both are r13-driver-signed and
     # re-gated locally on the refactored code, so they wait for r15)
@@ -6220,11 +6278,11 @@ _FRONT = [
     "s_windowed_sum_closed",
     "sim_cosine_topk", "sim_lsh_ann_topk",
     "t2_mapvalues_square", "text_lm_likelihood",
-    # (4) 12 r11-signed fills
+    # (4) r11-signed fills (see the displacement note in group 1)
     "t1_wordcount", "q3_range_scan",
     "s_rolling_avg", "s_zscore_running",
-    "dedup_minhash_lsh", "dedup_minhash_lsh_cross", "dedup_cross_corpus",
-    "cluster_kmeans", "sim_ivf_topk",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_cross",
+    "sim_ivf_topk",
     "pipeline_end_to_end",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))

@@ -1005,6 +1005,46 @@ def wav_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
 
 
+WAV_AUTOCORR_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("energy", LongType()),
+    StructField("ac1", LongType()),
+    StructField("ac4", LongType()),
+])
+
+
+def wav_autocorr_features(df: DataFrame) -> DataFrame:
+    """EXACT-integer audio analysis over decoded PCM: signal energy
+    (sum of squares) and raw autocorrelation at lags 1 and 4 — the
+    periodicity/pitch-proxy features a curation pipeline screens audio
+    with, in the same engine-portable exact-int discipline as every
+    oracle here (int16 samples, n <= a few hundred per clip -> sums
+    far inside int64; any engine replays them bit-for-bit). Real
+    decode first (wav_decode — RIFF walk, fmt validation), then pure
+    integer reductions; Arrow mapInPandas, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "n_samples", "energy", "ac1", "ac4")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, s = wav_decode(payload)
+                n = len(s)
+                out["media_id"].append(mid)
+                out["n_samples"].append(n)
+                out["energy"].append(sum(x * x for x in s))
+                out["ac1"].append(
+                    sum(s[i] * s[i + 1] for i in range(n - 1))
+                )
+                out["ac4"].append(
+                    sum(s[i] * s[i + 4] for i in range(n - 4))
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=WAV_AUTOCORR_SCHEMA)
+
+
 FRAME_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("frame_idx", LongType()),

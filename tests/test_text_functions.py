@@ -647,3 +647,24 @@ def test_png_palette_roundtrip_and_corruption():
     short = png_encode_palette(w, h, pal[:8], rows, depth=4)
     with pytest.raises(ValueError, match="outside PLTE"):
         png_decode(short)
+
+
+def test_wav_autocorr_features_exact(spark):
+    """wav_autocorr_features equals a direct Python recomputation of
+    the exact-int energy / lag-1 / lag-4 sums over the decoded PCM."""
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    media = multimodal.synth_wav_media(docs, "doc_id")
+    got = {
+        r["media_id"]: (r["n_samples"], r["energy"], r["ac1"], r["ac4"])
+        for r in multimodal.wav_autocorr_features(media).collect()
+    }
+    for mid in range(10):
+        _, _, s = multimodal.synth_wav_samples(mid)
+        n = len(s)
+        want = (
+            n,
+            sum(x * x for x in s),
+            sum(s[i] * s[i + 1] for i in range(n - 1)),
+            sum(s[i] * s[i + 4] for i in range(n - 4)),
+        )
+        assert got[mid] == want, mid
