@@ -2257,6 +2257,21 @@ def _q_s_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, out, _sink(), "append")
 
 
+def _q_multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video frame sampling (retiring the byte-chunk stub from
+    the oracle path): per-doc ANIMATED GIFs — NETSCAPE loop extension,
+    a Graphic Control Extension before every frame, per-frame LZW,
+    odd frames interlaced — decoded per spec by gif_decode_frames,
+    with every 2nd frame's per-channel means emitted
+    (operators/multimodal.py:sample_frame_features). Frame pixels are
+    closed-form in (id, frame, x, y), so the DuckDB oracle recomputes
+    each sampled frame analytically: any multi-frame parsing, GCE
+    skipping, per-frame LZW, or interlace bug hash-mismatches."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synth_video_media(docs, "doc_id")
+    return multimodal.sample_frame_features(media, every_n=2)
+
+
 def _q_multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL media decode #5 — the lossy codec (r13 verdict ask #8):
     per-doc baseline JPEGs (genuine JFIF — marker segments, DQT/DHT
@@ -5301,6 +5316,41 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # stateless per-micro-batch decode == the batch result, so the
     # analytic PNG oracle is SHARED verbatim (the winnow-blob pattern)
     "s_multimodal_decode": (_q_s_multimodal_decode, _PNG_FEATURES_SQL),
+    "multimodal_video_frames": (_q_multimodal_video_frames, """
+        WITH d AS (
+          SELECT doc_id AS media_id,
+                 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                 3 + doc_id % 4 AS nf
+          FROM documents
+        ),
+        fr AS (
+          SELECT media_id, w, h, fs.f
+          FROM d, LATERAL (SELECT unnest(range(0, nf)) AS f) fs
+          WHERE fs.f % 2 = 0
+        ),
+        px AS (
+          SELECT media_id, w, h, f,
+                 (media_id + 3 * xs.x + 7 * ys.y + 11 * f) % 16 AS ci
+          FROM fr, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+                   LATERAL (SELECT unnest(range(0, h)) AS y) ys
+        ),
+        rgb AS (
+          SELECT media_id, w, h, f,
+                 (media_id + 29 * ci) % 256 AS r,
+                 (2 * media_id + 31 * ci) % 256 AS g,
+                 (3 * media_id + 37 * ci) % 256 AS b
+          FROM px
+        )
+        SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               floor(CAST(SUM(r) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_r,
+               floor(CAST(SUM(g) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_g,
+               floor(CAST(SUM(b) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_b
+        FROM rgb GROUP BY media_id, f, w, h
+    """),
     "multimodal_wav_autocorr": (_q_multimodal_wav_autocorr, """
         WITH d AS (
           SELECT doc_id AS media_id,
@@ -6245,18 +6295,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    the AUTO layout, s_winnow_candidates_blob the fixed blob).
 # 3. ALL 31 remaining r9-signed entries — this CLOSES the r9 tail:
 #    every registry entry is then driver-signed in r12-r14.
-# 4. Fill to exactly 50 with 8 of the now-oldest (r11-signed)
+# 4. Fill to exactly 50 with 7 of the now-oldest (r11-signed)
 #    entries: the flagship t1, q3 (completing the IQ family's
 #    refresh), the rolling/zscore TWS twins, the minhash dedup
-#    heavies, IVF, and the end-to-end pipeline composite. The 38
+#    heavies, and the end-to-end pipeline composite. The 39
 #    remaining r11-signed entries rotate in r15.
 _FRONT = [
     # (1) new in r14, never sampled (each new entry displaced one r11
     # fill — mix_sources, sim_hard_negatives, dedup_cross_corpus,
-    # cluster_kmeans — to the r15 rotation to hold the 50 line)
+    # cluster_kmeans, sim_ivf_topk — to the r15 rotation to hold 50)
     "s_pq_assign", "s_ivfpq_assign", "multimodal_jpeg_decode",
     "multimodal_png_pal_decode", "multimodal_wav_autocorr",
-    "s_multimodal_decode",
+    "s_multimodal_decode", "multimodal_video_frames",
     # (2) code changed in r14 (sim_pq/ivfpq_topk also changed — the
     # model-factoring refactor — but both are r13-driver-signed and
     # re-gated locally on the refactored code, so they wait for r15)
@@ -6282,7 +6332,6 @@ _FRONT = [
     "t1_wordcount", "q3_range_scan",
     "s_rolling_avg", "s_zscore_running",
     "dedup_minhash_lsh", "dedup_minhash_lsh_cross",
-    "sim_ivf_topk",
     "pipeline_end_to_end",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))

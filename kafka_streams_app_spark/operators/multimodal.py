@@ -750,24 +750,92 @@ def gif_encode(
     return bytes(out)
 
 
+def gif_encode_anim(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    frames: list[list[list[int]]],
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode a sequence of palette-indexed frames as a genuinely
+    ANIMATED GIF89a: NETSCAPE2.0 looping application extension, a
+    Graphic Control Extension (delay, disposal) before every image
+    descriptor, one full-frame LZW stream per frame — the real video
+    container the frame sampler decodes. Odd frames store interlaced
+    so the sampler exercises the 4-pass path mid-animation."""
+    nc = len(palette)
+    if nc & (nc - 1) or not 2 <= nc <= 256 or not frames:
+        raise ValueError("palette must be power-of-two sized, >=1 frame")
+    szbits = nc.bit_length() - 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF0 | szbits, 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    # NETSCAPE looping extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    mcs = max(2, (nc - 1).bit_length())
+    for f, index_rows in enumerate(frames):
+        if len(index_rows) != height:
+            raise ValueError(f"frame {f}: rows != height")
+        # Graphic Control Extension: disposal=1 (leave), no transparency
+        out += b"\x21\xf9\x04" + bytes((0x04,)) + struct.pack(
+            "<H", delay_cs
+        ) + b"\x00\x00"
+        interlace = bool(f % 2)
+        rows = (
+            [index_rows[y] for y in _interlace_order(height)]
+            if interlace else index_rows
+        )
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
+        )
+        out.append(mcs)
+        lzw = _lzw_encode([i for row in rows for i in row], mcs)
+        for off in range(0, len(lzw), 255):
+            block = lzw[off:off + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
 def gif_decode(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
     """Parse a GIF87a/89a per spec: screen/image descriptors, color
     tables, extension skipping, sub-block reassembly, full GIF-LZW,
     palette mapping, and interlace reordering. Returns (width, height,
     rows of (r, g, b) with row 0 = visual TOP) for the first image.
     Raises ValueError on malformed streams."""
+    w, h, frames = gif_decode_frames(payload, max_frames=1)
+    return w, h, frames[0]
+
+
+def gif_decode_frames(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[list[list[tuple]]]]:
+    """Parse EVERY image block of a (possibly animated) GIF: the same
+    spec machinery as gif_decode — GCE/application extensions skipped
+    per the sub-block grammar, per-frame local color tables, per-frame
+    LZW and interlace — looped to the trailer. Returns (width, height,
+    [frame rows, ...]); max_frames stops early (the sampler's decode
+    budget: stopping at frame k never touches later bytes)."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (missing GIF8xa magic)")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
-    palette: list[tuple[int, int, int]] | None = None
+    global_palette: list[tuple[int, int, int]] | None = None
     if flags & 0x80:
         nc = 2 << (flags & 0x07)
         raw = payload[pos:pos + 3 * nc]
         if len(raw) != 3 * nc:
             raise ValueError("truncated GIF global color table")
-        palette = [tuple(raw[i:i + 3]) for i in range(0, len(raw), 3)]
+        global_palette = [
+            tuple(raw[i:i + 3]) for i in range(0, len(raw), 3)
+        ]
         pos += 3 * nc
+    frames: list[list[list[tuple]]] = []
+    out_w = out_h = None
+    palette = global_palette
     while pos < len(payload):
         marker = payload[pos]
         pos += 1
@@ -787,6 +855,7 @@ def gif_decode(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
             raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
         _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
+        palette = global_palette                 # local tables don't leak
         if iflags & 0x80:                        # local color table wins
             nc = 2 << (iflags & 0x07)
             raw = payload[pos:pos + 3 * nc]
@@ -830,8 +899,18 @@ def gif_decode(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
                 rows[visual_y] = stored_row
         else:
             rows = stored
-        return iw, ih, rows
-    raise ValueError("GIF contains no image block")
+        if out_w is None:
+            out_w, out_h = iw, ih
+        elif (iw, ih) != (out_w, out_h):
+            raise ValueError(
+                f"GIF frame size {iw}x{ih} != first frame {out_w}x{out_h}"
+            )
+        frames.append(rows)
+        if max_frames is not None and len(frames) >= max_frames:
+            return out_w, out_h, frames
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return out_w, out_h, frames
 
 
 def synth_gif_media(df: DataFrame, id_col: str) -> DataFrame:
@@ -880,6 +959,95 @@ def gif_features(df: DataFrame) -> DataFrame:
 # unknown chunks like LIST/INFO, as a spec-correct reader must), so it
 # exercises the mechanics a real audio ingest faces: FOURCC framing,
 # word-aligned chunk padding, fmt validation, interleaved channels.
+
+
+def synth_gif_anim_frames(
+    media_id: int,
+) -> tuple[int, int, list[tuple], list[list[list[int]]]]:
+    """Deterministic animated clip for media_id: (3 + id%4) full
+    frames over the standard 16-color palette, frame f's index grid =
+    (id + 3x + 7y + 11f) % 16 — closed-form in (id, f, x, y) so the
+    DuckDB oracle recomputes every sampled frame analytically."""
+    w, h = 4 + media_id % 5, 3 + media_id % 4
+    n_frames = 3 + media_id % 4
+    frames = [
+        [
+            [(media_id + 3 * x + 7 * y + 11 * f) % 16 for x in range(w)]
+            for y in range(h)
+        ]
+        for f in range(n_frames)
+    ]
+    return w, h, _gif_palette(media_id), frames
+
+
+def synth_video_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Generate a genuine ANIMATED GIF payload per row (gif_encode_anim
+    over synth_gif_anim_frames — NETSCAPE loop extension, GCE per
+    frame, odd frames interlaced) through the standard media schema,
+    media_type='video'."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            payloads = []
+            for i in ids:
+                w, h, pal, frames = synth_gif_anim_frames(i)
+                payloads.append(gif_encode_anim(w, h, pal, frames))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["video"] * len(ids),
+                "payload": payloads,
+                "meta_json": ['{"format": "gif-anim"}'] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+])
+
+
+def sample_frame_features(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling (retiring sample_frames_stub's
+    byte-chunk stand-in for the oracle path): decode the animated-GIF
+    container per spec (gif_decode_frames — GCE/app extensions,
+    per-frame LZW, interlace) and emit per-channel means for every
+    every_n-th frame — the keyframe-features shape a multimodal
+    training pipeline extracts (1 input row -> ceil(frames/every_n)
+    output rows). Arrow mapInPandas; decode cost is scan-parallel,
+    no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = gif_decode_frames(payload)
+                n = w * h
+                for f in range(0, len(frames), every_n):
+                    sums = [0, 0, 0]
+                    for row in frames[f]:
+                        for px in row:
+                            sums[0] += px[0]
+                            sums[1] += px[1]
+                            sums[2] += px[2]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    for k, s in zip(("mean_r", "mean_g", "mean_b"), sums):
+                        out[k].append(math.floor(s / n * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=VIDEO_FRAME_FEATURE_SCHEMA)
 
 
 def wav_encode(sample_rate: int, channels: int, samples: list[int]) -> bytes:

@@ -668,3 +668,52 @@ def test_wav_autocorr_features_exact(spark):
             sum(s[i] * s[i + 4] for i in range(n - 4)),
         )
         assert got[mid] == want, mid
+
+
+def test_gif_anim_roundtrip_and_frame_sampler(spark):
+    """Animated GIF (r14 real-video path): every frame round-trips
+    exactly through gif_decode_frames (GCE + NETSCAPE extensions
+    skipped, odd frames interlaced), max_frames stops early,
+    gif_decode still returns frame 0, and the Spark frame sampler
+    equals a direct Python recomputation of every 2nd frame's means."""
+    import math
+
+    from kafka_streams_app_spark.operators.multimodal import (
+        gif_decode,
+        gif_decode_frames,
+        gif_encode_anim,
+        sample_frame_features,
+        synth_gif_anim_frames,
+        synth_video_media,
+    )
+
+    for mid in (0, 1, 5, 7):
+        w, h, pal, frames = synth_gif_anim_frames(mid)
+        payload = gif_encode_anim(w, h, pal, frames)
+        dw, dh, got = gif_decode_frames(payload)
+        assert (dw, dh, len(got)) == (w, h, len(frames))
+        for f, idx_rows in enumerate(frames):
+            assert got[f] == [[pal[ci] for ci in row] for row in idx_rows], f
+        assert gif_decode(payload) == (w, h, got[0])
+        assert gif_decode_frames(payload, max_frames=2)[2] == got[:2]
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    media = synth_video_media(docs, "doc_id")
+    out = {
+        (r["media_id"], r["frame_idx"]): (r["mean_r"], r["mean_g"], r["mean_b"])
+        for r in sample_frame_features(media, every_n=2).collect()
+    }
+    for mid in range(8):
+        w, h, pal, frames = synth_gif_anim_frames(mid)
+        for f in range(0, len(frames), 2):
+            sums = [0, 0, 0]
+            for row in frames[f]:
+                for ci in row:
+                    for c in range(3):
+                        sums[c] += pal[ci][c]
+            want = tuple(
+                math.floor(s / (w * h) * 1e6 + 0.5) / 1e6 for s in sums
+            )
+            assert out[(mid, f)] == want, (mid, f)
+        # frames beyond the sample stride are absent
+        assert (mid, 1) not in out
