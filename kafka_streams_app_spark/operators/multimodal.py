@@ -1399,9 +1399,13 @@ class _JpegBitReader:
 
     def read_bit(self) -> int:
         if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: truncated entropy stream")
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("jpeg: truncated entropy stream")
                 if self.data[self.pos] != 0x00:
                     raise ValueError("jpeg: marker inside entropy stream")
                 self.pos += 1
@@ -1506,7 +1510,10 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
     parse — DQT/DHT tables are READ from the stream, not assumed —
     then Huffman entropy decode (DC prediction, AC run/size, ZRL,
     EOB), dezigzag, dequantize, exact IDCT, level shift, clamp, and
-    crop to the SOF0 dimensions. Raises on any malformed structure."""
+    crop to the SOF0 dimensions. Raises ValueError on any malformed
+    structure — truncation, missing SOS/SOF0/DQT/DHT, bad markers —
+    matching png_decode/gif_decode's error contract (r14 ADVICE: no
+    IndexError/KeyError escapes, no walking past the end)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -1515,13 +1522,19 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
     width = height = None
     comp_q = comp_dc = comp_ac = None
     while True:
+        if pos + 2 > len(payload):
+            raise ValueError("jpeg: truncated stream before SOS")
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             raise ValueError("jpeg: EOI before SOS")
+        if pos + 2 > len(payload):
+            raise ValueError("jpeg: truncated segment header")
         ln = struct.unpack(">H", payload[pos:pos + 2])[0]
+        if ln < 2 or pos + ln > len(payload):
+            raise ValueError("jpeg: truncated segment body")
         body = payload[pos + 2:pos + ln]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             b = 0
@@ -1529,9 +1542,13 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
                 pq, tq = body[b] >> 4, body[b] & 0xF
                 if pq != 0:
                     raise ValueError("jpeg: only 8-bit quant tables")
+                if b + 65 > len(body):
+                    raise ValueError("jpeg: truncated DQT table")
                 qt[tq] = list(body[b + 1:b + 65])
                 b += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("jpeg: truncated SOF0")
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8 or nc != 1:
                 raise ValueError(
@@ -1547,14 +1564,20 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
             b = 0
             while b < len(body):
                 tc, th = body[b] >> 4, body[b] & 0xF
+                if b + 17 > len(body):
+                    raise ValueError("jpeg: truncated DHT header")
                 bits = list(body[b + 1:b + 17])
                 n = sum(bits)
+                if b + 17 + n > len(body):
+                    raise ValueError("jpeg: truncated DHT values")
                 vals = list(body[b + 17:b + 17 + n])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 b += 17 + n
         elif marker == 0xDD:
             raise ValueError("jpeg: restart intervals not supported")
         elif marker == 0xDA:  # SOS
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOS")
             if body[0] != 1:
                 raise ValueError("jpeg: single-component scan only")
             comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
@@ -1563,6 +1586,8 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
         pos += ln
     if width is None or comp_q not in qt:
         raise ValueError("jpeg: missing SOF0/DQT before SOS")
+    if (0, comp_dc) not in huff or (1, comp_ac) not in huff:
+        raise ValueError("jpeg: missing DHT table referenced by SOS")
     dc_tab = huff[(0, comp_dc)]
     ac_tab = huff[(1, comp_ac)]
     q = qt[comp_q]

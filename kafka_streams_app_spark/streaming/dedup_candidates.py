@@ -304,6 +304,18 @@ class _BucketPairsAuto(StatefulProcessor):
     conservatively below that knee and measured to hold the blob
     layout's bulk throughput while keeping trickle at MapState rates
     (tools/stream_throughput.py fixtures).
+
+    Trickle-batch blob cost (r14 ADVICE): the blob is parsed LAZILY —
+    a trickle batch probes MapState first (1 RPC per fp; under the
+    exactly-one-store invariant a map hit proves the fp is not
+    blob-resident) and only parses the blob on the first map MISS, so
+    a pure-trickle batch touching only map-resident fingerprints never
+    reads the blob at all. The residual honest cost: once anything has
+    migrated to the blob, a trickle batch that touches a blob-resident
+    (or brand-new) fingerprint pays one O(blob) parse, and one
+    O(blob) rewrite if a blob-resident list changed — inherent to the
+    one-blob-per-bucket layout; steady mixed ingest where this
+    dominates should pin layout='map'.
     """
 
     def __init__(self, max_members: int | None = None,
@@ -327,12 +339,24 @@ class _BucketPairsAuto(StatefulProcessor):
         docs = pdf["doc_id"].to_numpy()
         n = len(fps)
         bulk = len(pdf["fp"].unique()) >= self.bulk_threshold
-        table: dict[int, list[int]] = {}
-        if self.blob.exists():
-            for ent in self.blob.get()[0].split(";"):
-                if ent:
-                    f, _, ms = ent.partition(":")
-                    table[int(f)] = [int(x) for x in ms.split(",") if x]
+        # The blob is parsed LAZILY (r14 ADVICE): bulk batches need it
+        # up front (they migrate into it); trickle batches probe
+        # MapState first and only parse on the first map miss, so a
+        # pure-trickle batch touching only map-resident fps costs zero
+        # blob reads.
+        table: dict[int, list[int]] | None = None if not bulk else {}
+
+        def parse_blob() -> dict[int, list[int]]:
+            t: dict[int, list[int]] = {}
+            if self.blob.exists():
+                for ent in self.blob.get()[0].split(";"):
+                    if ent:
+                        f, _, ms = ent.partition(":")
+                        t[int(f)] = [int(x) for x in ms.split(",") if x]
+            return t
+
+        if bulk:
+            table = parse_blob()
         # Bulk batches must NOT probe MapState per fingerprint (that is
         # exactly the 2-RPCs-per-fp cost the blob layout exists to
         # avoid — measured 4x slower when they did): ONE streamed
@@ -346,12 +370,19 @@ class _BucketPairsAuto(StatefulProcessor):
         i = 0
         while i < n:
             fp = int(fps[i])
-            in_blob = fp in table
-            cur = (
-                None if in_blob
-                else map_snapshot.get(fp) if map_snapshot is not None
-                else self.map.getValue((fp,))
-            )
+            if bulk:
+                in_blob = fp in table
+                cur = (
+                    None if in_blob else map_snapshot.get(fp)
+                )
+            else:
+                # trickle: map first (a hit proves non-blob-residency
+                # under the exactly-one-store invariant); parse the
+                # blob only on the first miss
+                cur = self.map.getValue((fp,))
+                if cur is None and table is None:
+                    table = parse_blob()
+                in_blob = cur is None and fp in table
             members: list[int] = (
                 table[fp] if in_blob
                 else [int(x) for x in cur[0].split(",") if x]

@@ -26,6 +26,8 @@ key, RocksDB); per-record work is O(n) on tiny ints.
 
 from __future__ import annotations
 
+import logging
+
 from bisect import bisect_left, bisect_right
 from collections import deque
 from collections.abc import Iterator
@@ -42,6 +44,8 @@ from pyspark.sql.types import (
 )
 
 _U = 1_000_000
+
+_LOG = logging.getLogger(__name__)
 
 _STATE_SCHEMA = StructType([StructField("ring", StringType(), True)])
 
@@ -182,7 +186,10 @@ class _TimeRollingAvg(StatefulProcessor):
       corruption) and is instead emitted as a marker row with
       win_n = -1 and NULL win_sum/win_avg — countable and routable
       downstream (``filter(win_n = -1)``), while the in-bound rows
-      stay exact as if the dropped row never arrived. At 100× a
+      stay exact as if the dropped row never arrived. Every (key,
+      batch) that dead-letters also logs an executor-side WARNING so
+      the degradation is visible without downstream instrumentation
+      (r14 ADVICE). At 100× a
       misconfigured lateness then degrades observably instead of
       killing the query. ``on_late='fail'`` is the opt-in strict
       mode: RAISE on the first beyond-bound row. lateness_s=0 still
@@ -264,6 +271,7 @@ class _TimeRollingAvg(StatefulProcessor):
                     t, q, u, vhex = parts
                     ring.append((int(t), int(q), int(u), vhex))
         out: list[tuple] = []
+        n_dead = 0
         for ts_s, seq, val, u in zip(
             pdf[self.ts_col].tolist(),
             pdf[self.seq_col].tolist(),
@@ -284,6 +292,7 @@ class _TimeRollingAvg(StatefulProcessor):
                 # dead-letter: do NOT insert (frame members may be
                 # evicted); emit a countable marker row instead
                 out.append(key + (ts_s, seq, float(val), -1, None, None))
+                n_dead += 1
                 continue
             entry = (ts_s, seq, int(u), float(val).hex())
             pos = bisect_left(ring, entry[:2], key=lambda e: e[:2])
@@ -303,6 +312,18 @@ class _TimeRollingAvg(StatefulProcessor):
                 f"{t}:{q}:{u}:{vhex}" for t, q, u, vhex in ring
             ),)
         )
+        if n_dead:
+            # dead-lettering must be VISIBLE without downstream
+            # instrumentation (r14 ADVICE): the aggregates this batch
+            # excludes are quietly smaller otherwise. Executor-side
+            # log, one line per (key, batch) that dropped anything.
+            _LOG.warning(
+                "rolling_time_avg: dead-lettered %d row(s) for key %s "
+                "beyond lateness_s=%d (emitted as win_n=-1 markers); "
+                "raise lateness_s or use on_late='fail' if late data "
+                "must not be excluded",
+                n_dead, key, self.lateness_s,
+            )
         yield pd.DataFrame(out, columns=self.out_columns)
 
     def close(self) -> None:
@@ -352,7 +373,8 @@ def rolling_time_avg_stream(
     rows within it are bisect-inserted and already-emitted frames they
     belong to are re-emitted corrected (last-wins per (key, seq) — the
     max-win_n row — converges to the batch result); rows later than it
-    are dead-lettered (win_n = -1 marker rows, countable downstream)
+    are dead-lettered (win_n = -1 marker rows, countable downstream,
+    plus an executor-side WARNING log per affected key-batch)
     by default, or fail fast with on_late='fail'."""
     from kafka_streams_app_spark.streaming.ktable import _require_rocksdb
 

@@ -430,3 +430,140 @@ def test_auto_layout_store_residency_and_migration():
     assert proc.map.getValue((1,)) is None
     assert proc.map.getValue((99,)) == ("30",)
     assert "1:10,20,30" in proc.blob.get()[0]
+
+
+def test_auto_trickle_lazy_blob_parse():
+    """r14 ADVICE: a pure-trickle batch touching only MAP-RESIDENT
+    fingerprints must not read the bucket blob at all (the blob is
+    parsed lazily, on the first map miss), so trickle economics hold
+    once anything has migrated to the blob."""
+    import pandas as pd
+
+    from kafka_streams_app_spark.streaming.dedup_candidates import (
+        _BucketPairsAuto,
+    )
+    from kafka_streams_app_spark.streaming.replay import _HandleShim
+
+    proc = _BucketPairsAuto(bulk_threshold=8)
+    proc.init(_HandleShim())
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=["fp", "doc_id"])
+        out = list(proc.handleInputRows((0,), iter([pdf]), None))
+        return sorted(
+            tuple(t) for o in out for t in o.itertuples(index=False)
+        )
+
+    # bulk: fps 1..8 -> blob; then a trickle lands fp 99 in MapState
+    feed([(f, 20) for f in range(1, 9)])
+    feed([(99, 30)])
+    assert proc.map.getValue((99,)) == ("30",)
+
+    reads = {"n": 0}
+    real_get = proc.blob.get
+
+    def counting_get():
+        reads["n"] += 1
+        return real_get()
+
+    proc.blob.get = counting_get
+    # map-resident fp only: ZERO blob reads
+    assert feed([(99, 31)]) == [(99, 30, 31)]
+    assert reads["n"] == 0
+    # blob-resident fp: exactly ONE lazy parse (plus the rewrite path
+    # re-serializing the parsed table, not re-reading)
+    assert feed([(1, 40)]) == [(1, 20, 40)]
+    assert reads["n"] == 1
+    # brand-new fp in a trickle batch: map miss -> one parse, but the
+    # new member lands in MapState and the blob is NOT rewritten
+    blob_before = real_get()
+    assert feed([(777, 50)]) == []
+    assert reads["n"] == 2
+    assert proc.map.getValue((777,)) == ("50",)
+    assert real_get() == blob_before
+
+
+def _run_restart_phases(spark, phase1_layout, phase1_docs,
+                        phase2_layout, phase2_docs, n_buckets=1):
+    """Drive a REAL TWS checkpoint restart across state layouts:
+    phase 1 ingests under phase1_layout, stops; phase 2 restarts the
+    SAME checkpoint under phase2_layout and ingests more. Returns the
+    sorted emitted pair set (fault-tolerant parquet sink)."""
+    import glob
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="wc_xlay_src_")
+    checkpoint = tempfile.mkdtemp(prefix="wc_xlay_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="wc_xlay_out_")
+
+    def start(layout):
+        src = spark.readStream.schema(SCHEMA).parquet(staging)
+        out = DC.winnow_candidates_stream(
+            src, "text", "doc_id", n_buckets=n_buckets, layout=layout
+        )
+
+        def write(bdf, _bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        return (
+            out.writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    try:
+        q = start(phase1_layout)
+        for chunk in phase1_docs:
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(staging)
+            q.processAllAvailable()
+        q.stop()
+
+        q2 = start(phase2_layout)
+        for chunk in phase2_docs:
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(staging)
+            q2.processAllAvailable()
+        q2.stop()
+        if not glob.glob(f"{out_dir}/*.parquet"):
+            return []
+        return sorted(
+            tuple(r) for r in spark.read.parquet(out_dir).collect()
+        )
+    finally:
+        for d in (staging, checkpoint, out_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_winnow_restart_map_checkpoint_into_auto(spark):
+    """r14 verdict ask #7 + ADVICE: layout='auto' is the DEFAULT, so a
+    stream restarted from a pre-r14 layout='map' checkpoint silently
+    switches processors — pin that a REAL TWS restart (map trickle ->
+    checkpoint -> auto with a BULK batch that triggers map->blob
+    migration, n_buckets=1 so the batch density crosses
+    bulk_threshold) emits exactly the batch pair set, each pair once."""
+    docs = [_doc(i, f"xl{i} ya{i} zb{i}") for i in range(1, 8)]
+    expected = _batch_pairs(spark, docs)
+    assert len(expected) > 0
+    got = _run_restart_phases(
+        spark, "map", [docs[:1], docs[1:2]], "auto", [docs[2:]],
+    )
+    assert got == expected
+
+
+def test_winnow_restart_blob_checkpoint_into_auto(spark):
+    """The other upgrade path: a layout='blob' checkpoint restarted
+    under layout='auto' with trickle batches (blob-resident
+    fingerprints must keep updating in the blob through the lazy-parse
+    path) emits exactly the batch pair set."""
+    docs = [_doc(i, f"gb{i} hc{i} jd{i}") for i in range(1, 7)]
+    expected = _batch_pairs(spark, docs)
+    assert len(expected) > 0
+    got = _run_restart_phases(
+        spark, "blob", [docs[:4]], "auto", [docs[4:5], docs[5:]],
+    )
+    assert got == expected

@@ -577,8 +577,37 @@ def test_jpeg_decode_rejects_malformed():
     sof = payload.find(b"\xff\xc0")
     with pytest.raises(ValueError, match="baseline"):
         jpeg_decode(payload[:sof + 1] + b"\xc2" + payload[sof + 2:])
-    with pytest.raises((ValueError, IndexError)):
-        jpeg_decode(payload[:len(payload) // 2])
+    # every malformed shape must surface as ValueError (r14 ADVICE:
+    # the png/gif error contract — no IndexError/KeyError escapes,
+    # no walking past the end)
+    with pytest.raises(ValueError):
+        jpeg_decode(payload[:len(payload) // 2])  # cut mid-entropy
+    sos = payload.find(b"\xff\xda")
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(payload[:sos])  # no SOS: must not loop past end
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(payload[:sos + 3])  # cut mid-segment-header
+    # strip both DHT segments: SOS then references missing tables
+    out = bytearray()
+    pos = 0
+    while pos < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] == 0xC4:
+            ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
+            pos += 2 + ln
+            continue
+        out.append(payload[pos])
+        pos += 1
+    with pytest.raises(ValueError, match="missing DHT"):
+        jpeg_decode(bytes(out))
+    # EOI immediately after SOI: EOI before SOS
+    with pytest.raises(ValueError, match="EOI before SOS"):
+        jpeg_decode(b"\xff\xd8\xff\xd9")
+    # segment length pointing past the end of the payload
+    dqt = payload.find(b"\xff\xdb")
+    with pytest.raises(ValueError, match="truncated segment"):
+        jpeg_decode(
+            payload[:dqt + 2] + b"\xff\xff" + payload[dqt + 4:]
+        )
 
 
 def test_jpeg_features_spark_matches_oracle_formula(spark):

@@ -250,7 +250,11 @@ def headline10_main() -> None:
     flagged = []
     for name in bench_mod.HEADLINE:
         label, fn = swapped.get(name, (name, queries[name]))
-        fn(spark, BASE).write.format("noop").mode("overwrite").save()  # warm
+        # warm BOTH sides (r14 ADVICE: a cold big_s run pays
+        # first-touch IO/codegen that base_s doesn't, biasing ratios
+        # upward toward the superlinear flag)
+        fn(spark, BASE).write.format("noop").mode("overwrite").save()
+        fn(spark, big_dir).write.format("noop").mode("overwrite").save()
         base_s = timed(fn, spark, BASE)
         big_s = timed(fn, spark, big_dir)
         ratio = round(big_s / base_s, 2) if base_s else None
