@@ -2473,6 +2473,30 @@ def _q_s_ivfpq_assign(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, out, _sink(), "append")
 
 
+def _q_s_ivfpq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ANN SEARCH at ingest (r14 verdict ask #3) — the query
+    side of s_pq_assign/s_ivfpq_assign: arriving vectors probe the
+    FROZEN static IVF-PQ index (operators/similarity.py:ivfpq_search).
+    The index freezes once at plan build — coarse + residual-PQ
+    codebooks plus the corpus code table, collected at COMPRESSED
+    index size (the RAM-residency IVFADC/FAISS serving trade,
+    documented in the operator) — and rides the Arrow closure; each
+    micro-batch is one stateless pass: coarse top-nprobe probe,
+    residual LUT scan of the resident posting lists, per-query top-k.
+    No shuffle, no state, no per-batch corpus re-encode. Results are
+    bit-equal to batch ivfpq_topk for the same query ids (pinned), so
+    the oracle is the full exact-int index build+search twin."""
+    emb_static = load_table(spark, sf, "embeddings")
+    stream = load_stream(spark, sf, "embeddings").filter(
+        F.col("vec_id") % 100 == 0
+    )
+    out = similarity.ivfpq_search(
+        stream, emb_static, "vec_id", "embedding", dim=64, k=5, m=8,
+        coarse_mod=(17, 3), pq_mod=(13, 5), nprobe=4,
+    )
+    return run_available_now(spark, out, _sink(), "append")
+
+
 def _q_s_profile_running(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming data-quality monitor
     (streaming/windows.py:profile_cell_stream): corpus_profile's
@@ -5531,6 +5555,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_s_winnow_candidates_blob, _winnow_candidates_md5_sql()),
     "s_pq_assign": (_q_s_pq_assign, _pq_assign_sql()),
     "s_ivfpq_assign": (_q_s_ivfpq_assign, _ivfpq_assign_sql()),
+    "s_ivfpq_search": (_q_s_ivfpq_search, _ivfpq_topk_sql(k=5)),
     # decontamination at ingest: stream-static broadcast fingerprint
     # join; update-mode emission == the batch join (one row per doc)
     "s_decontam_winnow": (_q_s_decontam_winnow, f"""

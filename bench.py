@@ -123,6 +123,45 @@ BASELINE_SEC = {
 }
 
 
+# Settle guard (r14 verdict ask #2): the last TWO official driver
+# readings were taken minutes after the gate storm (loadavg_start 3.97
+# on r14) and carried uniform ~2x contention flags the builder then had
+# to adjudicate with A/B twins. Refuse to measure on a visibly busy
+# host: if 1-min loadavg exceeds the threshold, sleep-and-retry
+# (bounded) and record the attempts + final loadavg in the JSON so a
+# never-settled host is self-evident in the official artifact.
+SETTLE_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "1.5"))
+SETTLE_MAX_WAIT_S = float(
+    os.environ.get("SPARK_GRAFT_BENCH_SETTLE_MAX_S", "600")
+)
+_SETTLE_STEP_S = 30.0
+
+
+def wait_for_settle() -> dict:
+    """Sleep in 30 s steps until 1-min loadavg <= SETTLE_THRESHOLD or
+    the bounded budget runs out; returns the evidence dict."""
+    attempts = 0
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > SETTLE_THRESHOLD and waited < SETTLE_MAX_WAIT_S:
+        attempts += 1
+        print(
+            f"bench: host busy (1-min loadavg {load:.2f} > "
+            f"{SETTLE_THRESHOLD}); settle attempt {attempts}, "
+            f"{SETTLE_MAX_WAIT_S - waited:.0f}s budget left",
+            file=sys.stderr,
+        )
+        time.sleep(_SETTLE_STEP_S)
+        waited += _SETTLE_STEP_S
+        load = os.getloadavg()[0]
+    return {
+        "settle_attempts": attempts,
+        "settle_waited_s": round(waited, 1),
+        "settle_threshold": SETTLE_THRESHOLD,
+        "settled": load <= SETTLE_THRESHOLD,
+    }
+
+
 def check_regressions(per_query: dict[str, float]) -> list[str]:
     bad = []
     for name, sec in per_query.items():
@@ -167,6 +206,7 @@ def main() -> None:
     group = "all"
     if "--group" in sys.argv:
         group = sys.argv[sys.argv.index("--group") + 1]
+    settle = wait_for_settle()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
@@ -206,6 +246,7 @@ def main() -> None:
     out["loadavg_start"] = [round(x, 2) for x in loadavg_start]
     out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     out["ncpus"] = os.cpu_count()
+    out.update(settle)
     print(json.dumps(out))
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         sys.exit(2)

@@ -1039,3 +1039,123 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivfpq_search(
+    df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    coarse_mod: tuple[int, int] = (17, 3),
+    pq_mod: tuple[int, int] = (13, 5),
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ SEARCH against a FROZEN static index — the query-side
+    face of ivfpq_assign and the streaming-capable twin of
+    ivfpq_topk's search stage: each arriving vector (batch or
+    streaming `df` alike) probes its nprobe nearest coarse lists and
+    LUT-scans the resident PQ codes, emitting its top-k per
+    micro-batch. Results are bit-equal to batch ivfpq_topk for the
+    same query ids (shared _ivfpq_model; same exact-int64 ADC sums,
+    same (adc, neighbor_id) tie order; pinned).
+
+    Plan: the static index freezes ONCE at plan-build time — one
+    distributed Arrow encode pass over the corpus, then a collect
+    bounded by the COMPRESSED index size (the coarse id + m code
+    bytes per vector that IVFADC exists to make RAM-resident: ~9-16
+    bytes/vector, 1B vectors ~ 16 GB — the published FAISS serving
+    trade, where every searcher holds the full code table and search
+    is embarrassingly parallel). The posting lists ride the Arrow
+    closure as a broadcast; each micro-batch is then ONE stateless
+    mapInPandas pass per arriving query — no shuffle, no state, no
+    per-batch re-encode of the corpus. A corpus-SCALE query set
+    should use batch ivfpq_topk instead (distributed equi-join on the
+    coarse id, zero index collect); this operator is the at-ingest
+    searcher, where queries trickle and index residency is the point.
+
+    Output: query_id, neighbor_id, rank, adc_dist (exact int64),
+    excluding the query row itself; only probed-list candidates
+    appear — exactly ivfpq_topk's contract.
+    """
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    mdl = _ivfpq_model(corpus, id_col, vec_col, dim, m, coarse_mod, pq_mod)
+    c_cmat, cc2, ncp = mdl["c_cmat"], mdl["cc2"], mdl["ncp"]
+    _quant, _pq_dists, encode = mdl["quant"], mdl["pq_dists"], mdl["encode"]
+    ncc = len(mdl["c_cids"])
+
+    enc_rows = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("nid"), encode(F.col(vec_col)).alias("_e"))
+        .select("nid", F.col("_e.cl").alias("cl"), F.col("_e.code").alias("code"))
+        .collect()
+    )
+    ids_by_list: list[list[int]] = [[] for _ in range(ncc)]
+    codes_by_list: list[list[list[int]]] = [[] for _ in range(ncc)]
+    for r in enc_rows:
+        ids_by_list[r["cl"]].append(r["nid"])
+        codes_by_list[r["cl"]].append(r["code"])
+    post_ids = [np.asarray(x, dtype=np.int64) for x in ids_by_list]
+    post_codes = [
+        np.asarray(c, dtype=np.int64) if c else np.zeros((0, m), np.int64)
+        for c in codes_by_list
+    ]
+    jj = np.arange(m)
+
+    out_schema = StructType([
+        StructField("query_id", LongType(), True),
+        StructField("neighbor_id", LongType(), True),
+        StructField("rank", IntegerType(), True),
+        StructField("adc_dist", LongType(), True),
+    ])
+
+    def search(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids = [int(x) for x in pdf[id_col]]
+            qmat = _quant(pdf[vec_col])
+            qd = (
+                (qmat ** 2).sum(axis=1)[:, None]
+                - 2 * (qmat @ c_cmat.T)
+                + cc2[None, :]
+            )
+            probe_idx = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+            out: list[tuple[int, int, int, int]] = []
+            for i, qid in enumerate(qids):
+                luts = _pq_dists(qmat[i] - c_cmat[probe_idx[i]])
+                cand_ids: list[np.ndarray] = []
+                cand_adc: list[np.ndarray] = []
+                for s in range(nprobe):
+                    ids = post_ids[probe_idx[i, s]]
+                    codes = post_codes[probe_idx[i, s]]
+                    if not len(ids):
+                        continue
+                    adc = luts[s][jj[None, :], codes].sum(axis=1)
+                    keep = ids != qid
+                    cand_ids.append(ids[keep])
+                    cand_adc.append(adc[keep])
+                if not cand_ids:
+                    continue
+                nid = np.concatenate(cand_ids)
+                adc = np.concatenate(cand_adc)
+                order = np.lexsort((nid, adc))[:k]
+                out.extend(
+                    (qid, int(nid[o]), rk + 1, int(adc[o]))
+                    for rk, o in enumerate(order)
+                )
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "rank", "adc_dist"]
+            )
+
+    return df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias(vec_col)
+    ).mapInPandas(search, schema=out_schema)

@@ -549,3 +549,48 @@ def test_pq_family_shuffle_join_path_identical(spark, sf_dir):
                   broadcast_queries=False)
         assert sorted(tuple(r) for r in shuf.collect()) == bcast
         assert len(bcast) > 0
+
+
+def test_ivfpq_search_equals_topk_batch_and_stream(spark, sf_dir):
+    """ivfpq_search (r15): the at-ingest searcher (frozen code table
+    riding the Arrow closure, one stateless pass per batch) emits
+    BIT-EQUAL results to batch ivfpq_topk for the same query ids —
+    exact int64 ADC, same (adc, neighbor_id) tie order — and the
+    streaming path across an arbitrary micro-batch split emits the
+    identical set."""
+    from kafka_streams_app_spark.operators.similarity import (
+        ivfpq_search,
+        ivfpq_topk,
+    )
+    from kafka_streams_app_spark.streaming.harness import MicroBatchReplay
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    want = sorted(
+        tuple(r) for r in ivfpq_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=5,
+        ).collect()
+    )
+    assert len(want) > 0
+    got = sorted(
+        tuple(r) for r in ivfpq_search(
+            queries, emb, "vec_id", "embedding", dim=64, k=5,
+        ).collect()
+    )
+    assert got == want
+
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in queries.collect()
+    ]
+    schema = "vec_id long, embedding array<double>"
+    with MicroBatchReplay(
+        spark, schema,
+        lambda src: ivfpq_search(src, emb, "vec_id", "embedding",
+                                 dim=64, k=5),
+        "append",
+    ) as r:
+        r.pipe(qrows[:2])
+        r.pipe(qrows[2:])
+        stream = sorted(tuple(x) for x in r.drain())
+    assert stream == want
