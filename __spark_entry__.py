@@ -2289,6 +2289,23 @@ def _q_multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.jpeg_features(media)
 
 
+def _q_multimodal_jpeg_color_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL media decode #6 — COLOR JPEG (r14 verdict ask #6, closing
+    the media-variety boundary): per-doc 4:2:0 YCbCr baseline JFIF —
+    interleaved 16x16 MCUs (4 Y blocks + Cb + Cr), separate
+    luma/chroma quant tables, per-component DC prediction, chroma
+    replication upsample, BT.601 inverse with floor(x+0.5) — generated
+    then parsed per T.81 by jpeg_decode_color inside the Arrow
+    mapInPandas pipeline. All three planes are SPECTRAL (two integer
+    DCT coefficients per block), so each plane round-trips bit-exactly
+    and the DuckDB oracle recomputes the full decoded RGB analytically:
+    any MCU-interleave, sampling, DC-prediction, upsample, or
+    color-conversion bug hash-mismatches."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synth_jpeg_color_media(docs, "doc_id")
+    return multimodal.jpeg_color_features(media)
+
+
 def _q_multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL media decode #3 — audio: per-document PCM WAVs (genuine
     RIFF framing — FOURCC chunks, word-aligned advancement, fmt
@@ -5454,6 +5471,63 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
                floor(CAST(SUM(p) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
                  / 1000000.0 AS mean_p
         FROM px GROUP BY media_id, w, h
+    """),
+    "multimodal_jpeg_color_decode": (_q_multimodal_jpeg_color_decode, """
+        WITH d AS (
+          SELECT doc_id AS media_id,
+                 16 * (1 + doc_id % 2) - doc_id % 7 AS w,
+                 16 * (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
+                   - doc_id % 5 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT media_id, w, h, xs.x, ys.y,
+                 48 + (media_id + 5 * (xs.x // 8) + 9 * (ys.y // 8)) % 128
+                 + ((media_id + 3 * (xs.x // 8) + 7 * (ys.y // 8)) % 32 - 16)
+                   * (CASE WHEN (xs.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                   * (CASE WHEN (ys.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                   AS yv,
+                 96 + (media_id + 7 * (xs.x // 16) + 3 * (ys.y // 16)) % 64
+                 + ((media_id + 5 * (xs.x // 16) + (ys.y // 16)) % 16 - 8)
+                   * (CASE WHEN ((xs.x // 2) % 8) % 4 IN (0, 3)
+                      THEN 1 ELSE -1 END)
+                   * (CASE WHEN ((ys.y // 2) % 8) % 4 IN (0, 3)
+                      THEN 1 ELSE -1 END) - 128 AS cb,
+                 80 + (2 * media_id + 3 * (xs.x // 16) + 5 * (ys.y // 16)) % 96
+                 + ((media_id + (xs.x // 16) + 7 * (ys.y // 16)) % 16 - 8)
+                   * (CASE WHEN ((xs.x // 2) % 8) % 4 IN (0, 3)
+                      THEN 1 ELSE -1 END)
+                   * (CASE WHEN ((ys.y // 2) % 8) % 4 IN (0, 3)
+                      THEN 1 ELSE -1 END) - 128 AS cr
+          FROM d, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+                  LATERAL (SELECT unnest(range(0, h)) AS y) ys
+        ),
+        rgb AS (
+          SELECT media_id, w, h, x, y,
+                 LEAST(255, GREATEST(0, CAST(floor(
+                   yv + 1.402 * cr + 0.5) AS BIGINT))) AS r,
+                 LEAST(255, GREATEST(0, CAST(floor(
+                   yv - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT)))
+                   AS g,
+                 LEAST(255, GREATEST(0, CAST(floor(
+                   yv + 1.772 * cb + 0.5) AS BIGINT))) AS b
+          FROM px
+        )
+        SELECT media_id,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN r END) AS INTEGER)
+                 AS r00,
+               CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN g END) AS INTEGER)
+                 AS g00,
+               CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN b END) AS INTEGER)
+                 AS b00,
+               floor(CAST(SUM(r) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_r,
+               floor(CAST(SUM(g) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_g,
+               floor(CAST(SUM(b) AS BIGINT) / (w * h) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_b
+        FROM rgb GROUP BY media_id, w, h
     """),
     "multimodal_gif_decode": (_q_multimodal_gif_decode, """
         WITH d AS (

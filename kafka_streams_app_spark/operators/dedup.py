@@ -286,7 +286,8 @@ def minhash_signature(
 
 
 def dedup_minhash_lsh(
-    df: DataFrame, text: str, id_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame, text: str, id_col: str, k: int = 3, threshold: float = 0.8,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -313,6 +314,23 @@ def dedup_minhash_lsh(
     materialized eagerly so the cache is released before returning —
     repeated calls in a long-lived session must not accumulate cached
     blocks for the application lifetime.
+
+    max_band_df (default None = off — the oracle path) is the hot-band
+    cap, the band-bucket analogue of the posting-list max_df dial (r14
+    verdict ask #5): band buckets with more than max_band_df members
+    are DROPPED before the self-join, bounding per-bucket candidate
+    emission at C(max_band_df, 2). Band-join output is
+    sum_buckets C(df, 2) — linear in corpus growth while per-bucket df
+    stays flat (disjoint content), but QUADRATIC in df where
+    boilerplate concentrates (a df-10k boilerplate band alone emits
+    ~50M candidate pairs; at 100x duplication-heavy growth this term
+    dominates, SCALE.md "MinHash band fan-out"). The trade is recall
+    only for pairs whose EVERY shared band is hot (such docs share
+    many bands, so near-dups above threshold survive unless the
+    boilerplate itself is the near-dup content — exactly the pairs a
+    dedup pipeline caps deliberately); the hot-band set is tiny by
+    construction (it's the tail of the df histogram), so the prune is
+    a broadcast anti-join on the band key, no extra shuffle shape.
     """
     ss = _shingle_sig_udf(k)
     sh_sig = (
@@ -332,6 +350,14 @@ def dedup_minhash_lsh(
     )
     sh = sh_sig.select("_id", "_sh")
     bands = sh_sig.select("_id", F.explode("_bh").alias("bh"))
+    if max_band_df is not None:
+        hot = (
+            bands.groupBy("bh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_band_df)
+            .select("bh")
+        )
+        bands = bands.join(F.broadcast(hot), "bh", "left_anti")
     cand = (
         bands.alias("x")
         .join(

@@ -1505,22 +1505,23 @@ def jpeg_encode_gray(width: int, height: int,
     return bytes(out)
 
 
-def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
-    """Baseline JPEG decoder (grayscale, single scan): full segment
-    parse — DQT/DHT tables are READ from the stream, not assumed —
-    then Huffman entropy decode (DC prediction, AC run/size, ZRL,
-    EOB), dezigzag, dequantize, exact IDCT, level shift, clamp, and
-    crop to the SOF0 dimensions. Raises ValueError on any malformed
-    structure — truncation, missing SOS/SOF0/DQT/DHT, bad markers —
-    matching png_decode/gif_decode's error contract (r14 ADVICE: no
-    IndexError/KeyError escapes, no walking past the end)."""
+def _jpeg_parse_headers(payload: bytes) -> dict:
+    """Shared segment parse for the gray and color decoders: walk the
+    marker stream up to (and including) SOS, reading DQT/DHT tables
+    and the SOF0 frame header. Returns {width, height, comps:
+    [(cid, h, v, tq)], qt, huff, sos: {cid: (td, ta)}, pos}. Raises
+    ValueError on any malformed structure — truncation, missing
+    SOS/SOF0/DQT/DHT, bad markers — matching png_decode/gif_decode's
+    error contract (r14 ADVICE: no IndexError/KeyError escapes, no
+    walking past the end)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = None
+    comps: list[tuple[int, int, int, int]] = []
+    sos: dict[int, tuple[int, int]] = {}
     while True:
         if pos + 2 > len(payload):
             raise ValueError("jpeg: truncated stream before SOS")
@@ -1547,16 +1548,21 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
                 qt[tq] = list(body[b + 1:b + 65])
                 b += 65
         elif marker == 0xC0:  # SOF0 baseline
-            if len(body) < 9:
+            if len(body) < 6:
                 raise ValueError("jpeg: truncated SOF0")
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or nc != 1:
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            if nc not in (1, 3):
                 raise ValueError(
-                    "jpeg: this decoder handles 8-bit grayscale baseline"
+                    "jpeg: this decoder handles 1 (grayscale) or 3 "
+                    "(YCbCr) components"
                 )
-            cid, samp, comp_q = body[6], body[7], body[8]
-            if samp != 0x11:
-                raise ValueError("jpeg: only 1x1 sampling")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("jpeg: truncated SOF0")
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: only baseline SOF0 supported")
@@ -1576,22 +1582,58 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
         elif marker == 0xDD:
             raise ValueError("jpeg: restart intervals not supported")
         elif marker == 0xDA:  # SOS
-            if len(body) < 6:
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
                 raise ValueError("jpeg: truncated SOS")
-            if body[0] != 1:
-                raise ValueError("jpeg: single-component scan only")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError(
+                    "jpeg: scan component count does not match SOF0 "
+                    "(non-interleaved multi-scan not supported)"
+                )
+            for c in range(ns):
+                cs, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                sos[cs] = (tabs >> 4, tabs & 0xF)
             pos += ln
             break
         pos += ln
-    if width is None or comp_q not in qt:
+    if width is None or not comps:
         raise ValueError("jpeg: missing SOF0/DQT before SOS")
-    if (0, comp_dc) not in huff or (1, comp_ac) not in huff:
-        raise ValueError("jpeg: missing DHT table referenced by SOS")
-    dc_tab = huff[(0, comp_dc)]
-    ac_tab = huff[(1, comp_ac)]
-    q = qt[comp_q]
-    r = _JpegBitReader(payload, pos)
+    for cid, _h, _v, tq in comps:
+        if tq not in qt:
+            raise ValueError("jpeg: missing SOF0/DQT before SOS")
+        if cid not in sos:
+            raise ValueError("jpeg: SOS missing component from SOF0")
+        td, ta = sos[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("jpeg: missing DHT table referenced by SOS")
+    return {
+        "width": width, "height": height, "comps": comps,
+        "qt": qt, "huff": huff, "sos": sos, "pos": pos,
+    }
+
+
+def _jpeg_decode_planes(payload: bytes, hdr: dict) -> dict:
+    """Interleaved baseline entropy decode (T.81 A.2.3 MCU order):
+    per MCU, each component contributes its h x v blocks left-to-
+    right, top-to-bottom; per-component DC prediction; dezigzag,
+    dequantize, exact IDCT, level shift, clamp. Returns
+    {cid: padded plane at the component's SAMPLED resolution}."""
+    width, height, comps = hdr["width"], hdr["height"], hdr["comps"]
+    qt, huff, sos = hdr["qt"], hdr["huff"], hdr["sos"]
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    if hmax < 1 or vmax < 1 or any(
+        h < 1 or v < 1 or hmax % h or vmax % v for _, h, v, _ in comps
+    ):
+        raise ValueError("jpeg: unsupported sampling factors")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: [[0] * (8 * h * mcux) for _ in range(8 * v * mcuy)]
+        for cid, h, v, _ in comps
+    }
+    prev_dc = {cid: 0 for cid, _, _, _ in comps}
+    r = _JpegBitReader(payload, hdr["pos"])
 
     def read_symbol(tab: dict) -> int:
         code, length = 0, 0
@@ -1603,41 +1645,247 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
                 return sym
         raise ValueError("jpeg: invalid Huffman code")
 
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    px = [[0] * (8 * bw) for _ in range(8 * bh)]
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = [0] * 64
-            s = read_symbol(dc_tab)
-            diff = _extend(r.receive(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = read_symbol(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("jpeg: AC run past block end")
-                s = sym & 0xF
-                zz[k] = _extend(r.receive(s), s)
-                k += 1
-            coef = [[0.0] * 8 for _ in range(8)]
-            for i, nat in enumerate(_ZIGZAG):
-                coef[nat // 8][nat % 8] = zz[i] * q[i]
-            out = _idct(coef)
-            for y in range(8):
-                row = px[8 * by + y]
-                for x in range(8):
-                    row[8 * bx + x] = min(
-                        255, max(0, int(round(out[y][x] + 128)))
-                    )
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, h, v, tq in comps:
+                dc_tab = huff[(0, sos[cid][0])]
+                ac_tab = huff[(1, sos[cid][1])]
+                q = qt[tq]
+                px = planes[cid]
+                for bv in range(v):
+                    for bu in range(h):
+                        zz = [0] * 64
+                        s = read_symbol(dc_tab)
+                        diff = _extend(r.receive(s), s) if s else 0
+                        prev_dc[cid] += diff
+                        zz[0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            sym = read_symbol(ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError(
+                                    "jpeg: AC run past block end"
+                                )
+                            s = sym & 0xF
+                            zz[k] = _extend(r.receive(s), s)
+                            k += 1
+                        coef = [[0.0] * 8 for _ in range(8)]
+                        for i, nat in enumerate(_ZIGZAG):
+                            coef[nat // 8][nat % 8] = zz[i] * q[i]
+                        out = _idct(coef)
+                        oy, ox = 8 * (v * my + bv), 8 * (h * mx + bu)
+                        for y in range(8):
+                            row = px[oy + y]
+                            for x in range(8):
+                                row[ox + x] = min(
+                                    255,
+                                    max(0, int(round(out[y][x] + 128))),
+                                )
+    return planes
+
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
+    """Baseline JPEG decoder (grayscale, single scan): full segment
+    parse — DQT/DHT tables are READ from the stream, not assumed —
+    then Huffman entropy decode (DC prediction, AC run/size, ZRL,
+    EOB), dezigzag, dequantize, exact IDCT, level shift, clamp, and
+    crop to the SOF0 dimensions. Raises ValueError on any malformed
+    structure — truncation, missing SOS/SOF0/DQT/DHT, bad markers —
+    matching png_decode/gif_decode's error contract (r14 ADVICE: no
+    IndexError/KeyError escapes, no walking past the end). Color
+    streams (3-component YCbCr) decode via jpeg_decode_color."""
+    hdr = _jpeg_parse_headers(payload)
+    if len(hdr["comps"]) != 1:
+        raise ValueError(
+            "jpeg: this decoder handles 8-bit grayscale baseline "
+            "(use jpeg_decode_color for YCbCr)"
+        )
+    if hdr["comps"][0][1:3] != (1, 1):
+        raise ValueError("jpeg: only 1x1 sampling")
+    width, height = hdr["width"], hdr["height"]
+    px = _jpeg_decode_planes(payload, hdr)[hdr["comps"][0][0]]
     return width, height, [row[:width] for row in px[:height]]
+
+
+def jpeg_decode_color(
+    payload: bytes,
+) -> tuple[int, int, "list[list[tuple[int, int, int]]]"]:
+    """Baseline YCbCr JPEG decoder (r14 verdict ask #6 — the one
+    format class real corpora hit that the grayscale decoder lacked):
+    3-component interleaved single scan, 4:4:4 (all 1x1) or 4:2:0
+    (Y 2x2, chroma 1x1) sampling, separate luma/chroma quant tables,
+    per-component DC prediction across the MCU stream. Chroma planes
+    decode at their sampled resolution and upsample by pixel
+    REPLICATION (nearest-neighbor — the deterministic choice every
+    spec-level decoder agrees on; JFIF leaves the filter open);
+    YCbCr -> RGB is the JFIF/BT.601 inverse with floor(x + 0.5)
+    rounding and [0, 255] clamp:
+
+        R = Y + 1.402 (Cr - 128)
+        G = Y - 0.344136 (Cb - 128) - 0.714136 (Cr - 128)
+        B = Y + 1.772 (Cb - 128)
+
+    evaluated in IEEE doubles, so a SQL engine replays the exact
+    bytes. Returns (width, height, rows of (r, g, b)). Error contract
+    identical to jpeg_decode."""
+    hdr = _jpeg_parse_headers(payload)
+    comps = hdr["comps"]
+    if len(comps) != 3:
+        raise ValueError(
+            "jpeg: jpeg_decode_color handles 3-component YCbCr "
+            "(use jpeg_decode for grayscale)"
+        )
+    samps = tuple((h, v) for _, h, v, _ in comps)
+    if samps not in (((1, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1))):
+        raise ValueError(
+            "jpeg: only 4:4:4 (1x1,1x1,1x1) or 4:2:0 (2x2,1x1,1x1) "
+            f"sampling supported, got {samps}"
+        )
+    width, height = hdr["width"], hdr["height"]
+    planes = _jpeg_decode_planes(payload, hdr)
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    (y_id, yh, yv, _), (cb_id, bh_, bv_, _), (cr_id, rh, rv, _) = comps
+    yp, cbp, crp = planes[y_id], planes[cb_id], planes[cr_id]
+    rows = []
+    for y in range(height):
+        row = []
+        yy = yp[y * yv // vmax]
+        cbr = cbp[y * bv_ // vmax]
+        crr = crp[y * rv // vmax]
+        for x in range(width):
+            lum = yy[x * yh // hmax]
+            cb = cbr[x * bh_ // hmax] - 128
+            cr = crr[x * rh // hmax] - 128
+            r = min(255, max(0, math.floor(lum + 1.402 * cr + 0.5)))
+            g = min(255, max(0, math.floor(
+                lum - 0.344136 * cb - 0.714136 * cr + 0.5
+            )))
+            b = min(255, max(0, math.floor(lum + 1.772 * cb + 0.5)))
+            row.append((r, g, b))
+        rows.append(row)
+    return width, height, rows
+
+
+def jpeg_encode_color(
+    width: int,
+    height: int,
+    y_rows: "list[list[int]]",
+    cb_rows: "list[list[int]]",
+    cr_rows: "list[list[int]]",
+    subsample: str = "420",
+) -> bytes:
+    """Baseline JFIF encoder, YCbCr: interleaved single scan with
+    4:2:0 (Y 2x2 + chroma 1x1 per 16x16 MCU) or 4:4:4 sampling, flat
+    quant tables (id 0 luma, id 1 chroma — exercises the multi-table
+    DQT parse), Annex K luminance Huffman tables shared by all
+    components (legal: SOS maps every component to table 0), byte
+    stuffing, per-component DC prediction. Planes may arrive already
+    padded to their MCU grid (edge blocks then encode the caller's
+    padding, the synth contract) or at exact sampled dims
+    (replicate-padded here). Chroma planes are at HALF resolution for
+    4:2:0 (ceil(w/2) x ceil(h/2)) and full for 4:4:4."""
+    if subsample == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+    elif subsample == "444":
+        factors = [(1, 1), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"subsample must be '420' or '444', got {subsample!r}")
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    def padded(rows, h, v):
+        tw, th = 8 * h * mcux, 8 * v * mcuy
+        return [
+            [
+                rows[min(y, len(rows) - 1)][min(x, len(rows[0]) - 1)]
+                for x in range(tw)
+            ]
+            for y in range(th)
+        ]
+
+    planes = [
+        padded(p, h, v)
+        for p, (h, v) in zip((y_rows, cb_rows, cr_rows), factors)
+    ]
+    dc_tab = _huff_encode_table(_DC_BITS, _DC_VALS)
+    ac_tab = _huff_encode_table(_AC_BITS, _AC_VALS)
+    w = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (h, v) in enumerate(factors):
+                px = planes[ci]
+                for bv in range(v):
+                    for bu in range(h):
+                        oy, ox = 8 * (v * my + bv), 8 * (h * mx + bu)
+                        g = [
+                            [px[oy + y][ox + x] - 128 for x in range(8)]
+                            for y in range(8)
+                        ]
+                        f = _fdct(g)
+                        coef = [
+                            int(round(f[zz // 8][zz % 8]))  # flat quant
+                            for zz in _ZIGZAG
+                        ]
+                        diff = coef[0] - prev_dc[ci]
+                        prev_dc[ci] = coef[0]
+                        s, bits = _category(diff)
+                        code, ln = dc_tab[s]
+                        w.write(code, ln)
+                        if s:
+                            w.write(bits, s)
+                        run = 0
+                        for k in range(1, 64):
+                            if coef[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                zc, zl = ac_tab[0xF0]  # ZRL
+                                w.write(zc, zl)
+                                run -= 16
+                            s, bits = _category(coef[k])
+                            code, ln = ac_tab[(run << 4) | s]
+                            w.write(code, ln)
+                            w.write(bits, s)
+                            run = 0
+                        if run:
+                            ec, el = ac_tab[0x00]  # EOB
+                            w.write(ec, el)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # one DQT segment, TWO tables (luma id 0, chroma id 1), both flat
+    out += seg(
+        0xFFDB,
+        bytes([0x00]) + bytes([1] * 64) + bytes([0x01]) + bytes([1] * 64),
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for ci, (h, v) in enumerate(factors):
+        sof += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sosb = bytes([3])
+    for ci in range(3):
+        sosb += bytes([ci + 1, 0x00])
+    sosb += bytes([0, 63, 0])
+    out += seg(0xFFDA, sosb)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 def synth_jpeg_pixels(media_id: int) -> tuple[int, int, "list[list[int]]"]:
@@ -1716,3 +1964,119 @@ def jpeg_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=JPEG_FEATURE_SCHEMA)
+
+
+def synth_jpeg_color_pixels(
+    media_id: int,
+) -> tuple[int, int, "list[list[int]]", "list[list[int]]", "list[list[int]]"]:
+    """Deterministic SPECTRAL YCbCr planes for media_id (the color
+    sibling of synth_jpeg_pixels): every 8x8 block of every plane is
+    base + amp*s(x)*s(y) — exactly two integer DCT coefficients — so
+    the 4:2:0 lossy pipeline round-trips each plane bit-exactly and
+    the DuckDB oracle recomputes the decoded pixels in closed form.
+    The luma plane is full-resolution (16x16-MCU block coords); the
+    chroma planes are HALF resolution (one 8x8 block per MCU, block
+    coords = MCU coords). Dimensions are NOT 16-multiples for most
+    ids (w = 16*mw - id%7, h = 16*mh - id%5), so edge-MCU cropping is
+    exercised; ids with id%3 == 0 get two MCU rows (vertical MCU
+    stacking exercised). Returned grids are the full padded MCU grid
+    with the true (w, h)."""
+    mw = 1 + media_id % 2
+    mh = 1 + (1 if media_id % 3 == 0 else 0)
+    w, h = 16 * mw - media_id % 7, 16 * mh - media_id % 5
+    sgn = [1, -1, -1, 1]
+    y_rows = []
+    for y in range(16 * mh):
+        by, sy = y // 8, sgn[y % 8 % 4]
+        row = []
+        for x in range(16 * mw):
+            bx, sx = x // 8, sgn[x % 8 % 4]
+            base = 48 + (media_id + 5 * bx + 9 * by) % 128
+            amp = (media_id + 3 * bx + 7 * by) % 32 - 16
+            row.append(base + amp * sx * sy)
+        y_rows.append(row)
+    cb_rows, cr_rows = [], []
+    for cy in range(8 * mh):
+        by, sy = cy // 8, sgn[cy % 8 % 4]
+        brow, rrow = [], []
+        for cx in range(8 * mw):
+            bx, sx = cx // 8, sgn[cx % 8 % 4]
+            cb_base = 96 + (media_id + 7 * bx + 3 * by) % 64
+            cb_amp = (media_id + 5 * bx + by) % 16 - 8
+            cr_base = 80 + (2 * media_id + 3 * bx + 5 * by) % 96
+            cr_amp = (media_id + bx + 7 * by) % 16 - 8
+            brow.append(cb_base + cb_amp * sx * sy)
+            rrow.append(cr_base + cr_amp * sx * sy)
+        cb_rows.append(brow)
+        cr_rows.append(rrow)
+    return w, h, y_rows, cb_rows, cr_rows
+
+
+def synth_jpeg_color_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Generate a genuine 4:2:0 YCbCr baseline-JFIF payload per row
+    (jpeg_encode_color over synth_jpeg_color_pixels) through the
+    standard media schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            payloads = []
+            for i in ids:
+                w, h, yr, cb, cr = synth_jpeg_color_pixels(i)
+                payloads.append(jpeg_encode_color(w, h, yr, cb, cr, "420"))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image"] * len(ids),
+                "payload": payloads,
+                "meta_json": ['{"format": "jpeg", "color": "ycbcr420"}']
+                * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+JPEG_COLOR_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("r00", IntegerType()),          # top-left: row-order bugs
+    StructField("g00", IntegerType()),
+    StructField("b00", IntegerType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+])
+
+
+def jpeg_color_features(df: DataFrame) -> DataFrame:
+    """Real-decode feature extraction over color JPEG payloads: full
+    baseline YCbCr parse (jpeg_decode_color — interleaved 4:2:0 MCUs,
+    per-component DC prediction, chroma replication upsample, BT.601
+    inverse with floor(x+0.5)) then top-left RGB + 6dp half-up channel
+    means, through the same Arrow mapInPandas flow as the other real-
+    format decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "r00", "g00", "b00",
+                "mean_r", "mean_g", "mean_b",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rows = jpeg_decode_color(payload)
+                sr = sum(p[0] for row in rows for p in row)
+                sg = sum(p[1] for row in rows for p in row)
+                sb = sum(p[2] for row in rows for p in row)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["r00"].append(rows[0][0][0])
+                out["g00"].append(rows[0][0][1])
+                out["b00"].append(rows[0][0][2])
+                n = w * h
+                out["mean_r"].append(math.floor(sr / n * 1e6 + 0.5) / 1e6)
+                out["mean_g"].append(math.floor(sg / n * 1e6 + 0.5) / 1e6)
+                out["mean_b"].append(math.floor(sb / n * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=JPEG_COLOR_FEATURE_SCHEMA)

@@ -267,3 +267,39 @@ def test_hard_negatives_ann_matches_exact_where_found(spark):
     assert len(hits) / len(e) > 0.2  # >> the 2^-6-per-table random baseline
     for pair in hits:
         assert abs(e[pair] - a[pair]) < 1e-12
+
+
+def test_minhash_hot_band_cap(spark):
+    """max_band_df (r14 verdict ask #5): band buckets with more than
+    max_band_df members are dropped before the self-join. A 5-doc
+    identical boilerplate cluster (every shared band df=5) is pruned
+    at cap 4 while a rare near-dup pair (band df=2) survives; a cap
+    above the max df reproduces the uncapped set exactly."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rare_a = "completely different rare content about alpine glaciers melting fast"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 6)]
+        + [(10, rare_a), (11, rare_a + " now")],
+        "doc_id long, text string",
+    )
+    uncapped = pairs(
+        dedup.dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.8)
+    )
+    boiler_pairs = {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+    assert boiler_pairs <= uncapped
+    assert (10, 11) in uncapped
+
+    capped = pairs(
+        dedup.dedup_minhash_lsh(
+            docs, "text", "doc_id", threshold=0.8, max_band_df=4
+        )
+    )
+    assert capped & boiler_pairs == set()
+    assert (10, 11) in capped
+
+    loose = pairs(
+        dedup.dedup_minhash_lsh(
+            docs, "text", "doc_id", threshold=0.8, max_band_df=100
+        )
+    )
+    assert loose == uncapped

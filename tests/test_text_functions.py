@@ -746,3 +746,155 @@ def test_gif_anim_roundtrip_and_frame_sampler(spark):
             assert out[(mid, f)] == want, (mid, f)
         # frames beyond the sample stride are absent
         assert (mid, 1) not in out
+
+
+def test_jpeg_color_roundtrip_bit_exact():
+    """4:2:0 YCbCr baseline JPEG (r14 verdict ask #6): interleaved
+    MCUs (4 Y + Cb + Cr), per-component DC prediction, separate
+    luma/chroma quant tables, chroma replication upsample, BT.601
+    inverse — bit-exact on the spectral synth planes, including
+    non-16-multiple dims (edge-MCU crop) and two-MCU-row ids
+    (vertical stacking)."""
+    import math
+
+    from kafka_streams_app_spark.operators.multimodal import (
+        jpeg_decode_color,
+        jpeg_encode_color,
+        synth_jpeg_color_pixels,
+    )
+
+    crop_seen = stack_seen = False
+    for mid in range(20):
+        w, h, yr, cb, cr = synth_jpeg_color_pixels(mid)
+        dw, dh, rows = jpeg_decode_color(
+            jpeg_encode_color(w, h, yr, cb, cr, "420")
+        )
+        assert (dw, dh) == (w, h)
+        crop_seen = crop_seen or (w % 16 != 0)
+        stack_seen = stack_seen or (h > 16)
+        for y in range(h):
+            for x in range(w):
+                lum = yr[y][x]
+                cbv = cb[y // 2][x // 2] - 128
+                crv = cr[y // 2][x // 2] - 128
+                want = (
+                    min(255, max(0, math.floor(lum + 1.402 * crv + 0.5))),
+                    min(255, max(0, math.floor(
+                        lum - 0.344136 * cbv - 0.714136 * crv + 0.5))),
+                    min(255, max(0, math.floor(lum + 1.772 * cbv + 0.5))),
+                )
+                assert rows[y][x] == want, (mid, x, y)
+    assert crop_seen and stack_seen
+
+
+def test_jpeg_color_444_matches_replicated_420():
+    """4:4:4 sampling (all 1x1) decodes through the same MCU walk; a
+    444 encode of the replication-upsampled chroma reproduces the 420
+    pixels exactly."""
+    from kafka_streams_app_spark.operators.multimodal import (
+        jpeg_decode_color,
+        jpeg_encode_color,
+        synth_jpeg_color_pixels,
+    )
+
+    w, h, yr, cb, cr = synth_jpeg_color_pixels(4)
+    fw, fh = len(yr[0]), len(yr)
+    cbf = [[cb[y // 2][x // 2] for x in range(fw)] for y in range(fh)]
+    crf = [[cr[y // 2][x // 2] for x in range(fw)] for y in range(fh)]
+    _, _, r444 = jpeg_decode_color(
+        jpeg_encode_color(w, h, yr, cbf, crf, "444")
+    )
+    _, _, r420 = jpeg_decode_color(
+        jpeg_encode_color(w, h, yr, cb, cr, "420")
+    )
+    assert r444 == r420
+
+
+def test_jpeg_color_rejects_malformed():
+    """Color-path error contract: wrong component count per decoder,
+    unsupported sampling, and a 2-component SOF0 all raise
+    ValueError."""
+    import pytest
+
+    from kafka_streams_app_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_decode_color,
+        jpeg_encode_color,
+        jpeg_encode_gray,
+        synth_jpeg_color_pixels,
+        synth_jpeg_pixels,
+    )
+
+    w, h, yr, cb, cr = synth_jpeg_color_pixels(1)
+    color = jpeg_encode_color(w, h, yr, cb, cr, "420")
+    gray = jpeg_encode_gray(*synth_jpeg_pixels(1))
+    with pytest.raises(ValueError, match="grayscale"):
+        jpeg_decode(color)
+    with pytest.raises(ValueError, match="3-component"):
+        jpeg_decode_color(gray)
+    # patch Y sampling 2x2 -> 2x1 (4:2:2): parse ok, decode refuses
+    sof = color.find(b"\xff\xc0")
+    y_samp = sof + 4 + 6 + 1  # marker+len+prec/h/w/nc + cid
+    assert color[y_samp] == 0x22
+    with pytest.raises(ValueError, match="sampling"):
+        jpeg_decode_color(
+            color[:y_samp] + b"\x21" + color[y_samp + 1:]
+        )
+    # 2-component SOF0: neither decoder's format
+    with pytest.raises(ValueError, match="components"):
+        nc_at = sof + 4 + 5
+        assert color[nc_at] == 3
+        jpeg_decode_color(
+            color[:nc_at] + b"\x02" + color[nc_at + 1:sof + 4 + 6 + 6]
+            + color[sof + 4 + 6 + 9:]
+        )
+
+
+def test_jpeg_color_features_spark_matches_oracle_formula(spark):
+    """jpeg_color_features through the Arrow mapInPandas flow equals
+    the closed-form YCbCr->RGB recomputation (the DuckDB oracle's
+    formula) on a documents slice."""
+    import math
+
+    from kafka_streams_app_spark.operators import multimodal
+    from kafka_streams_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    media = multimodal.synth_jpeg_color_media(docs, "doc_id")
+    got = {
+        r["media_id"]: tuple(r)[1:]
+        for r in multimodal.jpeg_color_features(media).collect()
+    }
+    assert len(got) == 40
+    sgn = [1, -1, -1, 1]
+    for mid, (w, h, r00, g00, b00, mr, mg, mb) in got.items():
+        ew = 16 * (1 + mid % 2) - mid % 7
+        eh = 16 * (2 if mid % 3 == 0 else 1) - mid % 5
+        assert (w, h) == (ew, eh)
+        sr = sg = sb = 0
+        for y in range(eh):
+            for x in range(ew):
+                yv = (48 + (mid + 5 * (x // 8) + 9 * (y // 8)) % 128
+                      + ((mid + 3 * (x // 8) + 7 * (y // 8)) % 32 - 16)
+                      * sgn[x % 8 % 4] * sgn[y % 8 % 4])
+                cbv = (96 + (mid + 7 * (x // 16) + 3 * (y // 16)) % 64
+                       + ((mid + 5 * (x // 16) + (y // 16)) % 16 - 8)
+                       * sgn[(x // 2) % 8 % 4] * sgn[(y // 2) % 8 % 4]
+                       - 128)
+                crv = (80 + (2 * mid + 3 * (x // 16) + 5 * (y // 16)) % 96
+                       + ((mid + (x // 16) + 7 * (y // 16)) % 16 - 8)
+                       * sgn[(x // 2) % 8 % 4] * sgn[(y // 2) % 8 % 4]
+                       - 128)
+                r = min(255, max(0, math.floor(yv + 1.402 * crv + 0.5)))
+                g = min(255, max(0, math.floor(
+                    yv - 0.344136 * cbv - 0.714136 * crv + 0.5)))
+                b = min(255, max(0, math.floor(yv + 1.772 * cbv + 0.5)))
+                if x == 0 and y == 0:
+                    assert (r00, g00, b00) == (r, g, b), mid
+                sr += r
+                sg += g
+                sb += b
+        n = ew * eh
+        assert mr == math.floor(sr / n * 1e6 + 0.5) / 1e6
+        assert mg == math.floor(sg / n * 1e6 + 0.5) / 1e6
+        assert mb == math.floor(sb / n * 1e6 + 0.5) / 1e6

@@ -268,6 +268,94 @@ def headline10_main() -> None:
     print(json.dumps({"flagged_superlinear": flagged}), flush=True)
 
 
+def minhashpairs_main() -> None:
+    """r14 verdict ask #5: dedup_minhash_lsh was the worst sf1 scaler
+    (2.28x wall per 10x), so MEASURE the band-join's actual cost
+    driver — candidate-pair count sum_buckets C(df, 2) — across three
+    growth regimes:
+
+    - base: sf0.1 documents as-is
+    - x10_tagged: the standard disjoint-replica build (tokens tagged
+      per replica, so band buckets are replica-disjoint) — content-
+      disjoint growth; pairs should scale ~LINEARLY (buckets x10, df
+      flat)
+    - x10_dupheavy: 10 replicas where doc_id % 10 == 0 keeps its text
+      VERBATIM (a 10%-boilerplate corpus: those docs' buckets fan out
+      to ~10x df) — duplication-heavy growth, the regime where
+      C(df, 2) goes QUADRATIC; measured uncapped and under
+      max_band_df=16 (the default-off hot-band cap dial: above the
+      base corpus's organic max df 14, below the duplication fan-out)
+
+    One JSON line per (corpus, cap) with docs, occupied buckets,
+    max/mean df, and the pair sum. SCALE.md 'MinHash band fan-out'
+    carries the numbers + the 100x derivation."""
+    from kafka_streams_app_spark.operators.dedup import _shingle_sig_udf
+
+    spark = get_spark(app_name="scale-smoke-minhashpairs")
+    spark.sparkContext.setLogLevel("ERROR")
+    ss = _shingle_sig_udf(3)
+
+    def band_stats(label: str, docs, cap: int | None = None) -> None:
+        n_docs = docs.count()
+        dfs = (
+            docs.select(ss(F.col("text")).alias("_ss"))
+            .filter(F.size("_ss.sh") > 0)
+            .select(F.explode("_ss.bh").alias("bh"))
+            .groupBy("bh")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        if cap is not None:
+            dfs = dfs.filter(F.col("df") <= cap)
+        row = dfs.agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.max("df").alias("max_df"),
+            F.avg("df").alias("mean_df"),
+            F.sum(
+                (F.col("df").cast("long") * (F.col("df") - 1) / 2)
+            ).cast("long").alias("cand_pairs"),
+        ).collect()[0]
+        print(json.dumps({
+            "corpus": label, "cap": cap, "docs": n_docs,
+            "buckets": row["buckets"], "max_df": row["max_df"],
+            "mean_df": round(row["mean_df"], 3),
+            "cand_pairs": row["cand_pairs"],
+        }), flush=True)
+
+    base = load_table(spark, BASE, "documents")
+    band_stats("base_sf0.1", base)
+
+    out = SCRATCH / "x10"
+    big_dir = (
+        str(out) if (out / "documents.parquet").exists()
+        else build(spark, 10)
+    )
+    band_stats("x10_tagged", load_table(spark, big_dir, "documents"))
+
+    # duplication-heavy x10: replica i tags tokens EXCEPT for
+    # doc_id % 10 == 0, whose text stays verbatim across all replicas
+    toks = F.filter(F.split(F.col("text"), r"\W+"), lambda t: t != "")
+    reps = []
+    for i in range(10):
+        tag = F.lit(f"r{i}")
+        reps.append(base.select(
+            (F.col("doc_id") + F.lit(i * ID_SHIFT)).alias("doc_id"),
+            F.when(F.col("doc_id") % 10 == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(toks, lambda t: F.concat(tag, t)), " "
+                )
+            ).alias("text"),
+        ))
+    dup = _union_all(reps).persist()
+    band_stats("x10_dupheavy", dup)
+    # cap ABOVE the x10 duplication fan-out (df ~10): barely bites —
+    # shows the dial must sit BELOW the boilerplate df to matter
+    band_stats("x10_dupheavy", dup, cap=16)
+    # cap BELOW the fan-out: kills the quadratic term (trading recall
+    # in the df 9-14 organic tail it also prunes — corpus-dependent)
+    band_stats("x10_dupheavy", dup, cap=8)
+    dup.unpersist()
+
+
 def _chunk_explode_first(df, max_tokens=64, overlap=8):
     """The REJECTED pre-r9 chunk_documents plan, kept here as the
     measured baseline: explode chunk ids first, slice the full token
@@ -1382,6 +1470,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "headline10":
         headline10_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "minhashpairs":
+        minhashpairs_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names
