@@ -6378,60 +6378,51 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     """),
 }
 
-# --- driver-sample ordering (r14 rotation) ---
+# --- driver-sample ordering (r15 rotation) ---
 # The driver samples the FIRST 50 registry entries each round
 # (tests/test_registry_order.py pins the never-green-inside-window
-# invariant). r14 rotation, per the r13 verdict's #1 ask ("close the
-# driver-signature tail"):
-# 1. NEW r14 entries, never driver-sampled (lint-required inside):
-#    s_pq_assign (streaming ANN ingest) and multimodal_jpeg_decode
-#    (the baseline-JPEG decoder).
-# 2. Code changed in r14, so the driver re-signs current code:
-#    s_time_rolling / s_time_rolling_late (dead-letter lateness mode
-#    + legacy-state detection in streaming/rolling.py) and the winnow
-#    stream trio (auto layout default + step-crossing hot-bucket warn
-#    in streaming/dedup_candidates.py; s_winnow_candidates now signs
-#    the AUTO layout, s_winnow_candidates_blob the fixed blob).
-# 3. ALL 31 remaining r9-signed entries — this CLOSES the r9 tail:
-#    every registry entry is then driver-signed in r12-r14.
-# 4. Fill to exactly 50 with 7 of the now-oldest (r11-signed)
-#    entries: the flagship t1, q3 (completing the IQ family's
-#    refresh), the rolling/zscore TWS twins, the minhash dedup
-#    heavies, and the end-to-end pipeline composite. The 39
-#    remaining r11-signed entries rotate in r15.
+# invariant). r15 rotation, per the r14 verdict's #1 ask ("close the
+# r11 signature tail"):
+# 1. NEW r15 entries, never driver-sampled: s_ivfpq_search (streaming
+#    ANN search at ingest) and multimodal_jpeg_color_decode (4:2:0
+#    YCbCr baseline JPEG).
+# 2. Code changed in r15, so the driver re-signs current code:
+#    multimodal_jpeg_decode (the gray decoder now rides the shared
+#    parser + general MCU walk), s_winnow_candidates (auto layout's
+#    lazy blob parse), s_time_rolling_late (dead-letter WARNING), and
+#    dedup_minhash_lsh (max_band_df dial plumbing; default-off, the
+#    oracle path is untouched).
+# 3. ALL 39 remaining r11-signed entries — this CLOSES the r11 tail:
+#    every registry entry is then driver-signed in r12-r15, and from
+#    here the rotation is steady-state (oldest-first, <= 4 rounds).
+# 4. Fill to exactly 50 with the 5 oldest r12-signed entries
+#    (alphabetical head of the r12 cohort). The 37 remaining
+#    r12-signed entries rotate in r16.
 _FRONT = [
-    # (1) new in r14, never sampled (each new entry displaced one r11
-    # fill — mix_sources, sim_hard_negatives, dedup_cross_corpus,
-    # cluster_kmeans, sim_ivf_topk — to the r15 rotation to hold 50)
-    "s_pq_assign", "s_ivfpq_assign", "multimodal_jpeg_decode",
-    "multimodal_png_pal_decode", "multimodal_wav_autocorr",
-    "s_multimodal_decode", "multimodal_video_frames",
-    # (2) code changed in r14 (sim_pq/ivfpq_topk also changed — the
-    # model-factoring refactor — but both are r13-driver-signed and
-    # re-gated locally on the refactored code, so they wait for r15)
-    "s_time_rolling", "s_time_rolling_late",
-    "s_winnow_candidates", "s_winnow_candidates_blob", "s_decontam_winnow",
-    # (3) the r9-signed 31 (closing the tail)
-    "corpus_chunk", "corpus_ngram_topk", "decontam_overlap",
-    "dedup_embedding_cosine", "dedup_embedding_lsh",
-    "dedup_embedding_lsh_auto", "dedup_exact", "dedup_ngram_jaccard",
-    "pipeline_shuffle_det",
-    "q1_point_lookup", "q2_full_scan", "q4_window_fetch",
-    "q5_window_fetch_all", "q6_key_routing",
-    "s_count_complete", "s_dedup_within_watermark",
-    "s_hopping_count_closed", "s_interval_join_left",
-    "s_session_count", "s_session_count_grace",
-    "s_stream_stream_join", "s_stream_table_join",
-    "s_windowed_count_closed", "s_windowed_count_grace",
-    "s_windowed_join_ktime", "s_windowed_join_ktime_multibucket",
-    "s_windowed_sum_closed",
-    "sim_cosine_topk", "sim_lsh_ann_topk",
-    "t2_mapvalues_square", "text_lm_likelihood",
-    # (4) r11-signed fills (see the displacement note in group 1)
-    "t1_wordcount", "q3_range_scan",
-    "s_rolling_avg", "s_zscore_running",
-    "dedup_minhash_lsh", "dedup_minhash_lsh_cross",
-    "pipeline_end_to_end",
+    # (1) new in r15, never sampled
+    "s_ivfpq_search", "multimodal_jpeg_color_decode",
+    # (2) code changed in r15
+    "multimodal_jpeg_decode", "s_winnow_candidates",
+    "s_time_rolling_late", "dedup_minhash_lsh",
+    # (3) the r11-signed 39 (closing the tail)
+    "a5_windowed_distinct", "a6_windowed_topn", "a7_session_assembly",
+    "a8_funnel", "cluster_kmeans", "decontam_exact_ac",
+    "dedup_clusters", "dedup_containment", "dedup_cross_corpus",
+    "dedup_simhash", "embedding_dim_stats", "events_quantiles",
+    "events_rolling_avg", "events_zscore", "extras_anti_join",
+    "extras_cube", "extras_rollup", "extras_salted_join",
+    "extras_semi_join", "extras_topn_per_group", "j_outer_windowed",
+    "mix_sources", "s_interval_join_outer", "s_session_assembly",
+    "s_windowed_distinct_closed", "sample_fixed_k",
+    "sim_hard_negatives", "sim_ivf_topk", "text_language_id",
+    "text_stats", "tpch_q11_important_parts", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue", "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    # (4) oldest r12-signed fills
+    "a9_cohort_retention", "corpus_line_dedup", "corpus_line_scrub",
+    "corpus_profile", "corpus_scrub_dup_spans",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]
