@@ -594,3 +594,34 @@ def test_ivfpq_search_equals_topk_batch_and_stream(spark, sf_dir):
         r.pipe(qrows[2:])
         stream = sorted(tuple(x) for x in r.drain())
     assert stream == want
+
+
+def test_ivfpq_search_edge_cases(spark, sf_dir):
+    """Hardening: an empty micro-batch yields no rows (not a crash);
+    a query whose probed lists are empty emits nothing for that
+    query; k larger than the candidate pool emits the full ranked
+    pool."""
+    from kafka_streams_app_spark.operators.similarity import (
+        ivfpq_search,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    schema = "vec_id long, embedding array<double>"
+    # empty query set through the same plan
+    empty = spark.createDataFrame([], schema)
+    assert ivfpq_search(empty, emb, "vec_id", "embedding",
+                        dim=64, k=5).count() == 0
+    # k beyond the probed candidate pool: matches the batch twin
+    queries = emb.filter("vec_id % 500 = 0")
+    got = sorted(
+        tuple(r) for r in ivfpq_search(
+            queries, emb, "vec_id", "embedding", dim=64, k=10 ** 6,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ivfpq_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=10 ** 6,
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -898,3 +898,46 @@ def test_jpeg_color_features_spark_matches_oracle_formula(spark):
         assert mr == math.floor(sr / n * 1e6 + 0.5) / 1e6
         assert mg == math.floor(sg / n * 1e6 + 0.5) / 1e6
         assert mb == math.floor(sb / n * 1e6 + 0.5) / 1e6
+
+
+def test_jpeg_color_general_pixels_within_quant_error():
+    """Arbitrary (non-spectral) YCbCr planes: the 4:2:0 codec is
+    genuinely lossy, but with flat quant tables every coefficient
+    error is <= 0.5 per plane, so each decoded channel stays within a
+    small bound of the closed-form conversion of the ORIGINAL planes —
+    and the entropy stream exercises dense AC runs across all three
+    components' interleaved blocks."""
+    import math
+
+    from kafka_streams_app_spark.operators.multimodal import (
+        jpeg_decode_color,
+        jpeg_encode_color,
+    )
+
+    w = h = 32
+    yr = [[(31 * x + 57 * y + x * y) % 200 + 28 for x in range(w)]
+          for y in range(h)]
+    cb = [[(13 * x + 7 * y) % 100 + 78 for x in range(w // 2)]
+          for y in range(h // 2)]
+    cr = [[(11 * x + 23 * y) % 120 + 68 for x in range(w // 2)]
+          for y in range(h // 2)]
+    dw, dh, rows = jpeg_decode_color(jpeg_encode_color(w, h, yr, cb, cr))
+    assert (dw, dh) == (w, h)
+    worst = 0
+    for y in range(h):
+        for x in range(w):
+            lum = yr[y][x]
+            cbv = cb[y // 2][x // 2] - 128
+            crv = cr[y // 2][x // 2] - 128
+            want = (
+                min(255, max(0, math.floor(lum + 1.402 * crv + 0.5))),
+                min(255, max(0, math.floor(
+                    lum - 0.344136 * cbv - 0.714136 * crv + 0.5))),
+                min(255, max(0, math.floor(lum + 1.772 * cbv + 0.5))),
+            )
+            worst = max(worst, max(
+                abs(a - b) for a, b in zip(rows[y][x], want)
+            ))
+    # plane error <= ~4 (gray's measured bound) propagates through the
+    # conversion with coefficients summing < 2.2 -> channel bound ~12
+    assert worst <= 12, worst

@@ -29,6 +29,7 @@ tool exists to catch.
 from __future__ import annotations
 
 import json
+import tempfile
 import shutil
 import sys
 import time
@@ -354,6 +355,79 @@ def minhashpairs_main() -> None:
     # in the df 9-14 organic tail it also prunes — corpus-dependent)
     band_stats("x10_dupheavy", dup, cap=8)
     dup.unpersist()
+
+
+def ivfpqsearch_main() -> None:
+    """r15: scale profile of the at-ingest ANN searcher
+    (similarity.ivfpq_search) vs its batch twin (ivfpq_topk) at sf0.1
+    and the x10 corpus. Reports, per scale:
+
+    - freeze_s: one-time index freeze (distributed corpus encode +
+      compressed-code collect + posting-list build) — paid once per
+      query PLAN, amortized over the stream's lifetime
+    - stream_s / stream_qps: the steady-state per-batch cost — a
+      SECOND AvailableNow run against the already-frozen plan (one
+      stateless Arrow pass per batch: coarse probe + LUT scan of the
+      resident lists)
+    - batch_s: ivfpq_topk end-to-end on the same query set (index
+      re-built inside, the distributed equi-join path)
+
+    Expectation at 10x corpus: freeze grows ~linearly (encode+collect
+    O(n)); per-query search grows ~linearly in probed-list length
+    (lists are 10x longer at fixed codebook mods the coarse codebook
+    also grows ~x10 under mod 17, so list OCCUPANCY stays ~flat and
+    qps should hold near-constant — the IVF design point)."""
+    from kafka_streams_app_spark.operators import similarity
+    from kafka_streams_app_spark.sources.catalog import load_stream, load_table
+
+    spark = get_spark(app_name="scale-smoke-ivfpqsearch")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = SCRATCH / "x10"
+    big_dir = (
+        str(out) if (out / "embeddings.parquet").exists()
+        else build(spark, 10)
+    )
+    for label, d in (("base_sf0.1", BASE), ("x10", big_dir)):
+        corpus = load_table(spark, d, "embeddings")
+        n = corpus.count()
+        t0 = time.time()
+        plan = similarity.ivfpq_search(
+            load_stream(spark, d, "embeddings").filter(
+                F.col("vec_id") % 100 == 0
+            ),
+            corpus, "vec_id", "embedding", dim=64, k=5,
+        )
+        freeze_s = round(time.time() - t0, 3)
+
+        def run_stream():
+            t = time.time()
+            q = (
+                plan.writeStream.format("noop")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="ivfpqsearch_ckpt_"),
+                )
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return round(time.time() - t, 3)
+
+        stream_s = min(run_stream(), run_stream())  # warm best-of-2
+        nq = n // 100 + (1 if n % 100 else 0)
+        queries_df = corpus.filter(F.col("vec_id") % 100 == 0)
+        t0 = time.time()
+        similarity.ivfpq_topk(
+            corpus, queries_df, "vec_id", "embedding", dim=64, k=5,
+        ).write.format("noop").mode("overwrite").save()
+        batch_s = round(time.time() - t0, 3)
+        print(json.dumps({
+            "corpus": label, "vectors": n, "queries": nq,
+            "freeze_s": freeze_s, "stream_s": stream_s,
+            "stream_qps": round(nq / stream_s, 1),
+            "batch_topk_s": batch_s,
+        }), flush=True)
 
 
 def _chunk_explode_first(df, max_tokens=64, overlap=8):
@@ -1473,6 +1547,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "minhashpairs":
         minhashpairs_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivfpqsearch":
+        ivfpqsearch_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names
