@@ -2514,6 +2514,27 @@ def _q_s_ivfpq_search(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(spark, out, _sink(), "append")
 
 
+def _q_s_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup dedup AT INGEST (r15) — the embedding-space
+    face of the at-ingest dedup family
+    (operators/dedup.py:embedding_dedup_candidates_stream): each
+    arriving vector probes a frozen ids-only sign-LSH index of the
+    static corpus (classic LSH table, O(n x n_tables) longs in the
+    Arrow closure), candidates collapse per query in Python
+    (exactly-once: emitted when the larger pair member arrives), and
+    the exact-cosine verify runs JVM-side through the SAME
+    dot/norm/round expressions as the batch operator via a broadcast
+    join to the static vectors — so the union over micro-batches is
+    bit-identical to batch dedup_embedding_cosine(method='lsh',
+    plane_fn='md5'), whose oracle this entry shares verbatim."""
+    emb_static = load_table(spark, sf, "embeddings")
+    stream = load_stream(spark, sf, "embeddings")
+    out = dedup.embedding_dedup_candidates_stream(
+        stream, emb_static, "vec_id", "embedding", dim=64, threshold=0.4,
+    )
+    return run_available_now(spark, out, _sink(), "append")
+
+
 def _q_s_profile_running(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming data-quality monitor
     (streaming/windows.py:profile_cell_stream): corpus_profile's
@@ -5630,6 +5651,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "s_pq_assign": (_q_s_pq_assign, _pq_assign_sql()),
     "s_ivfpq_assign": (_q_s_ivfpq_assign, _ivfpq_assign_sql()),
     "s_ivfpq_search": (_q_s_ivfpq_search, _ivfpq_topk_sql(k=5)),
+    "s_embedding_dedup": (_q_s_embedding_dedup, _dedup_emb_lsh_md5_sql()),
     # decontamination at ingest: stream-static broadcast fingerprint
     # join; update-mode emission == the batch join (one row per doc)
     "s_decontam_winnow": (_q_s_decontam_winnow, f"""
@@ -6400,7 +6422,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #    r12-signed entries rotate in r16.
 _FRONT = [
     # (1) new in r15, never sampled
-    "s_ivfpq_search", "multimodal_jpeg_color_decode",
+    "s_ivfpq_search", "multimodal_jpeg_color_decode", "s_embedding_dedup",
     # (2) code changed in r15
     "multimodal_jpeg_decode", "s_winnow_candidates",
     "s_time_rolling_late", "dedup_minhash_lsh",
@@ -6420,9 +6442,10 @@ _FRONT = [
     "tpch_q19_disjunctive_revenue", "tpch_q22_idle_customers",
     "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # (4) oldest r12-signed fills
+    # (4) oldest r12-signed fills (corpus_scrub_dup_spans displaced to
+    # r16 by the late-landing s_embedding_dedup, holding exactly 50)
     "a9_cohort_retention", "corpus_line_dedup", "corpus_line_scrub",
-    "corpus_profile", "corpus_scrub_dup_spans",
+    "corpus_profile",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -968,3 +968,132 @@ def dedup_minhash_lsh_cross(
     finally:
         a.unpersist()
         b.unpersist()
+
+
+def embedding_dedup_candidates_stream(
+    df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs AT INGEST (r15) — the embedding-space
+    face of the at-ingest dedup family (winnow_candidates_stream is
+    the text face; s_ivfpq_search the ANN-search face): each arriving
+    vector probes a FROZEN sign-LSH index of the static corpus and
+    its verified near-dup pairs land the moment it arrives, instead
+    of in a nightly batch self-join.
+
+    Emission contract (the winnow_candidates_stream pattern): a pair
+    (id_a < id_b) is emitted EXACTLY ONCE — when its LARGER member
+    arrives (candidates are restricted to static ids < the arriving
+    id, and cross-table duplicates collapse in the per-query set) —
+    so the union over any micro-batch split of the corpus equals the
+    batch dedup_embedding_cosine(method='lsh', plane_fn='md5') pair
+    set, which is the existing oracle, verbatim.
+
+    Plan: the frozen index is the CLASSIC LSH table — ids only,
+    O(n x n_tables) longs (built by one distributed bucket pass and
+    collected at index size; vectors do NOT ride the closure).
+    Per micro-batch: one stateless Arrow pass computes each arriving
+    vector's exact-int Rademacher buckets (bit-identical to
+    similarity._bucketed's md5 path) and emits its candidate ids with
+    the arriving vector attached; the exact-cosine VERIFY then runs
+    JVM-side — the same dot/(na*nb) fold and 6dp round as the batch
+    operator, via a broadcast join to the static vectors — so emitted
+    values are bit-identical to the batch path by construction, not
+    by re-implementation. No shuffle beyond the broadcast, no state.
+
+    At 100 TB: the ids-only index is ~n x n_tables x 8 B (64 GB per
+    1e9 vectors at 8 tables — the standard replicated-LSH serving
+    footprint); the static-vector attach is a broadcast here and
+    becomes a shuffle-hash join on id_a for corpora past broadcast
+    size; if even the id index outgrows RAM, verify through PQ codes
+    instead (the s_ivfpq_search path).
+    """
+    from kafka_streams_app_spark.functions.vectors import as_double, dot, norm
+    from kafka_streams_app_spark.operators.similarity import (
+        _bucketed,
+        rademacher_planes,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    planes = np.stack([
+        rademacher_planes(dim, n_planes, t) for t in range(n_tables)
+    ])
+    powers = 1 << np.arange(n_planes)
+
+    # freeze the ids-only LSH index: distributed bucket pass, collect
+    # bounded by index size (n x n_tables rows of 3 ints)
+    idx_rows = _bucketed(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).cast("long").alias("_id"),
+            as_double(F.col(vec_col)).alias("_v"),
+        ),
+        "_id", "_v", dim, n_planes, n_tables, 42, "md5",
+    ).select("_id", "_tbl", "_bkt").collect()
+    index: dict[tuple[int, int], list[int]] = {}
+    for r in idx_rows:
+        index.setdefault((r["_tbl"], r["_bkt"]), []).append(r["_id"])
+    index_np = {k: np.asarray(v, dtype=np.int64) for k, v in index.items()}
+
+    cand_schema = StructType([
+        StructField("id_a", LongType(), True),
+        StructField("id_b", LongType(), True),
+        StructField("_vb", ArrayType(DoubleType()), True),
+    ])
+
+    def probe(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids = [int(x) for x in pdf[id_col]]
+            qmat = np.stack([
+                np.asarray(v, dtype=np.float64) for v in pdf[vec_col]
+            ])
+            qq = np.floor(qmat * 1e6).astype(np.int64)
+            dots = np.einsum("tpd,nd->ntp", planes, qq)
+            bkts = ((dots >= 0) * powers).sum(axis=2).astype(np.int32)
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_v: list[list[float]] = []
+            for i, qid in enumerate(qids):
+                cand: set[int] = set()
+                for t in range(n_tables):
+                    hit = index_np.get((t, int(bkts[i, t])))
+                    if hit is not None:
+                        cand.update(int(x) for x in hit[hit < qid])
+                if cand:
+                    v = qmat[i].tolist()
+                    for a_ in sorted(cand):
+                        out_a.append(a_)
+                        out_b.append(qid)
+                        out_v.append(v)
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "_vb": out_v})
+
+    cand_df = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        as_double(F.col(vec_col)).alias(vec_col),
+    ).mapInPandas(probe, schema=cand_schema)
+
+    stat = corpus.select(
+        F.col(id_col).cast("long").alias("id_a"),
+        as_double(F.col(vec_col)).alias("_va"),
+    ).withColumn("_na", norm(F.col("_va")))
+    cos = dot(F.col("_va"), F.col("_vb")) / (
+        F.col("_na") * norm(F.col("_vb"))
+    )
+    return (
+        cand_df.join(F.broadcast(stat), "id_a")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

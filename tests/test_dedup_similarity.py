@@ -303,3 +303,45 @@ def test_minhash_hot_band_cap(spark):
         )
     )
     assert loose == uncapped
+
+
+def test_embedding_dedup_stream_equals_batch_lsh(spark):
+    """embedding_dedup_candidates_stream (r15): the at-ingest
+    embedding near-dup searcher emits EXACTLY the batch
+    dedup_embedding_cosine(method='lsh', plane_fn='md5') pair set —
+    values bit-identical (the verify runs through the same JVM
+    dot/norm/round expressions) — as a batch plan AND across an
+    arbitrary micro-batch split of the same corpus."""
+    from kafka_streams_app_spark.streaming.harness import MicroBatchReplay
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = sorted(
+        tuple(r) for r in dedup.dedup_embedding_cosine(
+            emb, "vec_id", "embedding", threshold=0.4, method="lsh",
+            dim=64, plane_fn="md5",
+        ).collect()
+    )
+    assert len(want) > 0
+    got = sorted(
+        tuple(r) for r in dedup.embedding_dedup_candidates_stream(
+            emb, emb, "vec_id", "embedding", dim=64, threshold=0.4,
+        ).collect()
+    )
+    assert got == want
+
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.collect()
+    ]
+    schema = "vec_id long, embedding array<double>"
+    with MicroBatchReplay(
+        spark, schema,
+        lambda src: dedup.embedding_dedup_candidates_stream(
+            src, emb, "vec_id", "embedding", dim=64, threshold=0.4,
+        ),
+        "append",
+    ) as r:
+        r.pipe(rows[: len(rows) // 2])
+        r.pipe(rows[len(rows) // 2:])
+        stream = sorted(tuple(x) for x in r.drain())
+    assert stream == want
