@@ -1012,7 +1012,14 @@ def embedding_dedup_candidates_stream(
     footprint); the static-vector attach is a broadcast here and
     becomes a shuffle-hash join on id_a for corpora past broadcast
     size; if even the id index outgrows RAM, verify through PQ codes
-    instead (the s_ivfpq_search path).
+    instead (the s_ivfpq_search path). Candidate rows carry a COPY of
+    the arriving vector (O(candidates x dim) through the verify join
+    — there is no second streaming side to re-attach it from);
+    per-arrival candidate count is bucket-occupancy bounded, and the
+    n_planes dial holds occupancy flat as the corpus grows (the same
+    linear-cost discipline as dedup_embedding_cosine's auto mode —
+    raise n_planes ~log2(n/target_occupancy) when deploying at
+    corpus scales beyond these defaults).
     """
     from kafka_streams_app_spark.functions.vectors import as_double, dot, norm
     from kafka_streams_app_spark.operators.similarity import (

@@ -337,3 +337,43 @@ def test_time_rolling_dead_letter_differential(tss, jitters, cuts, horizon):
     want, dead2 = run(filtered, "fail")
     assert dead2 == set()
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=8, max_size=8
+        ),
+        min_size=14,
+        max_size=30,
+        unique_by=tuple,
+    ),
+    nq=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_ivfpq_search_equals_topk_property(spark, data, nq):
+    """Random small corpora (dim 8, m=2, tight codebook mods so both
+    codebooks are non-empty at any size): the at-ingest searcher's
+    frozen-index scan must emit BIT-EQUAL rows to batch ivfpq_topk
+    for the same query ids — exact int64 ADC and identical
+    (adc, neighbor_id) tie order under heavy collisions (small value
+    range makes ADC ties common)."""
+    from kafka_streams_app_spark.operators.similarity import (
+        ivfpq_search,
+        ivfpq_topk,
+    )
+
+    rows = [(i, [float(x) / 7 for x in v]) for i, v in enumerate(data)]
+    schema = "vec_id long, embedding array<double>"
+    emb = spark.createDataFrame(rows, schema)
+    queries = emb.filter(F.col("vec_id") % max(2, len(rows) // nq) == 0)
+    kw = dict(dim=8, k=3, m=2, coarse_mod=(5, 1), pq_mod=(3, 0), nprobe=2)
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_topk(emb, queries, "vec_id", "embedding", **kw).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_search(queries, emb, "vec_id", "embedding", **kw).collect()
+    )
+    assert got == want

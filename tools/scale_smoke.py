@@ -430,6 +430,67 @@ def ivfpqsearch_main() -> None:
         }), flush=True)
 
 
+def embdedup_main() -> None:
+    """r15: scale profile of embedding near-dup AT INGEST
+    (dedup.embedding_dedup_candidates_stream). The op's cost driver is
+    candidate count = bucket occupancy x arrivals, and n_planes is the
+    occupancy dial (2^p buckets per table): at FIXED p the x10 corpus
+    multiplies occupancy x10 and candidates x100 (the quadratic
+    regime dedup_embedding_cosine's auto mode exists to avoid); at
+    p + log2(10) ~ p+3 occupancy is back to base and cost is ~linear.
+    Measured: base (p=6) vs x10 at p=6 (quadratic) vs x10 at p=10
+    (occupancy-held). One AvailableNow pass each, warm best-of-2,
+    plus the emitted pair count as the work proxy."""
+    from kafka_streams_app_spark.operators import dedup as DD
+    from kafka_streams_app_spark.sources.catalog import load_stream, load_table
+
+    spark = get_spark(app_name="scale-smoke-embdedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = SCRATCH / "x10"
+    big_dir = (
+        str(out) if (out / "embeddings.parquet").exists()
+        else build(spark, 10)
+    )
+    for label, d, planes in (
+        ("base_sf0.1_p6", BASE, 6),
+        ("x10_p6_fixed", big_dir, 6),
+        ("x10_p10_held", big_dir, 10),
+    ):
+        corpus = load_table(spark, d, "embeddings")
+        n = corpus.count()
+        plan = DD.embedding_dedup_candidates_stream(
+            load_stream(spark, d, "embeddings"), corpus,
+            "vec_id", "embedding", dim=64, threshold=0.4,
+            n_planes=planes,
+        )
+
+        def run_stream():
+            t = time.time()
+            q = (
+                plan.writeStream.format("noop")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="embdedup_ckpt_"),
+                )
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return round(time.time() - t, 3)
+
+        stream_s = min(run_stream(), run_stream())
+        pairs = DD.embedding_dedup_candidates_stream(
+            corpus, corpus, "vec_id", "embedding", dim=64,
+            threshold=0.4, n_planes=planes,
+        ).count()
+        print(json.dumps({
+            "corpus": label, "vectors": n, "n_planes": planes,
+            "stream_s": stream_s, "vecs_per_s": round(n / stream_s, 1),
+            "verified_pairs": pairs,
+        }), flush=True)
+
+
 def _chunk_explode_first(df, max_tokens=64, overlap=8):
     """The REJECTED pre-r9 chunk_documents plan, kept here as the
     measured baseline: explode chunk ids first, slice the full token
@@ -1550,6 +1611,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivfpqsearch":
         ivfpqsearch_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "embdedup":
+        embdedup_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names
