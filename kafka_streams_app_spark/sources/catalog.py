@@ -21,6 +21,8 @@ across refreshes):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampType
@@ -104,11 +106,22 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # schema as the (nanos-as-long) reader sees it, from the batch reader
-    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
-    # the file source wants a directory; watch sf_dir filtered to this table
-    df = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/{name}.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # directory-layout table (a Spark write: part-*.parquet inside)
+        # — watch the directory itself. The pathGlobFilter form below
+        # would match against LEAF file names and silently stream ZERO
+        # rows for this layout (r15 bug: every x10-build fixture that
+        # streamed a built table measured an empty stream).
+        df = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file table (the driver-generated testdata layout);
+        # the file source wants a directory, so watch sf_dir filtered
+        # to this table's file name
+        df = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     return _normalize_ts(df, TABLES[name])

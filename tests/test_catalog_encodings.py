@@ -149,3 +149,43 @@ def test_long_epoch_unit_inference_property(spark, tmp_path):
     pq.write_table(tbl, str(d / "events.parquet"))
     got = _epoch_us(load_table(spark, str(d), "events"))
     assert got == {i: exp for i, (_, exp) in enumerate(cases)}
+
+
+def test_load_stream_directory_layout_streams_all_rows(spark, tmp_path):
+    """r15 bug fix: load_stream's pathGlobFilter form matches LEAF
+    file names, so a directory-layout table (a Spark write with
+    part-*.parquet inside — the layout every scale fixture builds)
+    silently streamed ZERO rows. Pin that both layouts stream the
+    full row set."""
+    import shutil
+
+    from kafka_streams_app_spark.sources.catalog import load_stream
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = src.count()
+    # directory layout: a genuine Spark write with part files
+    d = tmp_path / "dirsf"
+    d.mkdir()
+    src.repartition(3).write.parquet(str(d / "embeddings.parquet"))
+    # single-file layout: copy the testdata file under the same root
+    f = tmp_path / "filesf"
+    f.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        f / "embeddings.parquet",
+    )
+    for root in (d, f):
+        seen = {"rows": 0}
+
+        def count_rows(bdf, _bid):
+            seen["rows"] += bdf.count()
+
+        q = (
+            load_stream(spark, str(root), "embeddings")
+            .writeStream.foreachBatch(count_rows)
+            .option("checkpointLocation", str(root / "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert seen["rows"] == n, (str(root), seen["rows"], n)
