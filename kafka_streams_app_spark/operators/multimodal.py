@@ -2,12 +2,14 @@
 
 Images/audio/video are opaque BinaryType columns with typed metadata.
 The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
-partition flow — is real and tested, and FIVE formats decode for real,
-per spec, pure stdlib (+ numpy for the JPEG DCT): BMP, PNG (CRC-checked
-chunks, zlib inflate, all five scanline filters), GIF89a (full LZW,
-interlace), WAV (RIFF PCM16), and baseline JPEG (Annex K Huffman,
-ZRL/EOB, IDCT, edge-MCU crop) — each against an analytic DuckDB
-oracle. Only the generic byte-histogram featurizer (`_fake_decode`)
+partition flow — is real and tested, and FIVE format families decode
+for real, per spec, pure stdlib (+ numpy for the JPEG DCT): BMP, PNG
+(CRC-checked chunks, zlib inflate, all five scanline filters; RGB +
+palette color types), GIF89a (full LZW, interlace, animation frames),
+WAV (RIFF PCM16), and baseline JPEG — grayscale AND 4:2:0/4:4:4
+YCbCr color (Annex K Huffman, ZRL/EOB, interleaved MCUs,
+per-component DC prediction, IDCT, edge-MCU crop, BT.601 inverse) —
+each against an analytic DuckDB oracle. Only the generic byte-histogram featurizer (`_fake_decode`)
 remains a deterministic stand-in, for payloads in formats the
 container has no libs for (a production deployment swaps in
 PIL/ffmpeg under the same Arrow bytes-in/vector-out contract).
