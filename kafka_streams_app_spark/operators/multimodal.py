@@ -9,10 +9,14 @@ palette color types), GIF89a (full LZW, interlace, animation frames),
 WAV (RIFF PCM16), and baseline JPEG — grayscale AND 4:2:0/4:4:4
 YCbCr color (Annex K Huffman, ZRL/EOB, interleaved MCUs,
 per-component DC prediction, IDCT, edge-MCU crop, BT.601 inverse) —
-each against an analytic DuckDB oracle. Only the generic byte-histogram featurizer (`_fake_decode`)
-remains a deterministic stand-in, for payloads in formats the
-container has no libs for (a production deployment swaps in
-PIL/ffmpeg under the same Arrow bytes-in/vector-out contract).
+each against an analytic DuckDB oracle. The generic entry point is
+`extract_features_auto`: magic-byte sniffing routes each payload to
+its real decoder (with a 'corrupt' quarantine for recognized-magic
+payloads that fail spec validation), so the byte-histogram stand-in
+(`_fake_decode` / `extract_features`) now covers ONLY payloads in
+formats the container has no decoder for (a production deployment
+swaps in PIL/ffmpeg under the same Arrow bytes-in/vector-out
+contract).
 """
 
 from __future__ import annotations
@@ -2082,3 +2086,158 @@ def jpeg_color_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=JPEG_COLOR_FEATURE_SCHEMA)
+
+
+# --- format-sniffing auto dispatch (closing the generic-path stand-in) -----
+#
+# The generic extract_features entry point used to run ONLY the
+# byte-histogram stand-in. With five real spec-level decoders in the
+# module, the honest generic path is CONTAINER SNIFFING: detect the
+# format from magic bytes and route each payload to its real decoder,
+# keeping the stand-in strictly for payloads in formats the container
+# has no decoder for (and a 'corrupt' bucket for recognized-magic
+# payloads that fail spec validation — a real 100 TB corpus always has
+# some, and a curation job must quarantine rather than crash). One
+# Arrow mapInPandas pass, no shuffle, decode cost linear in executors —
+# identical scale shape to the per-format featurizers.
+
+AUTO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("fmt", StringType()),          # bmp|png|gif|wav|jpeg|jpeg_color|raw|corrupt
+    StructField("width", IntegerType()),       # wav: channels; raw/corrupt: 0
+    StructField("height", IntegerType()),      # wav: frames;   raw/corrupt: 0
+    StructField("s0", LongType()),             # exact-int stats, meaning per fmt:
+    StructField("s1", LongType()),             #   images: sum R / sum G / sum B
+    StructField("s2", LongType()),             #   (gray: sum p, 0, 0); wav: sum v,
+])                                             #   sum v^2, 0; raw: sum bytes, 0, 0
+
+
+def sniff_format(payload: bytes) -> str:
+    """Container detection from magic bytes alone (no decode): BMP 'BM',
+    PNG 8-byte signature, GIF87a/89a, RIFF/WAVE, JPEG SOI 0xFFD8.
+    Anything else (or too short to carry a magic) is 'raw' — the
+    stand-in featurizer's domain."""
+    if payload is None or len(payload) < 4:
+        return "raw"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    return "raw"
+
+
+def _auto_features_one(payload: bytes) -> tuple:
+    """(fmt, width, height, s0, s1, s2) for one payload via the real
+    decoder the magic bytes select; ValueError from a recognized-magic
+    payload lands in the 'corrupt' bucket instead of failing the task."""
+    fmt = sniff_format(payload)
+    if fmt == "raw":
+        return ("raw", 0, 0, sum(payload) if payload else 0, 0, 0)
+    try:
+        if fmt == "wav":
+            _, ch, samples = wav_decode(payload)
+            return ("wav", ch, len(samples) // ch,
+                    sum(samples), sum(s * s for s in samples), 0)
+        if fmt == "jpeg":
+            if len(_jpeg_parse_headers(payload)["comps"]) == 1:
+                w, h, px = jpeg_decode(payload)
+                return ("jpeg", w, h, sum(map(sum, px)), 0, 0)
+            w, h, rows = jpeg_decode_color(payload)
+            fmt = "jpeg_color"
+        elif fmt == "bmp":
+            w, h, rows = bmp_decode(payload)
+        elif fmt == "png":
+            w, h, rows = png_decode(payload)
+        else:
+            w, h, rows = gif_decode(payload)
+    except ValueError:
+        return ("corrupt", 0, 0, 0, 0, 0)
+    s0 = sum(p[0] for row in rows for p in row)
+    s1 = sum(p[1] for row in rows for p in row)
+    s2 = sum(p[2] for row in rows for p in row)
+    return (fmt, w, h, s0, s1, s2)
+
+
+def extract_features_auto(df: DataFrame) -> DataFrame:
+    """Sniff-and-dispatch feature extraction over a MIXED media corpus:
+    each payload is routed by magic bytes to the matching real decoder
+    (BMP/PNG/GIF/WAV/JPEG gray or YCbCr color), with unknown formats
+    taking the documented byte-level stand-in path ('raw') and
+    recognized-but-malformed payloads quarantined as 'corrupt'. Emits
+    exact-integer per-payload stats so every branch is oracle-checkable.
+    Same partition-parallel Arrow flow as extract_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_auto_features_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "fmt": [r[0] for r in rows],
+                "width": [r[1] for r in rows],
+                "height": [r[2] for r in rows],
+                "s0": [r[3] for r in rows],
+                "s1": [r[4] for r in rows],
+                "s2": [r[5] for r in rows],
+            })
+
+    return df.mapInPandas(run, schema=AUTO_FEATURE_SCHEMA)
+
+
+def synth_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
+    """A mixed-format corpus for the dispatch path: doc_id % 7 selects
+    the container — 0 BMP, 1 PNG (same closed-form pixels as BMP),
+    2 GIF, 3 WAV, 4 grayscale JPEG, 5 YCbCr 4:2:0 JPEG, 6 a non-media
+    payload ('raw:<id>' UTF-8 bytes) that must fall through to the
+    stand-in. Every class reuses the per-format synth closed forms, so
+    one analytic DuckDB oracle covers the whole dispatch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            payloads, mtypes = [], []
+            for mid in ids:
+                cls = mid % 7
+                if cls == 0:
+                    payloads.append(bmp_encode(*synth_bmp_pixels(mid)))
+                    mtypes.append("image")
+                elif cls == 1:
+                    payloads.append(png_encode(*synth_bmp_pixels(mid)))
+                    mtypes.append("image")
+                elif cls == 2:
+                    w, h = 4 + mid % 5, 3 + mid % 4
+                    idx_rows = [
+                        [(mid + 3 * x + 7 * y) % _GIF_NC for x in range(w)]
+                        for y in range(h)
+                    ]
+                    payloads.append(gif_encode(
+                        w, h, _gif_palette(mid), idx_rows,
+                        interlace=bool(mid % 2),
+                    ))
+                    mtypes.append("image")
+                elif cls == 3:
+                    payloads.append(wav_encode(*synth_wav_samples(mid)))
+                    mtypes.append("audio")
+                elif cls == 4:
+                    payloads.append(jpeg_encode_gray(*synth_jpeg_pixels(mid)))
+                    mtypes.append("image")
+                elif cls == 5:
+                    w, h, yr, cb, cr = synth_jpeg_color_pixels(mid)
+                    payloads.append(jpeg_encode_color(w, h, yr, cb, cr, "420"))
+                    mtypes.append("image")
+                else:
+                    payloads.append(f"raw:{mid}".encode())
+                    mtypes.append("other")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": mtypes,
+                "payload": payloads,
+                "meta_json": ['{"mixed": true}'] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -941,3 +941,118 @@ def test_jpeg_color_general_pixels_within_quant_error():
     # plane error <= ~4 (gray's measured bound) propagates through the
     # conversion with coefficients summing < 2.2 -> channel bound ~12
     assert worst <= 12, worst
+
+
+# --- format-sniffing auto dispatch (extract_features_auto) -----------------
+
+
+def test_sniff_format_routes_every_magic():
+    cases = {
+        "bmp": multimodal.bmp_encode(*multimodal.synth_bmp_pixels(3)),
+        "png": multimodal.png_encode(*multimodal.synth_bmp_pixels(3)),
+        "gif": multimodal.gif_encode(
+            3, 2, multimodal._gif_palette(3),
+            [[0, 1, 2], [3, 4, 5]], interlace=False,
+        ),
+        "wav": multimodal.wav_encode(*multimodal.synth_wav_samples(3)),
+        "jpeg": multimodal.jpeg_encode_gray(*multimodal.synth_jpeg_pixels(3)),
+        "raw": b"just some text bytes",
+    }
+    for fmt, payload in cases.items():
+        assert multimodal.sniff_format(payload) == fmt
+    assert multimodal.sniff_format(b"ab") == "raw"      # too short for a magic
+    assert multimodal.sniff_format(None) == "raw"
+
+
+def test_auto_features_matches_direct_decoders():
+    """Each dispatch branch's stats equal a recomputation from the
+    direct per-format decoder (same ids the mixed corpus would route)."""
+    for mid in range(14):
+        cls = mid % 7
+        if cls == 0:
+            payload = multimodal.bmp_encode(*multimodal.synth_bmp_pixels(mid))
+            w, h, rows = multimodal.bmp_decode(payload)
+            want = ("bmp", w, h,
+                    sum(p[0] for r in rows for p in r),
+                    sum(p[1] for r in rows for p in r),
+                    sum(p[2] for r in rows for p in r))
+        elif cls == 1:
+            payload = multimodal.png_encode(*multimodal.synth_bmp_pixels(mid))
+            w, h, rows = multimodal.png_decode(payload)
+            want = ("png", w, h,
+                    sum(p[0] for r in rows for p in r),
+                    sum(p[1] for r in rows for p in r),
+                    sum(p[2] for r in rows for p in r))
+        elif cls == 2:
+            w, h = 4 + mid % 5, 3 + mid % 4
+            idx = [[(mid + 3 * x + 7 * y) % multimodal._GIF_NC
+                    for x in range(w)] for y in range(h)]
+            payload = multimodal.gif_encode(
+                w, h, multimodal._gif_palette(mid), idx,
+                interlace=bool(mid % 2))
+            _, _, rows = multimodal.gif_decode(payload)
+            want = ("gif", w, h,
+                    sum(p[0] for r in rows for p in r),
+                    sum(p[1] for r in rows for p in r),
+                    sum(p[2] for r in rows for p in r))
+        elif cls == 3:
+            payload = multimodal.wav_encode(*multimodal.synth_wav_samples(mid))
+            _, ch, samples = multimodal.wav_decode(payload)
+            want = ("wav", ch, len(samples) // ch,
+                    sum(samples), sum(s * s for s in samples), 0)
+        elif cls == 4:
+            payload = multimodal.jpeg_encode_gray(
+                *multimodal.synth_jpeg_pixels(mid))
+            w, h, px = multimodal.jpeg_decode(payload)
+            want = ("jpeg", w, h, sum(map(sum, px)), 0, 0)
+        elif cls == 5:
+            w0, h0, yr, cb, cr = multimodal.synth_jpeg_color_pixels(mid)
+            payload = multimodal.jpeg_encode_color(w0, h0, yr, cb, cr, "420")
+            w, h, rows = multimodal.jpeg_decode_color(payload)
+            want = ("jpeg_color", w, h,
+                    sum(p[0] for r in rows for p in r),
+                    sum(p[1] for r in rows for p in r),
+                    sum(p[2] for r in rows for p in r))
+        else:
+            payload = f"raw:{mid}".encode()
+            want = ("raw", 0, 0, sum(payload), 0, 0)
+        assert multimodal._auto_features_one(payload) == want, mid
+
+
+def test_auto_features_quarantines_corrupt_payloads():
+    """Recognized magic + malformed body lands in the 'corrupt' bucket
+    (a curation job must quarantine, not crash the task) — never an
+    exception, never a silent fall-through to the stand-in."""
+    corrupt = [
+        b"\x89PNG\r\n\x1a\n" + b"garbage-after-signature",
+        b"BM" + b"\x00" * 60,                       # bad BMP header fields
+        b"GIF89a" + b"\x01\x00\x01\x00",            # truncated GIF
+        b"RIFF\x08\x00\x00\x00WAVE",                # WAV with no fmt/data
+        b"\xff\xd8\xff\xe0\x00\x02",                # JPEG SOI then truncation
+    ]
+    for payload in corrupt:
+        assert multimodal._auto_features_one(payload) == \
+            ("corrupt", 0, 0, 0, 0, 0), payload[:8]
+
+
+def test_extract_features_auto_mixed_corpus(spark):
+    """End-to-end through Spark: the mixed synth corpus routes each id
+    class to its real decoder; fmt labels and exact stats match the
+    driver-side recomputation."""
+    docs = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    media = multimodal.synth_mixed_media(docs, "doc_id")
+    got = {r["media_id"]: r for r in
+           multimodal.extract_features_auto(media).collect()}
+    assert len(got) == 14
+    expect_fmt = ["bmp", "png", "gif", "wav", "jpeg", "jpeg_color", "raw"]
+    for mid in range(14):
+        row = got[mid]
+        assert row["fmt"] == expect_fmt[mid % 7], mid
+        if row["fmt"] == "raw":
+            assert (row["width"], row["height"]) == (0, 0)
+            assert row["s0"] == sum(f"raw:{mid}".encode())
+    # spot-check one exact image branch against the closed form
+    r3 = got[0]
+    w, h, rows = multimodal.synth_bmp_pixels(0)
+    assert (r3["width"], r3["height"]) == (w, h)
+    assert r3["s0"] == sum(p[0] for r in rows for p in r)
