@@ -2195,7 +2195,16 @@ def synth_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
     2 GIF, 3 WAV, 4 grayscale JPEG, 5 YCbCr 4:2:0 JPEG, 6 a non-media
     payload ('raw:<id>' UTF-8 bytes) that must fall through to the
     stand-in. Every class reuses the per-format synth closed forms, so
-    one analytic DuckDB oracle covers the whole dispatch."""
+    one analytic DuckDB oracle covers the whole dispatch.
+
+    ensure_parallelism: the downstream decode is the compute-heavy
+    stage (same rationale as the shingle chain in operators/dedup.py
+    _doc_shingles) — a single-file scan must not serialize the codec
+    work on one core; measured 3.4 s -> sub-second at sf0.1 on
+    local[32] (artifacts/scale_smoke_r15/autodispatch_r15.jsonl)."""
+    from kafka_streams_app_spark.engine import ensure_parallelism
+
+    df = ensure_parallelism(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1467,6 +1467,42 @@ def streamcur_main() -> None:
         }), flush=True)
 
 
+def autodispatch_main() -> None:
+    """Mixed-format sniff+decode throughput (multimodal_auto_features's
+    pipeline) at sf0.1 and x10. The dispatch path is scan-parallel
+    per-payload codec work — no shuffle, no state, no driver traffic —
+    so wall should grow ~linearly in rows (docs/s ~flat across scales);
+    a superlinear ratio would flag an accidental bottleneck in the
+    routing layer. Both sides warmed (headline10 symmetry rule)."""
+    from kafka_streams_app_spark.operators import multimodal
+
+    spark = get_spark(app_name="autodispatch-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    big_dir = build_docs(spark, 10)
+
+    def run(sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        media = multimodal.synth_mixed_media(docs, "doc_id")
+        return multimodal.extract_features_auto(media)
+
+    results = {}
+    for label, d in (("base_sf0.1", BASE), ("x10", big_dir)):
+        run(d).write.format("noop").mode("overwrite").save()  # warm
+        n = load_table(spark, d, "documents").count()
+        sec = timed(run, d)
+        results[label] = sec
+        print(json.dumps({
+            "shape": "multimodal_auto_dispatch", "scale": label,
+            "rows": n, "sec": sec,
+            "rows_per_sec": int(n / sec) if sec else None,
+        }))
+    print(json.dumps({
+        "shape": "multimodal_auto_dispatch", "scale": "ratio",
+        "ratio": round(results["x10"] / results["base_sf0.1"], 2)
+        if results.get("base_sf0.1") else None,
+    }))
+
+
 def skew_main() -> None:
     """r12 verdict #5: wall-clock proof that the skew remedies WIN on a
     hot key, not just match the plain forms' results.
@@ -1614,6 +1650,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "embdedup":
         embdedup_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "autodispatch":
+        autodispatch_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names
