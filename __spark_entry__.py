@@ -487,6 +487,148 @@ _PNG_FEATURES_SQL = """
 """
 
 
+_AUTO_FEATURES_SQL = """
+        WITH ids AS (
+          SELECT doc_id AS media_id, doc_id % 7 AS cls FROM documents
+        ),
+        img AS (
+          SELECT media_id, cls, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
+          FROM ids WHERE cls IN (0, 1, 2)
+        ),
+        imgpx AS (
+          SELECT media_id, cls, w, h,
+                 (media_id + 3 * xs.x + 7 * ys.y) % 256 AS r,
+                 (2 * media_id + 5 * xs.x + 11 * ys.y) % 256 AS g,
+                 (3 * media_id + 13 * xs.x + 17 * ys.y) % 256 AS b,
+                 (media_id + 3 * xs.x + 7 * ys.y) % 16 AS ci
+          FROM img, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+                    LATERAL (SELECT unnest(range(0, h)) AS y) ys
+        ),
+        rgbpx AS (
+          SELECT media_id, cls, w, h,
+                 CASE WHEN cls = 2 THEN (media_id + 29 * ci) % 256
+                      ELSE r END AS r,
+                 CASE WHEN cls = 2 THEN (2 * media_id + 31 * ci) % 256
+                      ELSE g END AS g,
+                 CASE WHEN cls = 2 THEN (3 * media_id + 37 * ci) % 256
+                      ELSE b END AS b
+          FROM imgpx
+        ),
+        img_out AS (
+          SELECT media_id,
+                 CASE cls WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                      ELSE 'gif' END AS fmt,
+                 CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                 CAST(SUM(r) AS BIGINT) AS s0, CAST(SUM(g) AS BIGINT) AS s1,
+                 CAST(SUM(b) AS BIGINT) AS s2
+          FROM rgbpx GROUP BY media_id, cls, w, h
+        ),
+        wavd AS (
+          SELECT media_id, 1 + media_id % 2 AS ch, 64 + media_id % 37 AS nf
+          FROM ids WHERE cls = 3
+        ),
+        wavs AS (
+          SELECT media_id, ch, nf,
+                 (media_id * 7919 + ii.i * 104729) % 65536 - 32768 AS v
+          FROM wavd, LATERAL (SELECT unnest(range(0, nf * ch)) AS i) ii
+        ),
+        wav_out AS (
+          SELECT media_id, 'wav' AS fmt, CAST(ch AS INTEGER) AS width,
+                 CAST(nf AS INTEGER) AS height,
+                 CAST(SUM(v) AS BIGINT) AS s0,
+                 CAST(SUM(v * v) AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2
+          FROM wavs GROUP BY media_id, ch, nf
+        ),
+        jg AS (
+          SELECT media_id, 8 * (2 + media_id % 3) - media_id % 5 AS w,
+                 8 * (1 + media_id % 2) - media_id % 3 AS h
+          FROM ids WHERE cls = 4
+        ),
+        jgpx AS (
+          SELECT media_id, w, h,
+                 64 + (media_id + 5 * (xs.x // 8) + 9 * (ys.y // 8)) % 128
+                 + ((media_id + 3 * (xs.x // 8) + 7 * (ys.y // 8)) % 32 - 16)
+                   * (CASE WHEN (xs.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                   * (CASE WHEN (ys.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                   AS p
+          FROM jg, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+                   LATERAL (SELECT unnest(range(0, h)) AS y) ys
+        ),
+        jg_out AS (
+          SELECT media_id, 'jpeg' AS fmt, CAST(w AS INTEGER) AS width,
+                 CAST(h AS INTEGER) AS height,
+                 CAST(SUM(p) AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+                 CAST(0 AS BIGINT) AS s2
+          FROM jgpx GROUP BY media_id, w, h
+        ),
+        jc AS (
+          SELECT media_id, 16 * (1 + media_id % 2) - media_id % 7 AS w,
+                 16 * (CASE WHEN media_id % 3 = 0 THEN 2 ELSE 1 END)
+                   - media_id % 5 AS h
+          FROM ids WHERE cls = 5
+        ),
+        jcpx AS (
+          SELECT media_id, w, h, xs.x, ys.y,
+                 48 + (media_id + 5 * (xs.x // 8) + 9 * (ys.y // 8)) % 128
+                 + ((media_id + 3 * (xs.x // 8) + 7 * (ys.y // 8)) % 32 - 16)
+                   * (CASE WHEN (xs.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                   * (CASE WHEN (ys.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                   AS yv,
+                 96 + (media_id + 7 * (xs.x // 16) + 3 * (ys.y // 16)) % 64
+                 + ((media_id + 5 * (xs.x // 16) + (ys.y // 16)) % 16 - 8)
+                   * (CASE WHEN ((xs.x // 2) % 8) % 4 IN (0, 3)
+                      THEN 1 ELSE -1 END)
+                   * (CASE WHEN ((ys.y // 2) % 8) % 4 IN (0, 3)
+                      THEN 1 ELSE -1 END) - 128 AS cb,
+                 80 + (2 * media_id + 3 * (xs.x // 16) + 5 * (ys.y // 16)) % 96
+                 + ((media_id + (xs.x // 16) + 7 * (ys.y // 16)) % 16 - 8)
+                   * (CASE WHEN ((xs.x // 2) % 8) % 4 IN (0, 3)
+                      THEN 1 ELSE -1 END)
+                   * (CASE WHEN ((ys.y // 2) % 8) % 4 IN (0, 3)
+                      THEN 1 ELSE -1 END) - 128 AS cr
+          FROM jc, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+                   LATERAL (SELECT unnest(range(0, h)) AS y) ys
+        ),
+        jcrgb AS (
+          SELECT media_id, w, h,
+                 LEAST(255, GREATEST(0, CAST(floor(
+                   yv + 1.402 * cr + 0.5) AS BIGINT))) AS r,
+                 LEAST(255, GREATEST(0, CAST(floor(
+                   yv - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT)))
+                   AS g,
+                 LEAST(255, GREATEST(0, CAST(floor(
+                   yv + 1.772 * cb + 0.5) AS BIGINT))) AS b
+          FROM jcpx
+        ),
+        jc_out AS (
+          SELECT media_id, 'jpeg_color' AS fmt, CAST(w AS INTEGER) AS width,
+                 CAST(h AS INTEGER) AS height,
+                 CAST(SUM(r) AS BIGINT) AS s0, CAST(SUM(g) AS BIGINT) AS s1,
+                 CAST(SUM(b) AS BIGINT) AS s2
+          FROM jcrgb GROUP BY media_id, w, h
+        ),
+        raws AS (
+          SELECT media_id, 'raw:' || CAST(media_id AS VARCHAR) AS s
+          FROM ids WHERE cls = 6
+        ),
+        raw_out AS (
+          SELECT media_id, 'raw' AS fmt, CAST(0 AS INTEGER) AS width,
+                 CAST(0 AS INTEGER) AS height,
+                 CAST(SUM(ord(substring(s, CAST(i AS INTEGER), 1)))
+                      AS BIGINT) AS s0,
+                 CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2
+          FROM (SELECT media_id, s, unnest(range(1, length(s) + 1)) AS i
+                FROM raws)
+          GROUP BY media_id
+        )
+        SELECT * FROM img_out
+        UNION ALL SELECT * FROM wav_out
+        UNION ALL SELECT * FROM jg_out
+        UNION ALL SELECT * FROM jc_out
+        UNION ALL SELECT * FROM raw_out
+    """
+
+
 def _pq_assign_sql(
     m: int = 8, dsub: int = 8, mod: int = 17, rem: int = 3
 ) -> str:
@@ -2320,6 +2462,23 @@ def _q_multimodal_auto_features(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     media = multimodal.synth_mixed_media(docs, "doc_id")
     return multimodal.extract_features_auto(media)
+
+
+def _q_s_auto_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Format-sniffing dispatch AT INGEST: extract_features_auto over a
+    mixed-format document stream — magic-byte routing, real codec
+    decode, corrupt quarantine, all per micro-batch. The whole
+    generate+sniff+decode pipeline is scan-stage (stateless mapInPandas,
+    no shuffle, no state), so Structured Streaming runs it unchanged
+    and the emitted set is batch-equal by statelessness; oracle = the
+    batch union-of-closed-forms SQL verbatim (the s_multimodal_decode
+    pattern). Completes the at-ingest media family for the MIXED-corpus
+    shape a real ingest pipeline sees (formats interleaved in one
+    stream, not pre-sorted by container)."""
+    docs = load_stream(spark, sf, "documents")
+    media = multimodal.synth_mixed_media(docs, "doc_id")
+    out = multimodal.extract_features_auto(media)
+    return run_available_now(spark, out, _sink(), "append")
 
 
 def _q_multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
@@ -5600,146 +5759,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # from the same closed forms as the per-format entries above, so
     # one UNION ALL of the seven analytic recomputations (keyed by
     # doc_id % 7) checks routing AND decoding in one hash
-    "multimodal_auto_features": (_q_multimodal_auto_features, """
-        WITH ids AS (
-          SELECT doc_id AS media_id, doc_id % 7 AS cls FROM documents
-        ),
-        img AS (
-          SELECT media_id, cls, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
-          FROM ids WHERE cls IN (0, 1, 2)
-        ),
-        imgpx AS (
-          SELECT media_id, cls, w, h,
-                 (media_id + 3 * xs.x + 7 * ys.y) % 256 AS r,
-                 (2 * media_id + 5 * xs.x + 11 * ys.y) % 256 AS g,
-                 (3 * media_id + 13 * xs.x + 17 * ys.y) % 256 AS b,
-                 (media_id + 3 * xs.x + 7 * ys.y) % 16 AS ci
-          FROM img, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
-                    LATERAL (SELECT unnest(range(0, h)) AS y) ys
-        ),
-        rgbpx AS (
-          SELECT media_id, cls, w, h,
-                 CASE WHEN cls = 2 THEN (media_id + 29 * ci) % 256
-                      ELSE r END AS r,
-                 CASE WHEN cls = 2 THEN (2 * media_id + 31 * ci) % 256
-                      ELSE g END AS g,
-                 CASE WHEN cls = 2 THEN (3 * media_id + 37 * ci) % 256
-                      ELSE b END AS b
-          FROM imgpx
-        ),
-        img_out AS (
-          SELECT media_id,
-                 CASE cls WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-                      ELSE 'gif' END AS fmt,
-                 CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-                 CAST(SUM(r) AS BIGINT) AS s0, CAST(SUM(g) AS BIGINT) AS s1,
-                 CAST(SUM(b) AS BIGINT) AS s2
-          FROM rgbpx GROUP BY media_id, cls, w, h
-        ),
-        wavd AS (
-          SELECT media_id, 1 + media_id % 2 AS ch, 64 + media_id % 37 AS nf
-          FROM ids WHERE cls = 3
-        ),
-        wavs AS (
-          SELECT media_id, ch, nf,
-                 (media_id * 7919 + ii.i * 104729) % 65536 - 32768 AS v
-          FROM wavd, LATERAL (SELECT unnest(range(0, nf * ch)) AS i) ii
-        ),
-        wav_out AS (
-          SELECT media_id, 'wav' AS fmt, CAST(ch AS INTEGER) AS width,
-                 CAST(nf AS INTEGER) AS height,
-                 CAST(SUM(v) AS BIGINT) AS s0,
-                 CAST(SUM(v * v) AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2
-          FROM wavs GROUP BY media_id, ch, nf
-        ),
-        jg AS (
-          SELECT media_id, 8 * (2 + media_id % 3) - media_id % 5 AS w,
-                 8 * (1 + media_id % 2) - media_id % 3 AS h
-          FROM ids WHERE cls = 4
-        ),
-        jgpx AS (
-          SELECT media_id, w, h,
-                 64 + (media_id + 5 * (xs.x // 8) + 9 * (ys.y // 8)) % 128
-                 + ((media_id + 3 * (xs.x // 8) + 7 * (ys.y // 8)) % 32 - 16)
-                   * (CASE WHEN (xs.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
-                   * (CASE WHEN (ys.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
-                   AS p
-          FROM jg, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
-                   LATERAL (SELECT unnest(range(0, h)) AS y) ys
-        ),
-        jg_out AS (
-          SELECT media_id, 'jpeg' AS fmt, CAST(w AS INTEGER) AS width,
-                 CAST(h AS INTEGER) AS height,
-                 CAST(SUM(p) AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
-                 CAST(0 AS BIGINT) AS s2
-          FROM jgpx GROUP BY media_id, w, h
-        ),
-        jc AS (
-          SELECT media_id, 16 * (1 + media_id % 2) - media_id % 7 AS w,
-                 16 * (CASE WHEN media_id % 3 = 0 THEN 2 ELSE 1 END)
-                   - media_id % 5 AS h
-          FROM ids WHERE cls = 5
-        ),
-        jcpx AS (
-          SELECT media_id, w, h, xs.x, ys.y,
-                 48 + (media_id + 5 * (xs.x // 8) + 9 * (ys.y // 8)) % 128
-                 + ((media_id + 3 * (xs.x // 8) + 7 * (ys.y // 8)) % 32 - 16)
-                   * (CASE WHEN (xs.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
-                   * (CASE WHEN (ys.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
-                   AS yv,
-                 96 + (media_id + 7 * (xs.x // 16) + 3 * (ys.y // 16)) % 64
-                 + ((media_id + 5 * (xs.x // 16) + (ys.y // 16)) % 16 - 8)
-                   * (CASE WHEN ((xs.x // 2) % 8) % 4 IN (0, 3)
-                      THEN 1 ELSE -1 END)
-                   * (CASE WHEN ((ys.y // 2) % 8) % 4 IN (0, 3)
-                      THEN 1 ELSE -1 END) - 128 AS cb,
-                 80 + (2 * media_id + 3 * (xs.x // 16) + 5 * (ys.y // 16)) % 96
-                 + ((media_id + (xs.x // 16) + 7 * (ys.y // 16)) % 16 - 8)
-                   * (CASE WHEN ((xs.x // 2) % 8) % 4 IN (0, 3)
-                      THEN 1 ELSE -1 END)
-                   * (CASE WHEN ((ys.y // 2) % 8) % 4 IN (0, 3)
-                      THEN 1 ELSE -1 END) - 128 AS cr
-          FROM jc, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
-                   LATERAL (SELECT unnest(range(0, h)) AS y) ys
-        ),
-        jcrgb AS (
-          SELECT media_id, w, h,
-                 LEAST(255, GREATEST(0, CAST(floor(
-                   yv + 1.402 * cr + 0.5) AS BIGINT))) AS r,
-                 LEAST(255, GREATEST(0, CAST(floor(
-                   yv - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT)))
-                   AS g,
-                 LEAST(255, GREATEST(0, CAST(floor(
-                   yv + 1.772 * cb + 0.5) AS BIGINT))) AS b
-          FROM jcpx
-        ),
-        jc_out AS (
-          SELECT media_id, 'jpeg_color' AS fmt, CAST(w AS INTEGER) AS width,
-                 CAST(h AS INTEGER) AS height,
-                 CAST(SUM(r) AS BIGINT) AS s0, CAST(SUM(g) AS BIGINT) AS s1,
-                 CAST(SUM(b) AS BIGINT) AS s2
-          FROM jcrgb GROUP BY media_id, w, h
-        ),
-        raws AS (
-          SELECT media_id, 'raw:' || CAST(media_id AS VARCHAR) AS s
-          FROM ids WHERE cls = 6
-        ),
-        raw_out AS (
-          SELECT media_id, 'raw' AS fmt, CAST(0 AS INTEGER) AS width,
-                 CAST(0 AS INTEGER) AS height,
-                 CAST(SUM(ord(substring(s, CAST(i AS INTEGER), 1)))
-                      AS BIGINT) AS s0,
-                 CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2
-          FROM (SELECT media_id, s, unnest(range(1, length(s) + 1)) AS i
-                FROM raws)
-          GROUP BY media_id
-        )
-        SELECT * FROM img_out
-        UNION ALL SELECT * FROM wav_out
-        UNION ALL SELECT * FROM jg_out
-        UNION ALL SELECT * FROM jc_out
-        UNION ALL SELECT * FROM raw_out
-    """),
+    "multimodal_auto_features": (_q_multimodal_auto_features, _AUTO_FEATURES_SQL),
+    # stateless per-micro-batch dispatch == the batch result, so the
+    # union-of-closed-forms oracle is SHARED verbatim (the
+    # s_multimodal_decode pattern)
+    "s_auto_features": (_q_s_auto_features, _AUTO_FEATURES_SQL),
     "multimodal_wav_decode": (_q_multimodal_wav_decode, """
         WITH d AS (
           SELECT doc_id AS media_id,
@@ -6583,7 +6607,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 _FRONT = [
     # (1) new in r15, never sampled
     "s_ivfpq_search", "multimodal_jpeg_color_decode", "s_embedding_dedup",
-    "multimodal_auto_features",
+    "multimodal_auto_features", "s_auto_features",
     # (2) code changed in r15
     "multimodal_jpeg_decode", "s_winnow_candidates",
     "s_time_rolling_late", "dedup_minhash_lsh",
@@ -6603,10 +6627,11 @@ _FRONT = [
     "tpch_q19_disjunctive_revenue", "tpch_q22_idle_customers",
     "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # (4) oldest r12-signed fills (corpus_scrub_dup_spans and
-    # corpus_profile displaced to r16 by the late-landing
-    # s_embedding_dedup / multimodal_auto_features, holding exactly 50)
-    "a9_cohort_retention", "corpus_line_dedup", "corpus_line_scrub",
+    # (4) oldest r12-signed fills (corpus_scrub_dup_spans,
+    # corpus_profile, and corpus_line_scrub displaced to r16 by the
+    # late-landing s_embedding_dedup / multimodal_auto_features /
+    # s_auto_features, holding exactly 50)
+    "a9_cohort_retention", "corpus_line_dedup",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -2201,10 +2201,14 @@ def synth_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
     stage (same rationale as the shingle chain in operators/dedup.py
     _doc_shingles) — a single-file scan must not serialize the codec
     work on one core; measured 3.4 s -> sub-second at sf0.1 on
-    local[32] (artifacts/scale_smoke_r15/autodispatch_r15.jsonl)."""
+    local[32] (artifacts/scale_smoke_r15/autodispatch_r15.jsonl).
+    Streaming inputs skip the rebalance (partition introspection needs
+    .rdd, and a per-micro-batch shuffle is the wrong trade at ingest —
+    micro-batches inherit source parallelism)."""
     from kafka_streams_app_spark.engine import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    if not df.isStreaming:
+        df = ensure_parallelism(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
