@@ -377,3 +377,38 @@ def test_ivfpq_search_equals_topk_property(spark, data, nq):
         for r in ivfpq_search(queries, emb, "vec_id", "embedding", **kw).collect()
     )
     assert got == want
+
+
+# --- multimodal sniff-and-dispatch total function property -----------------
+
+from kafka_streams_app_spark.operators import multimodal as _mm
+
+_MAGICS = [
+    b"", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF87a", b"GIF89a",
+    b"RIFF1234WAVE", b"\xff\xd8",
+]
+
+
+@given(
+    prefix=st.sampled_from(_MAGICS),
+    body=st.binary(max_size=256),
+)
+@settings(max_examples=200, deadline=None)
+def test_auto_features_total_on_arbitrary_bytes(prefix, body):
+    """_auto_features_one is TOTAL over arbitrary byte strings: any
+    payload — garbage, truncated magic, magic + random body — yields a
+    well-formed (fmt, w, h, s0, s1, s2) tuple, never an exception. A
+    100 TB crawl corpus guarantees malformed files; the dispatch layer
+    must quarantine, not crash the task. Valid-looking magics may
+    decode (if the random body happens to parse) or quarantine; bytes
+    with no recognized magic must take the stand-in path with the
+    exact byte-sum feature."""
+    payload = prefix + body
+    fmt, w, h, s0, s1, s2 = _mm._auto_features_one(payload)
+    assert fmt in {"bmp", "png", "gif", "wav", "jpeg", "jpeg_color",
+                   "raw", "corrupt"}
+    assert all(isinstance(v, int) for v in (w, h, s0, s1, s2))
+    if _mm.sniff_format(payload) == "raw":
+        assert fmt == "raw" and (w, h) == (0, 0) and s0 == sum(payload)
+    elif fmt == "corrupt":
+        assert (w, h, s0, s1, s2) == (0, 0, 0, 0, 0)
