@@ -21,6 +21,7 @@ contract).
 
 from __future__ import annotations
 
+import logging
 import math
 import struct
 import zlib
@@ -33,6 +34,8 @@ from pyspark.sql.types import (
     ArrayType, BinaryType, DoubleType, FloatType, IntegerType, LongType,
     StringType, StructField, StructType,
 )
+
+_LOG = logging.getLogger(__name__)
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -2103,7 +2106,7 @@ def jpeg_color_features(df: DataFrame) -> DataFrame:
 
 AUTO_FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
-    StructField("fmt", StringType()),          # bmp|png|gif|wav|jpeg|jpeg_color|raw|corrupt
+    StructField("fmt", StringType()),          # bmp|png|gif|wav|jpeg|jpeg_color|raw|corrupt:<container>
     StructField("width", IntegerType()),       # wav: channels; raw/corrupt: 0
     StructField("height", IntegerType()),      # wav: frames;   raw/corrupt: 0
     StructField("s0", LongType()),             # exact-int stats, meaning per fmt:
@@ -2134,8 +2137,10 @@ def sniff_format(payload: bytes) -> str:
 
 def _auto_features_one(payload: bytes) -> tuple:
     """(fmt, width, height, s0, s1, s2) for one payload via the real
-    decoder the magic bytes select; ValueError from a recognized-magic
-    payload lands in the 'corrupt' bucket instead of failing the task."""
+    decoder the magic bytes select. ValueError from a recognized-magic
+    payload lands in a 'corrupt:<container>' bucket (the sniffed
+    container rides along as provenance — a quarantine a human can
+    triage without re-sniffing) instead of failing the task."""
     fmt = sniff_format(payload)
     if fmt == "raw":
         return ("raw", 0, 0, sum(payload) if payload else 0, 0, 0)
@@ -2157,36 +2162,75 @@ def _auto_features_one(payload: bytes) -> tuple:
         else:
             w, h, rows = gif_decode(payload)
     except ValueError:
-        return ("corrupt", 0, 0, 0, 0, 0)
+        return (f"corrupt:{fmt}", 0, 0, 0, 0, 0)
     s0 = sum(p[0] for row in rows for p in row)
     s1 = sum(p[1] for row in rows for p in row)
     s2 = sum(p[2] for row in rows for p in row)
     return (fmt, w, h, s0, s1, s2)
 
 
-def extract_features_auto(df: DataFrame) -> DataFrame:
+def extract_features_auto(df: DataFrame, on_error: str = "quarantine") -> DataFrame:
     """Sniff-and-dispatch feature extraction over a MIXED media corpus:
     each payload is routed by magic bytes to the matching real decoder
     (BMP/PNG/GIF/WAV/JPEG gray or YCbCr color), with unknown formats
-    taking the documented byte-level stand-in path ('raw') and
-    recognized-but-malformed payloads quarantined as 'corrupt'. Emits
+    taking the documented byte-level stand-in path ('raw'). Emits
     exact-integer per-payload stats so every branch is oracle-checkable.
-    Same partition-parallel Arrow flow as extract_features."""
+    Same partition-parallel Arrow flow as extract_features.
+
+    on_error (the rolling on_late lesson — degradation must never be
+    silent):
+    - 'quarantine' (default): recognized-but-malformed payloads become
+      'corrupt:<container>' rows (zeroed stats, sniffed container kept
+      as provenance) — visible IN the output, and each batch that
+      quarantines anything additionally logs one executor-side WARNING
+      with the count and the offending media_ids (first few), so the
+      degradation surfaces without downstream instrumentation.
+    - 'fail': re-raise the decode ValueError annotated with the
+      media_id — for pipelines over corpora that are supposed to be
+      clean, where a malformed payload means upstream breakage."""
+    if on_error not in ("quarantine", "fail"):
+        raise ValueError(f"on_error must be quarantine|fail, got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_auto_features_one(p) for p in pdf["payload"]]
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "fmt": [r[0] for r in rows],
-                "width": [r[1] for r in rows],
-                "height": [r[2] for r in rows],
-                "s0": [r[3] for r in rows],
-                "s1": [r[4] for r in rows],
-                "s2": [r[5] for r in rows],
-            })
+            yield _auto_features_batch(pdf, on_error)
 
     return df.mapInPandas(run, schema=AUTO_FEATURE_SCHEMA)
+
+
+def _auto_features_batch(pdf: pd.DataFrame, on_error: str) -> pd.DataFrame:
+    """One Arrow batch through the dispatcher (unit-testable seam for
+    the on_error contract — executor logs don't reach driver caplog)."""
+    rows = []
+    bad: list = []
+    for mid, p in zip(pdf["media_id"], pdf["payload"]):
+        r = _auto_features_one(p)
+        if r[0].startswith("corrupt:"):
+            if on_error == "fail":
+                raise ValueError(
+                    f"extract_features_auto: media_id={mid} sniffed "
+                    f"as {r[0][8:]} but failed spec validation "
+                    f"(on_error='fail')"
+                )
+            bad.append(mid)
+        rows.append(r)
+    if bad:
+        _LOG.warning(
+            "extract_features_auto: quarantined %d malformed "
+            "payload(s) this batch (media_id %s%s); stats are "
+            "zeroed rows with fmt='corrupt:<container>' — use "
+            "on_error='fail' if the corpus must be clean",
+            len(bad), bad[:5], "..." if len(bad) > 5 else "",
+        )
+    return pd.DataFrame({
+        "media_id": pdf["media_id"],
+        "fmt": [r[0] for r in rows],
+        "width": [r[1] for r in rows],
+        "height": [r[2] for r in rows],
+        "s0": [r[3] for r in rows],
+        "s1": [r[4] for r in rows],
+        "s2": [r[5] for r in rows],
+    })
 
 
 def synth_mixed_media(df: DataFrame, id_col: str) -> DataFrame:

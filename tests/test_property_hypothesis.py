@@ -405,10 +405,13 @@ def test_auto_features_total_on_arbitrary_bytes(prefix, body):
     exact byte-sum feature."""
     payload = prefix + body
     fmt, w, h, s0, s1, s2 = _mm._auto_features_one(payload)
-    assert fmt in {"bmp", "png", "gif", "wav", "jpeg", "jpeg_color",
-                   "raw", "corrupt"}
+    base = fmt.split(":", 1)
+    assert base[0] in {"bmp", "png", "gif", "wav", "jpeg", "jpeg_color",
+                       "raw", "corrupt"}
     assert all(isinstance(v, int) for v in (w, h, s0, s1, s2))
     if _mm.sniff_format(payload) == "raw":
         assert fmt == "raw" and (w, h) == (0, 0) and s0 == sum(payload)
-    elif fmt == "corrupt":
+    elif base[0] == "corrupt":
+        # provenance: the sniffed container rides along
+        assert base[1] == _mm.sniff_format(payload)
         assert (w, h, s0, s1, s2) == (0, 0, 0, 0, 0)

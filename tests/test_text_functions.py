@@ -1020,19 +1020,48 @@ def test_auto_features_matches_direct_decoders():
 
 
 def test_auto_features_quarantines_corrupt_payloads():
-    """Recognized magic + malformed body lands in the 'corrupt' bucket
-    (a curation job must quarantine, not crash the task) — never an
-    exception, never a silent fall-through to the stand-in."""
+    """Recognized magic + malformed body lands in the corrupt bucket
+    WITH the sniffed container as provenance (a quarantine a human can
+    triage without re-sniffing) — never an exception, never a silent
+    fall-through to the stand-in."""
     corrupt = [
-        b"\x89PNG\r\n\x1a\n" + b"garbage-after-signature",
-        b"BM" + b"\x00" * 60,                       # bad BMP header fields
-        b"GIF89a" + b"\x01\x00\x01\x00",            # truncated GIF
-        b"RIFF\x08\x00\x00\x00WAVE",                # WAV with no fmt/data
-        b"\xff\xd8\xff\xe0\x00\x02",                # JPEG SOI then truncation
+        (b"\x89PNG\r\n\x1a\n" + b"garbage-after-signature", "png"),
+        (b"BM" + b"\x00" * 60, "bmp"),              # bad BMP header fields
+        (b"GIF89a" + b"\x01\x00\x01\x00", "gif"),   # truncated GIF
+        (b"RIFF\x08\x00\x00\x00WAVE", "wav"),       # WAV with no fmt/data
+        (b"\xff\xd8\xff\xe0\x00\x02", "jpeg"),      # JPEG SOI then truncation
     ]
-    for payload in corrupt:
+    for payload, container in corrupt:
         assert multimodal._auto_features_one(payload) == \
-            ("corrupt", 0, 0, 0, 0, 0), payload[:8]
+            (f"corrupt:{container}", 0, 0, 0, 0, 0), payload[:8]
+
+
+def test_auto_features_on_error_contract(caplog):
+    """The rolling on_late lesson applied to decode: quarantine must be
+    VISIBLE (one WARNING per batch naming count + ids) and 'fail' must
+    raise with the media_id — silent degradation is never an option."""
+    import logging
+
+    import pandas as pd
+    import pytest
+
+    good = multimodal.bmp_encode(*multimodal.synth_bmp_pixels(1))
+    bad = b"BM" + b"\x00" * 60
+    pdf = pd.DataFrame({"media_id": [1, 2], "payload": [good, bad]})
+    logger = "kafka_streams_app_spark.operators.multimodal"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        out = multimodal._auto_features_batch(pdf, "quarantine")
+        assert list(out["fmt"]) == ["bmp", "corrupt:bmp"]
+        assert len(caplog.records) == 1
+        assert "media_id [2]" in caplog.records[0].getMessage()
+        # clean batch: no warning
+        clean = pd.DataFrame({"media_id": [1], "payload": [good]})
+        multimodal._auto_features_batch(clean, "quarantine")
+        assert len(caplog.records) == 1
+    with pytest.raises(ValueError, match="media_id=2"):
+        multimodal._auto_features_batch(pdf, "fail")
+    with pytest.raises(ValueError, match="quarantine|fail"):
+        multimodal.extract_features_auto(None, on_error="explode")
 
 
 def test_extract_features_auto_mixed_corpus(spark):
