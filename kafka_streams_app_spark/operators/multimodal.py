@@ -447,7 +447,14 @@ def png_decode(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        # zlib raises zlib.error (NOT a ValueError) on a corrupt or
+        # missing deflate stream; translate so the documented "raises
+        # ValueError on structural corruption" contract holds even for
+        # CRC-valid chunks whose compressed payload is garbage.
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     if color == 2:
         bpp, px_stride = 3, 3 * w
     else:
@@ -656,6 +663,12 @@ def _lzw_encode(indices: list[int], mcs: int) -> bytes:
 
 
 def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    if not 1 <= mcs <= 8:
+        # GIF color tables cap at 256 entries, so a valid min code size
+        # is <= 8; an unguarded corrupt byte here (e.g. 0xFF) would
+        # size the base table at 2^mcs — an allocation stall, not an
+        # exception, which no quarantine could catch.
+        raise ValueError(f"GIF LZW min code size {mcs} out of range")
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     width = mcs + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -862,6 +875,8 @@ def gif_decode_frames(
             continue
         if marker != 0x2C:
             raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
         _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         palette = global_palette                 # local tables don't leak
@@ -1699,7 +1714,9 @@ def _jpeg_decode_planes(payload: bytes, hdr: dict) -> dict:
     return planes
 
 
-def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
+def jpeg_decode(
+    payload: bytes, _hdr: dict | None = None
+) -> tuple[int, int, "list[list[int]]"]:
     """Baseline JPEG decoder (grayscale, single scan): full segment
     parse — DQT/DHT tables are READ from the stream, not assumed —
     then Huffman entropy decode (DC prediction, AC run/size, ZRL,
@@ -1709,7 +1726,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
     matching png_decode/gif_decode's error contract (r14 ADVICE: no
     IndexError/KeyError escapes, no walking past the end). Color
     streams (3-component YCbCr) decode via jpeg_decode_color."""
-    hdr = _jpeg_parse_headers(payload)
+    hdr = _hdr if _hdr is not None else _jpeg_parse_headers(payload)
     if len(hdr["comps"]) != 1:
         raise ValueError(
             "jpeg: this decoder handles 8-bit grayscale baseline "
@@ -1723,7 +1740,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, "list[list[int]]"]:
 
 
 def jpeg_decode_color(
-    payload: bytes,
+    payload: bytes, _hdr: dict | None = None,
 ) -> tuple[int, int, "list[list[tuple[int, int, int]]]"]:
     """Baseline YCbCr JPEG decoder (r14 verdict ask #6 — the one
     format class real corpora hit that the grayscale decoder lacked):
@@ -1743,7 +1760,7 @@ def jpeg_decode_color(
     evaluated in IEEE doubles, so a SQL engine replays the exact
     bytes. Returns (width, height, rows of (r, g, b)). Error contract
     identical to jpeg_decode."""
-    hdr = _jpeg_parse_headers(payload)
+    hdr = _hdr if _hdr is not None else _jpeg_parse_headers(payload)
     comps = hdr["comps"]
     if len(comps) != 3:
         raise ValueError(
@@ -2150,10 +2167,12 @@ def _auto_features_one(payload: bytes) -> tuple:
             return ("wav", ch, len(samples) // ch,
                     sum(samples), sum(s * s for s in samples), 0)
         if fmt == "jpeg":
-            if len(_jpeg_parse_headers(payload)["comps"]) == 1:
-                w, h, px = jpeg_decode(payload)
+            # parse headers ONCE; both decoders accept the parsed dict
+            hdr = _jpeg_parse_headers(payload)
+            if len(hdr["comps"]) == 1:
+                w, h, px = jpeg_decode(payload, _hdr=hdr)
                 return ("jpeg", w, h, sum(map(sum, px)), 0, 0)
-            w, h, rows = jpeg_decode_color(payload)
+            w, h, rows = jpeg_decode_color(payload, _hdr=hdr)
             fmt = "jpeg_color"
         elif fmt == "bmp":
             w, h, rows = bmp_decode(payload)

@@ -1085,3 +1085,39 @@ def test_extract_features_auto_mixed_corpus(spark):
     w, h, rows = multimodal.synth_bmp_pixels(0)
     assert (r3["width"], r3["height"]) == (w, h)
     assert r3["s0"] == sum(p[0] for r in rows for p in r)
+
+
+def test_decoder_error_contract_non_valueerror_escapes():
+    """Crash escapes found by adversarial review: exceptions that are
+    NOT ValueError subclasses used to leak through the decoders'
+    documented error contract (and therefore through the dispatch
+    quarantine) — zlib.error from a CRC-valid PNG with a corrupt
+    deflate stream, struct.error from a GIF truncated at the image
+    descriptor, and an allocation stall from a corrupt LZW min-code
+    size. All three must now raise ValueError and quarantine."""
+    import struct
+    import zlib
+
+    import pytest
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
+    bad_png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", b"notdeflate") + chunk(b"IEND", b""))
+    no_idat_png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IEND", b""))
+    bad_gif_desc = b"GIF89a" + b"\x00" * 7 + b"\x2c"
+    # valid screen descriptor + global table, then mcs byte 0xFF
+    gtab = bytes(range(6))  # 2-entry table
+    bad_gif_mcs = (b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x80, 0, 0)
+                   + gtab + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+                   + b"\xff" + b"\x01\x00" + b"\x00" + b"\x3b")
+    for payload in (bad_png, no_idat_png, bad_gif_desc, bad_gif_mcs):
+        with pytest.raises(ValueError):
+            (multimodal.png_decode if payload[:4] == b"\x89PN"
+             else multimodal.gif_decode)(payload)
+        fmt = multimodal._auto_features_one(payload)[0]
+        assert fmt.startswith("corrupt:"), payload[:8]
