@@ -1121,3 +1121,50 @@ def test_decoder_error_contract_non_valueerror_escapes():
              else multimodal.gif_decode)(payload)
         fmt = multimodal._auto_features_one(payload)[0]
         assert fmt.startswith("corrupt:"), payload[:8]
+
+
+def test_auto_features_mutation_fuzz_no_escapes():
+    """Seeded mutation fuzz: byte-flips and truncations of VALID
+    payloads from all six codec paths reach far deeper decoder states
+    than random bytes; every mutant must still yield a well-formed
+    dispatch tuple (decode, quarantine, or stand-in — never an
+    exception). The one-off 14,400-mutation sweep that found nothing
+    after the r15 escape fixes, kept at 1,800 mutations in-suite."""
+    import random
+
+    rng = random.Random(42)
+    valid = []
+    for mid in range(6):
+        cls = mid % 7
+        if cls == 0:
+            valid.append(multimodal.bmp_encode(*multimodal.synth_bmp_pixels(mid)))
+        elif cls == 1:
+            valid.append(multimodal.png_encode(*multimodal.synth_bmp_pixels(mid)))
+        elif cls == 2:
+            w, h = 4 + mid % 5, 3 + mid % 4
+            rows = [[(mid + 3 * x + 7 * y) % multimodal._GIF_NC
+                     for x in range(w)] for y in range(h)]
+            valid.append(multimodal.gif_encode(
+                w, h, multimodal._gif_palette(mid), rows,
+                interlace=bool(mid % 2)))
+        elif cls == 3:
+            valid.append(multimodal.wav_encode(*multimodal.synth_wav_samples(mid)))
+        elif cls == 4:
+            valid.append(multimodal.jpeg_encode_gray(*multimodal.synth_jpeg_pixels(mid)))
+        else:
+            w, h, yr, cb, cr = multimodal.synth_jpeg_color_pixels(mid)
+            valid.append(multimodal.jpeg_encode_color(w, h, yr, cb, cr, "420"))
+    for base in valid:
+        for _ in range(300):
+            b = bytearray(base)
+            mode = rng.random()
+            if mode < 0.4:
+                for _ in range(rng.randint(1, 4)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            elif mode < 0.7:
+                b = b[:rng.randrange(1, len(b))]
+            else:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+                b = b[:rng.randrange(4, len(b) + 1)]
+            out = multimodal._auto_features_one(bytes(b))
+            assert isinstance(out, tuple) and len(out) == 6
