@@ -1678,6 +1678,18 @@ def _q_text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_corpus_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 two-word collocations by fixed-point Dice score
+    (operators/pipeline.py:corpus_collocations — phrase mining for
+    tokenizer/vocabulary prep; Dice over PMI so the fixed-point form
+    is one int64-exact integer division with NO corpus-size product,
+    min_count=5 as the standard rare-pair floor). Deterministic total
+    order (dice_ppm desc, a, b) makes the top-k set engine-exact."""
+    return pipeline.corpus_collocations(
+        load_table(spark, sf, "documents"), k=100, min_count=5
+    )
+
+
 def _q_decontam_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring span decontamination (operators/pipeline.py:
     decontaminate_exact): benchmark spans (40-char slices of every
@@ -4896,6 +4908,40 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         JOIN big b ON t.doc_id = b.doc_id
         JOIN lns l ON t.doc_id = l.doc_id
     """),
+    # consecutive-bigram collocations: integer division is exact in
+    # both engines (Spark `div`, DuckDB FLOOR of a <2^53 quotient whose
+    # rational denominator spacing 1/(cnt_a+cnt_b) dwarfs double ulp)
+    "corpus_collocations": (_q_corpus_collocations, """
+        WITH toks AS (
+          SELECT list_filter(
+                   string_split_regex(lower(COALESCE(text, '')), '\\W+'),
+                   x -> x <> '') AS t
+          FROM documents
+        ),
+        pairs AS (
+          SELECT t[ii.i] AS a, t[ii.i + 1] AS b
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+          WHERE len(t) >= 2
+        ),
+        uni AS (
+          SELECT w, COUNT(*) AS cnt
+          FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ),
+        big AS (
+          SELECT a, b, COUNT(*) AS cnt_ab FROM pairs
+          GROUP BY a, b HAVING COUNT(*) >= 5
+        ),
+        scored AS (
+          SELECT big.a, big.b, big.cnt_ab,
+                 ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+                 CAST(FLOOR(2000000.0 * big.cnt_ab / (ua.cnt + ub.cnt))
+                      AS BIGINT) AS dice_ppm
+          FROM big
+          JOIN uni ua ON big.a = ua.w
+          JOIN uni ub ON big.b = ub.w
+        )
+        SELECT * FROM scored ORDER BY dice_ppm DESC, a, b LIMIT 100
+    """),
     "text_tfidf_topk": (_q_text_tfidf_topk, """
         WITH toks AS (
           SELECT doc_id, UNNEST(list_filter(
@@ -6607,7 +6653,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 _FRONT = [
     # (1) new in r15, never sampled
     "s_ivfpq_search", "multimodal_jpeg_color_decode", "s_embedding_dedup",
-    "multimodal_auto_features", "s_auto_features",
+    "multimodal_auto_features", "s_auto_features", "corpus_collocations",
     # (2) code changed in r15
     "multimodal_jpeg_decode", "s_winnow_candidates",
     "s_time_rolling_late", "dedup_minhash_lsh",
@@ -6627,11 +6673,12 @@ _FRONT = [
     "tpch_q19_disjunctive_revenue", "tpch_q22_idle_customers",
     "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # (4) oldest r12-signed fills (corpus_scrub_dup_spans,
-    # corpus_profile, and corpus_line_scrub displaced to r16 by the
-    # late-landing s_embedding_dedup / multimodal_auto_features /
-    # s_auto_features, holding exactly 50)
-    "a9_cohort_retention", "corpus_line_dedup",
+    # (4) oldest r12-signed fill (corpus_scrub_dup_spans,
+    # corpus_profile, corpus_line_scrub, and corpus_line_dedup
+    # displaced to r16 by the late-landing s_embedding_dedup /
+    # multimodal_auto_features / s_auto_features /
+    # corpus_collocations, holding exactly 50)
+    "a9_cohort_retention",
 ]
 assert set(_FRONT) <= set(_REGISTRY), sorted(set(_FRONT) - set(_REGISTRY))
 _ordered = _FRONT + [k for k in _REGISTRY if k not in set(_FRONT)]

@@ -326,6 +326,74 @@ def corpus_ngram_topk(
     )
 
 
+def corpus_collocations(
+    df: DataFrame, text_col: str = "text", k: int = 100, min_count: int = 5,
+) -> DataFrame:
+    """Top-k two-word collocations by fixed-point Dice score — the
+    phrase-mining primitive behind tokenizer vocabulary prep and
+    multi-word-expression detection (Smadja 1993's collocation
+    extraction; the same consecutive-bigram statistic Gensim's Phrases
+    scores). Dice(a,b) = 2*cnt(a,b)/(cnt(a)+cnt(b)) is chosen over PMI
+    deliberately: it needs NO corpus-size factor, so the fixed-point
+    form dice_ppm = (2e6 * cnt_ab) div (cnt_a + cnt_b) is a single
+    int64-exact integer division replayable bit-identically by any
+    engine (PMI's cnt_ab*N*1e6 product overflows int64 once N reaches
+    ~1e13 tokens — exactly the 100 TB regime), and it shares PMI's
+    rare-pair bias fix: the min_count floor (Church & Hanks 1990's
+    standard mitigation) drops pairs seen fewer than min_count times
+    BEFORE scoring. int64 bound: 2e6*cnt_ab < 2^63 holds until a
+    single bigram occurs 4.6e12 times; lift to DECIMAL(38,0) beyond.
+
+    Plan (zero Python): tokenize scan-stage -> consecutive pairs via
+    arrays_zip of the array with its own tail (JVM, no explode of
+    positions) -> bigram hash-agg [map-side combined] -> unigram
+    hash-agg -> two equi-joins on the term (vocabulary-sized sides;
+    AQE picks broadcast vs shuffle) -> TakeOrderedAndProject top-k on
+    the deterministic total order (score desc, a, b) — no global sort,
+    no collect, no per-doc state."""
+    from kafka_streams_app_spark.functions.text import tokens
+
+    toks = (
+        ensure_parallelism(df)
+        .select(tokens(F.col(text_col)).alias("_t"))
+    )
+    pairs = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.size("_t") - 1).alias("a"),
+                    F.slice("_t", 2, F.size("_t") - 1).alias("b"),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    big = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= min_count)
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("a"), F.col("cnt").alias("cnt_a")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("cnt").alias("cnt_b")), "b")
+        .withColumn(
+            "dice_ppm",
+            F.expr("(2000000 * cnt_ab) div (cnt_a + cnt_b)").cast("long"),
+        )
+    )
+    return (
+        scored.select("a", "b", "cnt_ab", "cnt_a", "cnt_b", "dice_ppm")
+        .orderBy(F.desc("dice_ppm"), "a", "b")
+        .limit(k)
+    )
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -988,3 +988,47 @@ def test_stratified_fixed_k_small_stratum_keeps_all(spark):
     out = pipeline.stratified_fixed_k(df, "source", "doc_id", k=10).collect()
     assert len(out) == 3
     assert sorted(r["sample_rank"] for r in out if r["source"] == "x") == [1, 2]
+
+
+def test_corpus_collocations_hand_corpus(spark):
+    """Dice arithmetic against hand computation: 'new york' appears 3x,
+    'new' 3x, 'york' 3x -> dice 2*3/(3+3)=1.0 -> 1_000_000 ppm;
+    'york is' 2x with cnt('is')=2 -> 2*2/(3+2)=0.8 -> 800_000. Null,
+    single-token, and empty docs contribute nothing; min_count drops
+    singleton pairs before scoring."""
+    from kafka_streams_app_spark.operators.pipeline import corpus_collocations
+
+    df = spark.createDataFrame(
+        [(1, "new york is big and new york is busy"),
+         (2, "the big apple new york"),
+         (3, "one token"),
+         (4, None),
+         (5, "x")],
+        "doc_id long, text string")
+    got = [tuple(r) for r in corpus_collocations(df, k=5, min_count=2).collect()]
+    assert got == [
+        ("new", "york", 3, 3, 3, 1_000_000),
+        ("york", "is", 2, 3, 2, 800_000),
+    ]
+    # min_count=1 admits the singleton pairs; top slot unchanged
+    all_pairs = corpus_collocations(df, k=100, min_count=1).collect()
+    assert all_pairs[0]["dice_ppm"] == 1_000_000
+    assert all(r["cnt_ab"] >= 1 for r in all_pairs)
+
+
+def test_corpus_collocations_deterministic_tie_order(spark):
+    """Equal-score pairs must order by (a, b) so the top-k SET is a
+    pure function of the corpus — the property the oracle hash needs."""
+    from kafka_streams_app_spark.operators.pipeline import corpus_collocations
+
+    # two disjoint perfect collocations, each 2x: identical dice score
+    df = spark.createDataFrame(
+        [(1, "aa bb cc. aa bb cc"), (2, "zz yy. zz yy")],
+        "doc_id long, text string")
+    got = [(r["a"], r["b"]) for r in
+           corpus_collocations(df, k=10, min_count=2).collect()]
+    # all three qualifying pairs tie at dice 1.0 -> pure (a, b) order
+    assert got == [("aa", "bb"), ("bb", "cc"), ("zz", "yy")]
+    # truncation keeps the lexicographically-first of the tied block
+    top1 = corpus_collocations(df, k=1, min_count=2).collect()[0]
+    assert (top1["a"], top1["b"]) == ("aa", "bb")
