@@ -415,3 +415,43 @@ def test_auto_features_total_on_arbitrary_bytes(prefix, body):
         # provenance: the sniffed container rides along
         assert base[1] == _mm.sniff_format(payload)
         assert (w, h, s0, s1, s2) == (0, 0, 0, 0, 0)
+
+
+# --- collocation mining vs a pure-Python reference -------------------------
+
+from kafka_streams_app_spark.operators.pipeline import corpus_collocations as _colloc
+
+
+def _colloc_reference(texts, k, min_count):
+    """Counter-based Dice reference replaying the operator contract."""
+    import re
+    from collections import Counter
+
+    split = re.compile(r"\W+", re.ASCII)
+    uni, big = Counter(), Counter()
+    for t in texts:
+        if not isinstance(t, str):
+            continue
+        toks = [w for w in split.split(t.lower()) if w]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    rows = [
+        (a, b, c, uni[a], uni[b], (2_000_000 * c) // (uni[a] + uni[b]))
+        for (a, b), c in big.items() if c >= min_count
+    ]
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return rows[:k]
+
+
+@given(
+    texts=st.lists(_WORDS, min_size=1, max_size=10),
+    k=st.integers(min_value=1, max_value=8),
+    min_count=st.integers(min_value=1, max_value=3),
+)
+@_SETTINGS
+def test_corpus_collocations_matches_reference(spark, texts, k, min_count):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in _colloc(df, k=k, min_count=min_count).collect()]
+    assert got == _colloc_reference(texts, k, min_count)

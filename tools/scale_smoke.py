@@ -1503,6 +1503,41 @@ def autodispatch_main() -> None:
     }))
 
 
+def collocations_main() -> None:
+    """corpus_collocations at sf0.1 and x10 (content-disjoint replicas:
+    every token gets a replica prefix, so vocabulary AND bigram space
+    grow ~10x while per-pair counts stay flat — the worst case for the
+    vocab joins, since nothing deduplicates). Expect ~linear wall in
+    rows; a superlinear ratio would flag the join or top-k doing more
+    than one pass. Both sides warmed."""
+    from kafka_streams_app_spark.operators.pipeline import corpus_collocations
+
+    spark = get_spark(app_name="collocations-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    big_dir = build_docs(spark, 10)
+
+    def run(sf_dir):
+        return corpus_collocations(
+            load_table(spark, sf_dir, "documents"), k=100, min_count=5
+        )
+
+    results = {}
+    for label, d in (("base_sf0.1", BASE), ("x10", big_dir)):
+        run(d).write.format("noop").mode("overwrite").save()  # warm
+        n = load_table(spark, d, "documents").count()
+        sec = timed(run, d)
+        results[label] = sec
+        print(json.dumps({
+            "shape": "corpus_collocations", "scale": label,
+            "rows": n, "sec": sec,
+        }))
+    print(json.dumps({
+        "shape": "corpus_collocations", "scale": "ratio",
+        "ratio": round(results["x10"] / results["base_sf0.1"], 2)
+        if results.get("base_sf0.1") else None,
+    }))
+
+
 def skew_main() -> None:
     """r12 verdict #5: wall-clock proof that the skew remedies WIN on a
     hot key, not just match the plain forms' results.
@@ -1653,6 +1688,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "autodispatch":
         autodispatch_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "collocations":
+        collocations_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]  # substring filters over runner names
