@@ -4908,9 +4908,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         JOIN big b ON t.doc_id = b.doc_id
         JOIN lns l ON t.doc_id = l.doc_id
     """),
-    # consecutive-bigram collocations: integer division is exact in
-    # both engines (Spark `div`, DuckDB FLOOR of a <2^53 quotient whose
-    # rational denominator spacing 1/(cnt_a+cnt_b) dwarfs double ulp)
+    # consecutive-bigram collocations: INTEGER division on both sides
+    # (Spark `div`, DuckDB `//`) — exact at ANY count magnitude, unlike
+    # FLOOR of a double quotient, whose half-ulp near 2e6 overtakes the
+    # rational spacing 1/(cnt_a+cnt_b) once counts reach ~4e9 (the
+    # review-caught divergence regime; gate scales never hit it, but
+    # the engine-exactness claim must hold where the operator is
+    # advertised to run)
     "corpus_collocations": (_q_corpus_collocations, """
         WITH toks AS (
           SELECT list_filter(
@@ -4934,7 +4938,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         scored AS (
           SELECT big.a, big.b, big.cnt_ab,
                  ua.cnt AS cnt_a, ub.cnt AS cnt_b,
-                 CAST(FLOOR(2000000.0 * big.cnt_ab / (ua.cnt + ub.cnt))
+                 CAST((2000000 * big.cnt_ab) // (ua.cnt + ub.cnt)
                       AS BIGINT) AS dice_ppm
           FROM big
           JOIN uni ua ON big.a = ua.w

@@ -1117,7 +1117,7 @@ def test_decoder_error_contract_non_valueerror_escapes():
                    + b"\xff" + b"\x01\x00" + b"\x00" + b"\x3b")
     for payload in (bad_png, no_idat_png, bad_gif_desc, bad_gif_mcs):
         with pytest.raises(ValueError):
-            (multimodal.png_decode if payload[:4] == b"\x89PN"
+            (multimodal.png_decode if payload[:4] == b"\x89PNG"
              else multimodal.gif_decode)(payload)
         fmt = multimodal._auto_features_one(payload)[0]
         assert fmt.startswith("corrupt:"), payload[:8]
@@ -1134,8 +1134,8 @@ def test_auto_features_mutation_fuzz_no_escapes():
 
     rng = random.Random(42)
     valid = []
-    for mid in range(6):
-        cls = mid % 7
+    for cls in range(6):
+        mid = cls
         if cls == 0:
             valid.append(multimodal.bmp_encode(*multimodal.synth_bmp_pixels(mid)))
         elif cls == 1:
