@@ -1050,6 +1050,12 @@ def scrub_duplicated_spans(
         F.col("_n") >= k,
         F.element_at(F.transform(F.array(F.col("_t")), _shingle_structs), 1),
     ).otherwise(F.array().cast("array<struct<i:int,h:long>>"))
+    # NOTE (r15 measurement): occ feeds three plan subtrees, so the
+    # tokenizer + md5 shingle chain recompute per subtree. A
+    # localCheckpoint here was tried and REVERTED: materializing the
+    # (tokens, shingle-structs) arrays through the block manager
+    # measured 4.2 s vs 2.8 s recomputed at sf0.1 — the arrays are
+    # wider than the arithmetic they save. Recompute wins.
     occ = base.withColumn("_sh", sh)
     # per-doc DISTINCT hashes feed the df counter: the exchange carries
     # each (doc, shingle) once even when a doc repeats a run internally
@@ -1187,10 +1193,23 @@ def dsir_score(
     raw_occ = ensure_parallelism(corpus).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
     ).withColumn("_b", portable_bucket(F.col("_tok"), n_buckets))
+    # (doc, bucket) pair table, checkpointed: the raw corpus feeds BOTH
+    # the raw model (an EAGER driver collect below) and the per-doc
+    # scoring aggregate — without materialization the corpus is
+    # tokenized + md5-bucketed twice per invocation. The pair table
+    # (<= docs x min(tokens, n_buckets) rows of three ints, map-side
+    # combined before its one shuffle) is strictly smaller than the
+    # token stream it replaces, and both consumers read it instead of
+    # re-scanning text. Recomputed fresh per invocation.
+    pairs = (
+        raw_occ.groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
     tgt_occ = target.select(
         F.explode(tokens(F.col(text_col))).alias("_tok")
     ).select(portable_bucket(F.col("_tok"), n_buckets).alias("_b"))
-    rc = raw_occ.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    rc = pairs.groupBy("_b").agg(F.sum("_cnt").alias("_rc"))
     tc = tgt_occ.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
     model = (
         rc.join(tc, "_b", "full_outer")
@@ -1217,14 +1236,18 @@ def dsir_score(
         ],
         "_b long, _ratio_e6 long",
     )
+    # weighted form over the pair table: sum(ratio * cnt) == the
+    # per-occurrence sum term-for-term (exact integer arithmetic in
+    # DECIMAL(38,0)), and sum(cnt) == count(1) over occurrences, so
+    # the floor-div and the LONG cast produce identical values
     scored = (
-        raw_occ.join(F.broadcast(ratio), "_b")
+        pairs.join(F.broadcast(ratio), "_b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_cnt").alias("n_tokens"),
             F.expr(
-                "CAST(sum(CAST(_ratio_e6 AS DECIMAL(38,0)))"
-                " div count(1) AS LONG)"
+                "CAST(sum(CAST(_ratio_e6 AS DECIMAL(38,0)) * _cnt)"
+                " div sum(_cnt) AS LONG)"
             ).alias("score_e6"),
         )
     )
@@ -1318,10 +1341,19 @@ def softdedup_weights(
     dup_shingles, weight_ppm.
     """
     src = ensure_parallelism(df)
-    ex = src.select(
+    # localCheckpoint the per-doc DISTINCT shingle arrays: they feed
+    # both the df counter and the per-doc join side, and without
+    # materialization each subtree re-runs the Arrow shingle UDF over
+    # the corpus (2 tokenize passes in the physical plan). The
+    # materialized rows are (id, shingle array) — the same inverted-
+    # index payload the shuffle already carries — and the id-only left
+    # branch below reads ids from the checkpoint instead of a third
+    # scan. Recomputed fresh per invocation (no cross-run reuse).
+    sh_tbl = src.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles_udf(k)(F.col(text))).alias("_s"),
-    )
+        shingles_udf(k)(F.col(text)).alias("_sha"),
+    ).localCheckpoint(eager=True)
+    ex = sh_tbl.select("_id", F.explode("_sha").alias("_s"))
     sdf = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         ex.join(sdf, "_s")
@@ -1333,10 +1365,9 @@ def softdedup_weights(
             ),
         )
     )
-    # left join back against the RAW id column so 0-shingle docs keep
-    # weight 1e6 (and the shingle UDF is never evaluated a second time
-    # on this branch — ids come straight off the scan)
-    out = src.select(F.col(id_col).alias("_id")).join(
+    # left join back against the full id set so 0-shingle docs keep
+    # weight 1e6 (explode drops their rows from `ex`)
+    out = sh_tbl.select("_id").join(
         per_doc, "_id", "left"
     ).select(
         F.col("_id").alias(id_col),

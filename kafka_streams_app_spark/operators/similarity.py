@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from kafka_streams_app_spark.engine import ensure_parallelism
-from kafka_streams_app_spark.functions.vectors import as_double, cosine
+from kafka_streams_app_spark.functions.vectors import as_double, dot, norm
 
 
 def embedding_dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
@@ -59,19 +59,26 @@ def cosine_topk(
     Output: query_id, neighbor_id, cos_sim (double), rank.
     Excludes the query row itself. Ties broken by neighbor_id so the
     result set is deterministic.
+
+    Norms are hoisted to ONE fold per vector before the cross join
+    (dedup_embedding_cosine's discipline): cosine() per pair would
+    re-fold both norms for every (query, neighbor) pair — 3x the
+    interpreted-HOF work on the O(n*q) scored rows. dot/(qn*cn) is the
+    same fold and operation order as cosine(), hence bit-identical.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", norm(F.col("_cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            (dot(F.col("_qv"), F.col("_cv"))
+             / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -195,15 +202,20 @@ def lsh_ann_topk(
     vectorized pass (see _bucketed) and exploded to (table, bucket)
     rows, giving a single equi-join against the broadcast query buckets.
     """
+    # norms once per vector BEFORE the bucket explode (and so before
+    # the candidate join): cosine() per candidate pair would re-fold
+    # both norms per pair; dot/(qn*cn) is the same fold and op order,
+    # bit-identical (see dedup_embedding_cosine's note)
     q = _bucketed(
         queries.select(F.col(id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("_qv")),
+                       as_double(F.col(vec_col)).alias("_qv"))
+        .withColumn("_qn", norm(F.col("_qv"))),
         "query_id", "_qv", dim, n_planes, n_tables, seed, plane_fn,
     )
     c = _bucketed(
         ensure_parallelism(corpus).select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-        ),
+        ).withColumn("_cn", norm(F.col("_cv"))),
         "neighbor_id", "_cv", dim, n_planes, n_tables, seed, plane_fn,
     )
     cand = (
@@ -212,11 +224,13 @@ def lsh_ann_topk(
             on=(c["_tbl"] == q["_tbl"]) & (c["_bkt"] == q["_bkt"])
             & (c["neighbor_id"] != q["query_id"]),
         )
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+        "query_id", "neighbor_id",
+        (dot(F.col("_qv"), F.col("_cv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -274,20 +288,24 @@ def ivf_topk(
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # stable: cid order on ties
         return pd.Series([cids[i] for i in idx])
 
+    # norms once per vector before the candidate join (not per pair via
+    # cosine() — same fold/op order, bit-identical; see cosine_topk)
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", norm(F.col("_cv")))
     c = c.withColumn("_cl", assign(F.col("_cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    )
-    q = q.select("query_id", "_qv", F.explode(probes(F.col("_qv"))).alias("_cl"))
+    ).withColumn("_qn", norm(F.col("_qv")))
+    q = q.select("query_id", "_qv", "_qn", F.explode(probes(F.col("_qv"))).alias("_cl"))
     cand = c.join(
         F.broadcast(q),
         on=(c["_cl"] == q["_cl"]) & (c["neighbor_id"] != q["query_id"]),
-    ).select("query_id", "neighbor_id", "_qv", "_cv")
+    ).select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+        "query_id", "neighbor_id",
+        (dot(F.col("_qv"), F.col("_cv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -405,6 +423,16 @@ def semdedup(
     from kafka_streams_app_spark.functions.vectors import norm as _norm
 
     base = base.withColumn("_n", _norm(F.col("_v")))
+    # localCheckpoint: base feeds THREE plan subtrees (both self-join
+    # sides and the survivor anti-join), and without materialization
+    # each subtree re-runs the scan + Arrow assignment pass + norm fold
+    # (measured: 3 ArrowEvalPython nodes in the physical plan).
+    # Checkpointing computes the assignment ONCE and truncates lineage —
+    # the dedup_minhash_lsh pattern; at cluster scale the blocks are
+    # (id, vec, cl, norm) rows, strictly smaller than three re-reads +
+    # re-assignments of the corpus. Recomputed fresh per invocation (no
+    # cross-run reuse — CacheManager plan matching is not involved).
+    base = base.localCheckpoint(eager=True)
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_cl").alias("_cla"),
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
@@ -524,18 +552,21 @@ def hard_negatives(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("_al"),
         as_double(F.col(vec_col)).alias("_qv"),
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("negative_id"),
         F.col(label_col).alias("neg_label"),
         as_double(F.col(vec_col)).alias("_cv"),
-    )
+    ).withColumn("_cn", norm(F.col("_cv")))
+    # norms hoisted to once per vector; dot/(qn*cn) is cosine()'s exact
+    # fold and op order — bit-identical (see cosine_topk)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neg_label") != F.col("_al"))
         .select(
             "anchor_id", "negative_id", "neg_label",
-            cosine(F.col("_qv"), F.col("_cv")).alias("_cs"),
+            (dot(F.col("_qv"), F.col("_cv"))
+             / (F.col("_qn") * F.col("_cn"))).alias("_cs"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -583,12 +614,15 @@ def hard_negatives_ann(
 
     Output: anchor_id, negative_id, neg_label, rank, cos_sim (6dp).
     """
+    # norms once per vector BEFORE the bucket explode and candidate
+    # join (not per pair via cosine() — same fold/op order,
+    # bit-identical; see cosine_topk)
     q = _bucketed(
         anchors.select(
             F.col(id_col).alias("anchor_id"),
             F.col(label_col).alias("_al"),
             as_double(F.col(vec_col)).alias("_qv"),
-        ),
+        ).withColumn("_qn", norm(F.col("_qv"))),
         "anchor_id", "_qv", dim, n_planes, n_tables, seed, plane_fn,
     )
     c = _bucketed(
@@ -596,7 +630,7 @@ def hard_negatives_ann(
             F.col(id_col).alias("negative_id"),
             F.col(label_col).alias("neg_label"),
             as_double(F.col(vec_col)).alias("_cv"),
-        ),
+        ).withColumn("_cn", norm(F.col("_cv"))),
         "negative_id", "_cv", dim, n_planes, n_tables, seed, plane_fn,
     )
     cand = (
@@ -606,12 +640,14 @@ def hard_negatives_ann(
             & (c["negative_id"] != q["anchor_id"])
             & (c["neg_label"] != q["_al"]),
         )
-        .select("anchor_id", "negative_id", "neg_label", "_qv", "_cv")
+        .select("anchor_id", "negative_id", "neg_label",
+                "_qv", "_qn", "_cv", "_cn")
         .dropDuplicates(["anchor_id", "negative_id"])
     )
     scored = cand.select(
         "anchor_id", "negative_id", "neg_label",
-        cosine(F.col("_qv"), F.col("_cv")).alias("_cs"),
+        (dot(F.col("_qv"), F.col("_cv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("_cs"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("_cs").desc(), F.col("negative_id")

@@ -376,32 +376,66 @@ def hll_setops(
     (b dial) or a theta/KMV sketch.
 
     Output: ONE row — est_a, est_b, est_union, est_intersect.
+
+    Plan: ONE scan of the union builds a per-bucket row carrying BOTH
+    sides' max_rho (max(when(side, rho)) — the same register values
+    groupBy(_side, bucket).max would produce, null where a side never
+    hit the bucket), and one global aggregate reads out all three
+    estimates: per-side denominators sum only that side's non-null
+    registers (F.sum skips nulls) with the empty-register closed form
+    over m - count(side regs), and the union register is
+    greatest(ra, rb) (null-skipping), i.e. exactly the max-merge.
+    Every integer and the single NUM/denom division per estimate are
+    unchanged from the hll_registers/hll_estimate formulation, so the
+    output row is bit-identical — but the inputs are scanned ONCE
+    instead of three times (the previous est_a/est_b/est_union
+    subtrees each re-ran the union scan + register aggregate).
     """
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    num = hll_alpha(m) * m * m * float(1 << (w_bits + 1))
     tagged = df_a.select(
         F.lit("a").alias("_side"), F.col(value).alias("_v")
     ).unionByName(df_b.select(F.lit("b").alias("_side"), F.col(value).alias("_v")))
-    regs = hll_registers(tagged, ["_side"], "_v", b)
-    # ONE aggregate builds both sides' registers; the union table is a
-    # 2*m-row max-merge of it, never a second scan of the inputs.
-    sides = hll_estimate(regs, ["_side"], b)
-    union_regs = regs.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
-    est_u = hll_estimate(union_regs, [], b).select(
-        F.col("est_distinct").alias("est_union")
-    )
-    est_a = sides.filter(F.col("_side") == "a").select(
-        F.col("est_distinct").alias("est_a")
-    )
-    est_b = sides.filter(F.col("_side") == "b").select(
-        F.col("est_distinct").alias("est_b")
-    )
-    # three one-row frames: broadcast cross joins are scalar glue
-    return (
-        est_a.crossJoin(F.broadcast(est_b))
-        .crossJoin(F.broadcast(est_u))
-        .select(
-            "est_a", "est_b", "est_union",
-            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
-                "est_intersect"
-            ),
+    bucket, rho = hll_bucket_rho(F.col("_v"), b)
+    per_bucket = (
+        tagged.select("_side", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("_side") == "a", F.col("rho"))).alias("_ra"),
+            F.max(F.when(F.col("_side") == "b", F.col("rho"))).alias("_rb"),
         )
+        .select(
+            "_ra", "_rb",
+            # union register = max over both sides; greatest skips nulls
+            F.greatest("_ra", "_rb").alias("_ru"),
+        )
+    )
+
+    def _est(reg: str):
+        # identical arithmetic to hll_estimate: exact-int denominator
+        # (occupied 2^(W+1-M_j) terms + closed-form empty registers),
+        # then the ONE double division with the same literal numerator
+        occupied = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({w_bits + 1} - {reg} AS INT))"
+        )
+        denom = F.sum(occupied) + (
+            (F.lit(m) - F.count(reg)) * F.lit(1 << (w_bits + 1))
+        )
+        return F.lit(num) / denom.cast("double")
+
+    return per_bucket.groupBy().agg(
+        _est("_ra").alias("est_a"),
+        _est("_rb").alias("est_b"),
+        _est("_ru").alias("est_union"),
+    ).select(
+        "est_a", "est_b", "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersect"
+        ),
+    ).filter(
+        # an EMPTY side leaves its F.sum all-null => NULL estimate; the
+        # previous crossJoin formulation returned zero rows there —
+        # preserve that contract exactly
+        F.col("est_a").isNotNull() & F.col("est_b").isNotNull()
     )
