@@ -1327,9 +1327,14 @@ def _q_dedup_minhash_cross(spark: SparkSession, sf: str) -> DataFrame:
     (operators/dedup.py:dedup_minhash_lsh_cross). Oracle = brute-force
     cross Jaccard (recall ~1 at 0.8 by the 64x2 band construction)."""
     docs = load_table(spark, sf, "documents")
-    ref = docs.filter(F.col("doc_id") % 10 < 3)
-    new = docs.filter(F.col("doc_id") % 10 >= 2)
-    return dedup.dedup_minhash_lsh_cross(new, ref, "text", "doc_id")
+    # both corpora are slices of ONE table, so the sliced variant
+    # computes the fused shingle+band pass once over new|ref instead of
+    # once per side (output-identical; r15 CSE, see
+    # dedup_minhash_lsh_cross_sliced)
+    return dedup.dedup_minhash_lsh_cross_sliced(
+        docs, F.col("doc_id") % 10 >= 2, F.col("doc_id") % 10 < 3,
+        "text", "doc_id",
+    )
 
 
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -1787,9 +1792,13 @@ def _q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     bucket models, the HUGEINT floor-div ratios, and the ordered
     selection."""
     docs = load_table(spark, sf, "documents")
+    # the target is a slice of the corpus itself, so the target model
+    # is a partial sum of the corpus pair table — its text is never
+    # tokenized a second time (r15, target_within_corpus)
     return pipeline.dsir_score(
         docs, docs.filter(F.col("lang") == "en"),
         "text", "doc_id", n_buckets=1024, top_n=200,
+        target_within_corpus=True,
     )
 
 

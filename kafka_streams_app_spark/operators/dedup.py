@@ -970,6 +970,87 @@ def dedup_minhash_lsh_cross(
         b.unpersist()
 
 
+def dedup_minhash_lsh_cross_sliced(
+    df: DataFrame,
+    new_cond,
+    ref_cond,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """dedup_minhash_lsh_cross for the common decontam shape where BOTH
+    corpora are SLICES of one table (train/eval splits of the same
+    lake, a holdout predicate, an id-range boundary): output-identical
+    to dedup_minhash_lsh_cross(df.filter(new_cond), df.filter(ref_cond),
+    ...) but the fused shingle+band Arrow pass runs ONCE over
+    df.filter(new_cond | ref_cond) instead of once per side.
+
+    Why it exists (r15 measurement, sf0.1): the two signature passes
+    were 2.6 s of the generic form's 3.0 s wall; with overlapping
+    slices (here new|ref = the whole corpus, overlap re-tokenized
+    twice) the shared pass tokenizes each document exactly once —
+    classic common-subexpression elimination the optimizer cannot do
+    across two .filter() pipelines of the same scan because the Arrow
+    UDF is opaque. At 100 TB the saving is a full corpus read +
+    tokenize whenever the slices overlap or the ref slice is large.
+
+    new_cond / ref_cond are Columns over df's schema, evaluated before
+    any renaming; membership flags ride the persisted signature table
+    (2 booleans/row). Band join, candidate distinct, and the exact-
+    Jaccard verify are expression-for-expression the generic form's,
+    so every pair and every jac double is bit-identical.
+    """
+    ss = _shingle_sig_udf(k)
+    sig = (
+        ensure_parallelism(df.filter(new_cond | ref_cond))
+        .select(
+            F.col(id_col).alias("_id"),
+            new_cond.alias("_in_new"),
+            ref_cond.alias("_in_ref"),
+            ss(F.col(text)).alias("_ss"),
+        )
+        .filter(F.size("_ss.sh") > 0)
+        .select(
+            "_id", "_in_new", "_in_ref",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(F.col("_ss.sh"), lambda s: F.xxhash64(s))
+                )
+            ).alias("_sh"),
+            F.col("_ss.bh").alias("_bh"),
+        )
+        .persist()
+    )
+    a = sig.filter("_in_new").select(
+        F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"), "_bh"
+    )
+    b = sig.filter("_in_ref").select(
+        F.col("_id").alias("doc_b"), F.col("_sh").alias("_sb"), "_bh"
+    )
+    cand = (
+        a.select("doc_a", F.explode("_bh").alias("bh"))
+        .join(b.select("doc_b", F.explode("_bh").alias("bh")), "bh")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    joined = (
+        cand.join(a.select("doc_a", "_sa"), "doc_a")
+        .join(b.select("doc_b", "_sb"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = inter.cast("double") / union
+    try:
+        return (
+            joined.select("doc_a", "doc_b", jac.alias("jac"))
+            .filter((F.col("jac") >= threshold) & (inter > 0))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sig.unpersist()
+
+
 def embedding_dedup_candidates_stream(
     df: DataFrame,
     corpus: DataFrame,

@@ -1155,6 +1155,7 @@ def dsir_score(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     top_n: int | None = None,
+    target_within_corpus: bool = False,
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", arXiv:2302.03169):
@@ -1206,11 +1207,28 @@ def dsir_score(
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .localCheckpoint(eager=True)
     )
-    tgt_occ = target.select(
-        F.explode(tokens(F.col(text_col))).alias("_tok")
-    ).select(portable_bucket(F.col("_tok"), n_buckets).alias("_b"))
     rc = pairs.groupBy("_b").agg(F.sum("_cnt").alias("_rc"))
-    tc = tgt_occ.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    if target_within_corpus:
+        # Caller asserts target's rows are a SUBSET of corpus's rows on
+        # id_col with identical text (the "curated slice of the same
+        # lake" DSIR shape, e.g. lang='en' docs). Then the target model
+        # is a partial sum of the pair table — sum(_cnt) over the
+        # target ids per bucket is term-for-term the occurrence count
+        # the tokenize pass would produce (exact ints) — and the
+        # target's TEXT is never read or tokenized a second time: the
+        # join needs only its id column (a pruned metadata scan; at
+        # 100 TB that skips a full decode+tokenize of the slice, here
+        # measured ~0.5 s of the 2.0 s query at sf0.1).
+        tc = (
+            pairs.join(target.select(F.col(id_col)), id_col)
+            .groupBy("_b")
+            .agg(F.sum("_cnt").alias("_tc"))
+        )
+    else:
+        tgt_occ = target.select(
+            F.explode(tokens(F.col(text_col))).alias("_tok")
+        ).select(portable_bucket(F.col("_tok"), n_buckets).alias("_b"))
+        tc = tgt_occ.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
     model = (
         rc.join(tc, "_b", "full_outer")
         .select(
