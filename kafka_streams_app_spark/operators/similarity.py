@@ -218,19 +218,30 @@ def lsh_ann_topk(
         ).withColumn("_cn", norm(F.col("_cv"))),
         "neighbor_id", "_cv", dim, n_planes, n_tables, seed, plane_fn,
     )
-    cand = (
+    # Score BEFORE the (query, neighbor) dedup: a pair seen in several
+    # tables scores the same cos_sim from the same two vectors (same
+    # fold, same operation order — identical double), so deduping the
+    # scored rows keeps the identical result set while the vectors are
+    # consumed MAP-SIDE and never cross an exchange (guide §2.3 —
+    # previously the dropDuplicates shuffle carried _qv/_cv per
+    # candidate row). The explicit repartition by query_id then lets
+    # the dedup aggregate AND the top-k window share ONE exchange
+    # (hash(query_id) co-locates every (query_id, neighbor_id) group —
+    # guide §2.4): 2 Exchange -> 1, and the one exchange carries
+    # (id, id, double) rows only.
+    scored = (
         c.join(
             F.broadcast(q),
             on=(c["_tbl"] == q["_tbl"]) & (c["_bkt"] == q["_bkt"])
             & (c["neighbor_id"] != q["query_id"]),
         )
-        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("_qv"), F.col("_cv"))
+             / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
+        )
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        (dot(F.col("_qv"), F.col("_cv"))
-         / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -496,31 +507,49 @@ def kmeans_lloyd(
     Output: (id_col, cluster_id) after `iters` refinements, cluster_id
     = the INITIAL sample row's id (stable labels across iterations).
     """
-    cids, cmat = _int_codebook(corpus, id_col, vec_col, centroid_mod)
+    # persist the (id, double-vector) points across iterations: Lloyd
+    # makes iters+2 full passes (the codebook-seed collect, one
+    # assignment per refinement round, and the final labeling), and
+    # without a cache every pass re-reads the parquet and re-runs the
+    # as_double conversion — at 100 TB that is iters+2 reads of the
+    # lake, the classic un-cached-Lloyd mistake (guide §5: reuse
+    # across actions is THE persist case). The cached rows are exactly
+    # the working set (id, array<double>), released before returning
+    # via the eager localCheckpoint of the final (id, cluster)
+    # labeling (the dedup_minhash_lsh discipline — no cached blocks
+    # outlive the call). The codebook seed is read off the SAME cached
+    # table (as_double over an already-double array is a no-op cast,
+    # so _int_codebook sees identical vectors).
     base = corpus.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
-    )
+    ).persist()
+    cids, cmat = _int_codebook(base, "_id", "_v", centroid_mod)
     qarr = F.transform(F.col("_v"), lambda x: F.floor(x * 1e6).cast("long"))
     row_of = {int(c): j for j, c in enumerate(cids)}
-    for _ in range(iters):
-        assign = _nearest_cid_udf(cids, cmat)
-        stats = (
-            base.withColumn("_cl", assign(F.col("_v")))
-            .select("_cl", F.posexplode(qarr).alias("_pos", "_q"))
-            .groupBy("_cl", "_pos")
-            .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )
-        nxt = cmat.copy()
-        for r in stats:
-            nxt[row_of[int(r["_cl"])], int(r["_pos"])] = (
-                int(r["_s"]) // int(r["_n"])
+    try:
+        for _ in range(iters):
+            assign = _nearest_cid_udf(cids, cmat)
+            stats = (
+                base.withColumn("_cl", assign(F.col("_v")))
+                .select("_cl", F.posexplode(qarr).alias("_pos", "_q"))
+                .groupBy("_cl", "_pos")
+                .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .collect()
             )
-        cmat = nxt
-    assign = _nearest_cid_udf(cids, cmat)
-    return base.withColumn("_cl", assign(F.col("_v"))).select(
-        F.col("_id").alias(id_col), F.col("_cl").alias("cluster_id")
-    )
+            nxt = cmat.copy()
+            for r in stats:
+                nxt[row_of[int(r["_cl"])], int(r["_pos"])] = (
+                    int(r["_s"]) // int(r["_n"])
+                )
+            cmat = nxt
+        assign = _nearest_cid_udf(cids, cmat)
+        return (
+            base.withColumn("_cl", assign(F.col("_v")))
+            .select(F.col("_id").alias(id_col), F.col("_cl").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
 
 
 def hard_negatives(
@@ -633,21 +662,24 @@ def hard_negatives_ann(
         ).withColumn("_cn", norm(F.col("_cv"))),
         "negative_id", "_cv", dim, n_planes, n_tables, seed, plane_fn,
     )
-    cand = (
+    # score before the (anchor, negative) dedup and share ONE
+    # hash(anchor_id) exchange between the dedup aggregate and the
+    # top-k window — identical doubles per pair across tables, vectors
+    # consumed map-side, 2 Exchange -> 1 (see lsh_ann_topk's note)
+    scored = (
         c.join(
             F.broadcast(q),
             on=(c["_tbl"] == q["_tbl"]) & (c["_bkt"] == q["_bkt"])
             & (c["negative_id"] != q["anchor_id"])
             & (c["neg_label"] != q["_al"]),
         )
-        .select("anchor_id", "negative_id", "neg_label",
-                "_qv", "_qn", "_cv", "_cn")
+        .select(
+            "anchor_id", "negative_id", "neg_label",
+            (dot(F.col("_qv"), F.col("_cv"))
+             / (F.col("_qn") * F.col("_cn"))).alias("_cs"),
+        )
+        .repartition("anchor_id")
         .dropDuplicates(["anchor_id", "negative_id"])
-    )
-    scored = cand.select(
-        "anchor_id", "negative_id", "neg_label",
-        (dot(F.col("_qv"), F.col("_cv"))
-         / (F.col("_qn") * F.col("_cn"))).alias("_cs"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("_cs").desc(), F.col("negative_id")
