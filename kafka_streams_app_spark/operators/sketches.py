@@ -215,9 +215,30 @@ def cms_topk(
 
     Output: item (string), est_cnt.
     """
-    sketch = cms_sketch(df, value, d, w)
     if candidates is None:
-        candidates = df.select(F.col(value).cast("string").alias("item")).distinct()
+        # Self-scored mode: the full distinct AND the sketch previously
+        # each scanned df (two reads + a value-keyed exchange each).
+        # Both now derive from ONE per-item count aggregate — the cell
+        # count is the sum of its items' exact counts (identical
+        # integers: every raw row contributes its d cells exactly once
+        # either way, nulls included), and the candidate set is the
+        # aggregate's key column. The two consumers share the same
+        # scan -> partial-count -> Exchange(item) subtree, which Spark
+        # reuses (ReusedExchange), so df is scanned ONCE and the raw
+        # rows cross one exchange pre-combined (guide §2.4).
+        counts = df.groupBy(
+            F.col(value).cast("string").alias("item")
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        sketch = (
+            counts.select(
+                F.explode(cms_cells(F.col("item"), d, w)).alias("cell"), "_n"
+            )
+            .groupBy("cell")
+            .agg(F.sum("_n").cast("long").alias("cnt"))
+        )
+        candidates = counts.select("item")
+    else:
+        sketch = cms_sketch(df, value, d, w)
     cand_col = candidates.columns[0]
     cand = (
         candidates.select(F.col(cand_col).cast("string").alias("item"))

@@ -109,6 +109,25 @@ def test_cms_estimate_is_upper_bound_and_tight_for_heavy(spark):
         assert r.est_cnt >= truth[r.item]
 
 
+def test_cms_topk_self_scored_equals_explicit_candidates(spark):
+    """The r15 self-scored fast path (candidates=None: sketch + item
+    set from ONE per-item count aggregate) returns row-for-row the
+    explicit-candidates path's result (sketch from raw rows), because
+    a cell's count is the sum of its items' exact counts either way."""
+    rows = (
+        [("heavy",)] * 50
+        + [(f"t{i}",) for i in range(40)] * 3
+        + [(None,)] * 5
+    )
+    df = spark.createDataFrame(rows, "v string")
+    cand = df.select("v").distinct()
+    got = SK.cms_topk(df, "v", d=4, w=32, n=15).collect()
+    want = SK.cms_topk(df, "v", d=4, w=32, n=15, candidates=cand).collect()
+    assert [(r.item, r.est_cnt) for r in got] == [
+        (r.item, r.est_cnt) for r in want
+    ]
+
+
 def test_cms_sketch_merges_by_cell_sum(spark):
     rows_a = [(f"a{i % 50}",) for i in range(300)]
     rows_b = [(f"b{i % 70}",) for i in range(300)]
