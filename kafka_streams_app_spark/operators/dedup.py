@@ -167,7 +167,7 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
     return v.view(np.int64)
 
 
-_shingle_sig_udf_cache: dict[int, object] = {}
+_band_hashes_udf_cache: dict[int, object] = {}
 
 
 def dedup_containment(
@@ -226,39 +226,64 @@ def dedup_containment(
     return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
 
 
-def _shingle_sig_udf(k: int):
-    """Arrow-batched text -> struct(sh: shingles, bh: LSH band keys)
-    in ONE Python crossing.
+def _band_hashes_udf(k: int):
+    """Arrow-batched text -> 64 LSH band keys (array<long>), or null
+    when the doc has no k-shingle.
 
-    The shingle set and the banded minhash signature are consumed by
-    different downstream stages (Jaccard verification / LSH bucketing),
-    but computing them separately costs two Arrow round trips with the
-    (large) shingle arrays crossing twice plus a JVM hash pass between
-    them. Fused: shingles come from the same ASCII tokenizer as
-    shingles_udf; the signature (_sig_from_shingles) is folded straight
-    into 64 single-long band keys (_band_hashes), so only 64 longs per
-    doc leave Python instead of 128 + a JVM band projection.
+    Callers pair this with shingles_udf(k) in ONE projection, so both
+    land in a single ArrowEvalPython node: the text crosses to Python
+    once and two plain array columns come back. The r14 form fused the
+    pair into one struct<sh,bh> column instead; r15 measurement at
+    sf0.1: the struct return path costs ~0.4-0.7 s more per corpus
+    pass than two flat arrays (dedup_minhash_lsh end-to-end 2.41 s ->
+    1.97 s, interleaved best-of-4) — Arrow's struct assembly from a
+    pandas DataFrame is far slower than two independent array columns,
+    while the duplicated tokenize in the second UDF is ~5 ms/core.
+    Tokenizer and signature arithmetic are unchanged (shingle_list /
+    _sig_from_shingles / _band_hashes), so band keys are bit-identical.
     """
-    if k not in _shingle_sig_udf_cache:
+    if k not in _band_hashes_udf_cache:
         a_vec, b_vec = _A, _B
 
-        @pandas_udf("struct<sh: array<string>, bh: array<long>>")
-        def _ss(texts: pd.Series) -> pd.DataFrame:
+        @pandas_udf("array<long>")
+        def _bh(texts: pd.Series) -> pd.Series:
             a = np.asarray(a_vec, dtype=np.int64)
             b = np.asarray(b_vec, dtype=np.int64)
-            shs, bhs = [], []
-            for s in texts:
-                res = shingle_list(s, k)
-                if not res:
-                    shs.append([])
-                    bhs.append(None)
-                    continue
-                shs.append(res)
-                bhs.append(_band_hashes(_sig_from_shingles(res, a, b)))
-            return pd.DataFrame({"sh": shs, "bh": bhs})
+            # .tolist(): list cells convert to Arrow faster than
+            # ndarray cells
+            return pd.Series([
+                _band_hashes(_sig_from_shingles(res, a, b)).tolist()
+                if (res := shingle_list(s, k)) else None
+                for s in texts
+            ])
 
-        _shingle_sig_udf_cache[k] = _ss
-    return _shingle_sig_udf_cache[k]
+        _band_hashes_udf_cache[k] = _bh
+    return _band_hashes_udf_cache[k]
+
+
+def _sig_table(df: DataFrame, text: str, id_col: str, k: int) -> DataFrame:
+    """(_id, _sh, _bh): sorted-distinct xxhash64 shingle hashes and LSH
+    band keys per doc, from one scan + one ArrowEvalPython node (two
+    UDFs, one Python crossing — see _band_hashes_udf). Docs with no
+    k-shingle are dropped (size 0), matching shingle_list's contract."""
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            shingles_udf(k)(F.col(text)).alias("_shs"),
+            _band_hashes_udf(k)(F.col(text)).alias("_bh"),
+        )
+        .filter(F.size("_shs") > 0)
+        .select(
+            "_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(F.col("_shs"), lambda s: F.xxhash64(s))
+                )
+            ).alias("_sh"),
+            "_bh",
+        )
+    )
 
 
 def minhash_signature(
@@ -273,8 +298,11 @@ def minhash_signature(
     def _sig(texts: pd.Series) -> pd.Series:
         a = np.asarray(a_vec, dtype=np.int64)
         b = np.asarray(b_vec, dtype=np.int64)
+        # .tolist(): list cells convert to Arrow faster than
+        # ndarray cells (see _band_hashes_udf)
         return pd.Series([
-            _sig_from_shingles(res, a, b) if (res := shingle_list(s, k)) else None
+            _sig_from_shingles(res, a, b).tolist()
+            if (res := shingle_list(s, k)) else None
             for s in texts
         ])
 
@@ -296,8 +324,10 @@ def dedup_minhash_lsh(
     force dedup_ngram_jaccard result (recall ~1 at the threshold by the
     band construction), at O(candidates) instead of O(n^2 shingle-pairs).
 
-    Shingles AND band keys are computed in one Arrow crossing
-    (_shingle_sig_udf) and persisted together: the bucketing stage reads
+    Shingles AND band keys are computed in one scan pass — one
+    ArrowEvalPython node holding two flat-array UDFs (_sig_table; see
+    _band_hashes_udf for the struct-vs-two-arrays measurement) — and
+    persisted together: the bucketing stage reads
     bh, the Jaccard verification reads sh, and the corpus is tokenized
     exactly once. Before the persist, the shingle STRINGS are folded to
     sorted distinct xxhash64 longs JVM-side (transform + xxhash64 —
@@ -332,22 +362,7 @@ def dedup_minhash_lsh(
     construction (it's the tail of the df histogram), so the prune is
     a broadcast anti-join on the band key, no extra shuffle shape.
     """
-    ss = _shingle_sig_udf(k)
-    sh_sig = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("_id"), ss(F.col(text)).alias("_ss"))
-        .filter(F.size("_ss.sh") > 0)
-        .select(
-            "_id",
-            F.array_sort(
-                F.array_distinct(
-                    F.transform(F.col("_ss.sh"), lambda s: F.xxhash64(s))
-                )
-            ).alias("_sh"),
-            F.col("_ss.bh").alias("_bh"),
-        )
-        .persist()
-    )
+    sh_sig = _sig_table(df, text, id_col, k).persist()
     sh = sh_sig.select("_id", "_sh")
     bands = sh_sig.select("_id", F.explode("_bh").alias("bh"))
     if max_band_df is not None:
@@ -908,7 +923,7 @@ def dedup_minhash_lsh_cross(
     though no exact span or full-text hash matches.
 
     Same machinery as dedup_minhash_lsh, two-sided: both corpora get
-    the fused shingle+band-key Arrow pass (one tokenize each), band
+    the single-scan shingle+band-key pass (_sig_table), band
     keys from the SAME permutation family hash both sides into a
     shared bucket space, candidates are the cross band-join (new x ref
     only — never new x new), and exact Jaccard over xxhash64 shingle
@@ -925,21 +940,13 @@ def dedup_minhash_lsh_cross(
     present in both corpora pairs with itself at jac 1.0 — that IS the
     contamination signal, not an artifact to filter.
     """
-    ss = _shingle_sig_udf(k)
-
     def prep(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
         return (
-            ensure_parallelism(df)
-            .select(F.col(id_col).alias(out_id), ss(F.col(text)).alias("_ss"))
-            .filter(F.size("_ss.sh") > 0)
+            _sig_table(df, text, id_col, k)
             .select(
-                out_id,
-                F.array_sort(
-                    F.array_distinct(
-                        F.transform(F.col("_ss.sh"), lambda s: F.xxhash64(s))
-                    )
-                ).alias(out_sh),
-                F.col("_ss.bh").alias("_bh"),
+                F.col("_id").alias(out_id),
+                F.col("_sh").alias(out_sh),
+                "_bh",
             )
             .persist()
         )
@@ -983,7 +990,7 @@ def dedup_minhash_lsh_cross_sliced(
     corpora are SLICES of one table (train/eval splits of the same
     lake, a holdout predicate, an id-range boundary): output-identical
     to dedup_minhash_lsh_cross(df.filter(new_cond), df.filter(ref_cond),
-    ...) but the fused shingle+band Arrow pass runs ONCE over
+    ...) but the shingle+band signature pass runs ONCE over
     df.filter(new_cond | ref_cond) instead of once per side.
 
     Why it exists (r15 measurement, sf0.1): the two signature passes
@@ -1001,24 +1008,24 @@ def dedup_minhash_lsh_cross_sliced(
     Jaccard verify are expression-for-expression the generic form's,
     so every pair and every jac double is bit-identical.
     """
-    ss = _shingle_sig_udf(k)
     sig = (
         ensure_parallelism(df.filter(new_cond | ref_cond))
         .select(
             F.col(id_col).alias("_id"),
             new_cond.alias("_in_new"),
             ref_cond.alias("_in_ref"),
-            ss(F.col(text)).alias("_ss"),
+            shingles_udf(k)(F.col(text)).alias("_shs"),
+            _band_hashes_udf(k)(F.col(text)).alias("_bh"),
         )
-        .filter(F.size("_ss.sh") > 0)
+        .filter(F.size("_shs") > 0)
         .select(
             "_id", "_in_new", "_in_ref",
             F.array_sort(
                 F.array_distinct(
-                    F.transform(F.col("_ss.sh"), lambda s: F.xxhash64(s))
+                    F.transform(F.col("_shs"), lambda s: F.xxhash64(s))
                 )
             ).alias("_sh"),
-            F.col("_ss.bh").alias("_bh"),
+            "_bh",
         )
         .persist()
     )

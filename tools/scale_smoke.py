@@ -290,18 +290,15 @@ def minhashpairs_main() -> None:
     One JSON line per (corpus, cap) with docs, occupied buckets,
     max/mean df, and the pair sum. SCALE.md 'MinHash band fan-out'
     carries the numbers + the 100x derivation."""
-    from kafka_streams_app_spark.operators.dedup import _shingle_sig_udf
+    from kafka_streams_app_spark.operators.dedup import _sig_table
 
     spark = get_spark(app_name="scale-smoke-minhashpairs")
     spark.sparkContext.setLogLevel("ERROR")
-    ss = _shingle_sig_udf(3)
-
     def band_stats(label: str, docs, cap: int | None = None) -> None:
         n_docs = docs.count()
         dfs = (
-            docs.select(ss(F.col("text")).alias("_ss"))
-            .filter(F.size("_ss.sh") > 0)
-            .select(F.explode("_ss.bh").alias("bh"))
+            _sig_table(docs, "text", "doc_id", 3)
+            .select(F.explode("_bh").alias("bh"))
             .groupBy("bh")
             .agg(F.count(F.lit(1)).alias("df"))
         )
@@ -736,7 +733,7 @@ def dedup100_main() -> None:
     )
     from kafka_streams_app_spark.functions.vectors import as_double
     from kafka_streams_app_spark.operators.dedup import (
-        _shingle_sig_udf,
+        _sig_table,
         dedup_clusters,
         dedup_containment,
         dedup_embedding_cosine,
@@ -750,12 +747,9 @@ def dedup100_main() -> None:
     scales = [(10, build_docs(spark, 10)), (100, build_docs(spark, 100))]
 
     def cands_minhash(docs):
-        ss = _shingle_sig_udf(3)
         bands = (
-            docs.select(F.col("doc_id").alias("_id"),
-                        ss(F.col("text")).alias("_ss"))
-            .filter(F.size("_ss.sh") > 0)
-            .select("_id", F.explode("_ss.bh").alias("_s"))
+            _sig_table(docs, "text", "doc_id", 3)
+            .select("_id", F.explode("_bh").alias("_s"))
         )
         return _posting_list_candidates(bands, None)
 
@@ -1077,7 +1071,7 @@ def curation100_main() -> None:
     """
     from kafka_streams_app_spark.operators import pipeline as P
     from kafka_streams_app_spark.operators.dedup import (
-        _shingle_sig_udf,
+        _sig_table,
         dedup_minhash_lsh_cross,
     )
     from kafka_streams_app_spark.operators.similarity import (
@@ -1116,14 +1110,10 @@ def curation100_main() -> None:
         # --- cross-minhash candidates ---------------------------------------
         ref = docs.filter(F.col("doc_id") % 10 < 3)
         new = docs.filter(F.col("doc_id") % 10 >= 2)
-        ss = _shingle_sig_udf(3)
-
         def bands(df_side, label):
             return (
-                df_side.select(F.col("doc_id").alias(label),
-                               ss(F.col("text")).alias("_ss"))
-                .filter(F.size("_ss.sh") > 0)
-                .select(label, F.explode("_ss.bh").alias("bh"))
+                _sig_table(df_side, "text", "doc_id", 3)
+                .select(F.col("_id").alias(label), F.explode("_bh").alias("bh"))
             )
 
         ca = bands(new, "a").groupBy("bh").agg(F.count(F.lit(1)).alias("na"))
