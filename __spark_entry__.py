@@ -3497,8 +3497,8 @@ def _q_tpch_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         agg.exact_sum("l_quantity").alias("sum_qty"),
         agg.exact_sum("l_extendedprice").alias("sum_base_price"),
-        F.sum(disc_price.cast("decimal(30,6)")).cast("double").alias("sum_disc_price"),
-        (F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+        agg.exact_sum(disc_price).alias("sum_disc_price"),
+        (agg.exact_sum("l_quantity")
          / F.count(F.lit(1))).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )
@@ -3516,8 +3516,9 @@ def _q_tpch_q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
         o, F.col("l_orderkey") == F.col("o_orderkey")
     )
     rev = j.groupBy("o_orderkey").agg(
-        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-              .cast("decimal(30,6)")).cast("double").alias("revenue"),
+        agg.exact_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
         F.min(F.unix_seconds("o_orderdate")).alias("o_orderdate_s"),
     )
     return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
@@ -3551,8 +3552,9 @@ def _q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return j.groupBy("n_name").agg(
-        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-              .cast("decimal(30,6)")).cast("double").alias("revenue"),
+        agg.exact_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
     )
 
 
@@ -3567,8 +3569,8 @@ def _q_tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return f.agg(
-        F.sum((F.col("l_extendedprice") * F.col("l_discount"))
-              .cast("decimal(30,6)")).cast("double").alias("revenue"),
+        agg.exact_sum(F.col("l_extendedprice") * F.col("l_discount"))
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -3600,13 +3602,11 @@ def _q_tpch_q14_promo(spark: SparkSession, sf: str) -> DataFrame:
     )
     part = load_table(spark, sf, "part")
     j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-    disc = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    ).cast("decimal(30,6)")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     a = j.agg(
-        F.sum(F.when(F.col("p_type") == "PROMO", disc)).cast("double")
-         .alias("promo_revenue"),
-        F.sum(disc).cast("double").alias("total_revenue"),
+        agg.exact_sum(F.when(F.col("p_type") == "PROMO", disc))
+        .alias("promo_revenue"),
+        agg.exact_sum(disc).alias("total_revenue"),
     )
     return a.select(
         "promo_revenue",
@@ -3648,8 +3648,9 @@ def _q_tpch_q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
-        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-              .cast("decimal(30,6)")).cast("double").alias("revenue"),
+        agg.exact_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
     )
 
 
@@ -3684,8 +3685,7 @@ def _q_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
         j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             (
-                F.sum(nat_vol.cast("decimal(30,6)")).cast("double")
-                / F.sum(vol.cast("decimal(30,6)")).cast("double")
+                agg.exact_sum(nat_vol) / agg.exact_sum(vol)
             ).alias("mkt_share")
         )
     )
@@ -3702,10 +3702,9 @@ def _q_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
     supplier = load_table(spark, sf, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(
-            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-            .cast("decimal(30,6)")
-        ).cast("double").alias("total_revenue")
+        agg.exact_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (
@@ -3726,7 +3725,7 @@ def _q_tpch_q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     fact = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     avg_qty = fact.groupBy(F.col("p_partkey").alias("_pk")).agg(
         (
-            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+            agg.exact_sum("l_quantity")
             / F.count(F.lit(1))
         ).alias("_avg_qty")
     )
@@ -3735,7 +3734,7 @@ def _q_tpch_q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     )
     return small.agg(
         (
-            F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+            agg.exact_sum("l_extendedprice")
             / F.lit(7.0)
         ).alias("avg_yearly")
     )
@@ -3755,7 +3754,7 @@ def _q_tpch_q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
     avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
         (
-            F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double")
+            agg.exact_sum("c_acctbal")
             / F.count(F.lit(1))
         ).alias("_avg_bal")
     )
@@ -3787,8 +3786,9 @@ def _q_tpch_q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(
-            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-                  .cast("decimal(30,6)")).cast("double").alias("revenue"),
+            agg.exact_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue"),
         )
     )
     j = rev.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -3908,8 +3908,7 @@ def _q_tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.sum(amount.cast("decimal(30,6)")).cast("double")
-             .alias("sum_profit"))
+        .agg(agg.exact_sum(amount).alias("sum_profit"))
     )
 
 
@@ -3930,10 +3929,10 @@ def _q_tpch_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
     val = F.col("l_extendedprice") * F.col("l_quantity")
     per_part = restricted.groupBy(F.col("l_partkey").alias("p_key")).agg(
-        F.sum(val.cast("decimal(30,6)")).cast("double").alias("part_value")
+        agg.exact_sum(val).alias("part_value")
     )
     total = restricted.agg(
-        F.sum(val.cast("decimal(30,6)")).cast("double").alias("_total")
+        agg.exact_sum(val).alias("_total")
     )
     return (
         per_part.join(F.broadcast(total))
@@ -4002,9 +4001,7 @@ def _q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    return j.filter(clause).agg(
-        F.sum(rev.cast("decimal(30,6)")).cast("double").alias("revenue")
-    )
+    return j.filter(clause).agg(agg.exact_sum(rev).alias("revenue"))
 
 
 # Derived logistics columns — DOCUMENTED ADAPTATION (COVERAGE.md): the

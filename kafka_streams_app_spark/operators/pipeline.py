@@ -1050,23 +1050,32 @@ def scrub_duplicated_spans(
         F.col("_n") >= k,
         F.element_at(F.transform(F.array(F.col("_t")), _shingle_structs), 1),
     ).otherwise(F.array().cast("array<struct<i:int,h:long>>"))
-    # NOTE (r15 measurement): occ feeds three plan subtrees, so the
-    # tokenizer + md5 shingle chain recompute per subtree. A
-    # localCheckpoint here was tried and REVERTED: materializing the
-    # (tokens, shingle-structs) arrays through the block manager
-    # measured 4.2 s vs 2.8 s recomputed at sf0.1 — the arrays are
-    # wider than the arithmetic they save. Recompute wins.
-    occ = base.withColumn("_sh", sh)
+    # NOTE (r15 measurements, sf0.1): the md5 shingle chain feeds TWO
+    # subtrees (the df counter and the per-start hits join); without
+    # materialization each recomputes tokenize + per-shingle md5. A
+    # WIDE localCheckpoint of (id, tokens, shingle structs) was tried
+    # and REVERTED (4.2 s vs 2.8 s — the token arrays are wider than
+    # the arithmetic they save). The NARROW checkpoint below holds
+    # ONLY (id, shingle structs) — ~16 B/shingle, no tokens, no text —
+    # so the md5 pass runs ONCE while the final join's subtree
+    # re-tokenizes without any md5 (its _sh column prunes away):
+    # 2.88 s -> 2.18 s, output identical. Recomputed fresh per
+    # invocation (no cross-run reuse).
+    occ_sh = (
+        base.withColumn("_sh", sh)
+        .select(id_col, "_sh")
+        .localCheckpoint(eager=True)
+    )
     # per-doc DISTINCT hashes feed the df counter: the exchange carries
     # each (doc, shingle) once even when a doc repeats a run internally
     dup = (
-        occ.select(F.explode(F.array_distinct("_sh.h")).alias("_h"))
+        occ_sh.select(F.explode(F.array_distinct("_sh.h")).alias("_h"))
         .groupBy("_h").count()
         .filter(F.col("count") >= min_df)
         .select("_h")
     )
     hits = (
-        occ.select(id_col, F.explode("_sh").alias("_s"))
+        occ_sh.select(id_col, F.explode("_sh").alias("_s"))
         .join(dup, F.col("_s.h") == F.col("_h"))
         .groupBy(id_col)
         .agg(F.collect_set(F.col("_s.i")).alias("_starts"))
@@ -1137,7 +1146,7 @@ def scrub_duplicated_spans(
         1,
     )
     return (
-        occ.join(hits, id_col, "left")
+        base.join(hits, id_col, "left")
         .withColumn("_starts", F.coalesce("_starts", F.array().cast("array<int>")))
         .select(
             id_col,
