@@ -1824,17 +1824,16 @@ def _q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
 
     Runs the PURE-COLUMN form: after the r6 linear rewrite (shifted-
     slice zip_with folds instead of per-index slicing) it matches the
-    Arrow UDF's values and beats its warm time (0.53 s vs 0.71 s at
-    sf0.01) while staying entirely JVM-side — no Python workers in the
-    plan. The UDF remains for sessions where md5-per-token in the JVM
-    is the bottleneck at larger shingle settings."""
+    Arrow UDF's values while staying entirely JVM-side — no Python
+    workers in the plan. r15: routed through the CSE-guarded
+    winnowing_fingerprints (token hashes bound as a lambda variable) —
+    the raw chain re-inlined tokenize+md5 into every gram-fold slice
+    (13.9 s -> ~1 s at sf0.1, values identical)."""
     docs = load_table(spark, sf, "documents")
     return docs.select(
         "doc_id",
         F.size(
-            T.winnowing_of_hashes(
-                T.token_hashes(T.tokens(F.col("text")), hash_fn="md5")
-            )
+            T.winnowing_fingerprints(F.col("text"), hash_fn="md5")
         ).alias("n_fingerprints"),
     )
 

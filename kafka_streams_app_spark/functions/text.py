@@ -430,3 +430,36 @@ def winnowing_of_hashes(
     return F.when(n_grams >= window, F.array_distinct(mins)).otherwise(
         F.array().cast("array<bigint>")
     )
+
+
+def winnowing_fingerprints(
+    text_col: Column,
+    k: int = 5,
+    window: int = 4,
+    p: int = (1 << 31) - 1,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """CSE-GUARDED winnowing fingerprint array straight from a text
+    Column — USE THIS at call sites, not a hand-rolled
+    winnowing_of_hashes(token_hashes(...)) chain.
+
+    winnowing_of_hashes slices its input k + window - 1 times; handed
+    the raw token_hashes expression, Catalyst's CollapseProject
+    re-inlines the whole tokenize + per-token-hash transform into
+    EVERY slice reference, so the document is re-tokenized and
+    re-hashed ~8x per row (the same trap scrub_duplicated_spans and
+    chunk_documents document). Binding the token-hash array as a
+    LAMBDA VARIABLE (transform over a 1-element array) makes it a
+    computed value the optimizer cannot re-inline: tokenize + hash run
+    ONCE per row. r15 measurement at sf0.1 (5000 docs, md5 hashes):
+    text_winnowing 13.9 s -> ~1 s, dedup_winnowing's fingerprint pass
+    proportionally. Expression-for-expression the same arithmetic —
+    values are identical, only the evaluation count changes.
+    """
+    return F.element_at(
+        F.transform(
+            F.array(token_hashes(tokens(text_col), p=p, hash_fn=hash_fn)),
+            lambda th: winnowing_of_hashes(th, k=k, window=window, p=p),
+        ),
+        1,
+    )

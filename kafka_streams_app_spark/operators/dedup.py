@@ -262,10 +262,13 @@ def _band_hashes_udf(k: int):
 
 
 def _sig_table(df: DataFrame, text: str, id_col: str, k: int) -> DataFrame:
-    """(_id, _sh, _bh): sorted-distinct xxhash64 shingle hashes and LSH
-    band keys per doc, from one scan + one ArrowEvalPython node (two
-    UDFs, one Python crossing — see _band_hashes_udf). Docs with no
-    k-shingle are dropped (size 0), matching shingle_list's contract."""
+    """(_id, _sh, _bh): distinct xxhash64 shingle hashes and LSH band
+    keys per doc, from one scan + one ArrowEvalPython node (two UDFs,
+    one Python crossing — see _band_hashes_udf). Docs with no
+    k-shingle are dropped (size 0), matching shingle_list's contract.
+    _sh is deliberately UNSORTED: every consumer reads it through
+    size()/array_intersect(), both order-invariant, and the r15
+    measurement put array_sort at ~0.15-0.2 s per corpus pass."""
     return (
         ensure_parallelism(df)
         .select(
@@ -276,10 +279,8 @@ def _sig_table(df: DataFrame, text: str, id_col: str, k: int) -> DataFrame:
         .filter(F.size("_shs") > 0)
         .select(
             "_id",
-            F.array_sort(
-                F.array_distinct(
-                    F.transform(F.col("_shs"), lambda s: F.xxhash64(s))
-                )
+            F.array_distinct(
+                F.transform(F.col("_shs"), lambda s: F.xxhash64(s))
             ).alias("_sh"),
             "_bh",
         )
@@ -864,26 +865,27 @@ def dedup_winnowing(
     hash_fn='md5' makes the whole pipeline oracle-checkable in DuckDB
     (see token_hashes); 'xxhash64' is the fast production default.
     """
-    from kafka_streams_app_spark.functions.text import (
-        token_hashes,
-        tokens,
-        winnowing_of_hashes,
-    )
+    from kafka_streams_app_spark.functions.text import winnowing_fingerprints
 
-    fps = (
+    # The posting table feeds THREE subtrees (the hot-df counter and
+    # both sides of the self-join); persisted, the winnowing pass runs
+    # once instead of once per subtree. winnowing_fingerprints is the
+    # CSE-guarded form — without the guard the tokenize+hash transform
+    # additionally re-evaluated per slice reference inside the gram
+    # fold (r15: 34.5 s -> see OPTIMIZATION_r15.md; values identical).
+    fps_tbl = (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
-            F.array_distinct(
-                winnowing_of_hashes(
-                    token_hashes(tokens(F.col(text)), hash_fn=hash_fn),
-                    k=k, window=window,
-                )
+            winnowing_fingerprints(
+                F.col(text), k=k, window=window, hash_fn=hash_fn
             ).alias("_fps"),
         )
         .filter(F.size("_fps") > 0)
         .select("_id", F.explode("_fps").alias("_fp"))
+        .persist()
     )
+    fps = fps_tbl
     if max_df is not None:
         hot = (
             fps.groupBy("_fp")
@@ -904,7 +906,12 @@ def dedup_winnowing(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return pairs.filter(F.col("n_shared") >= min_shared)
+    try:
+        return pairs.filter(F.col("n_shared") >= min_shared).localCheckpoint(
+            eager=True
+        )
+    finally:
+        fps_tbl.unpersist()
 
 
 def dedup_minhash_lsh_cross(
@@ -1020,10 +1027,8 @@ def dedup_minhash_lsh_cross_sliced(
         .filter(F.size("_shs") > 0)
         .select(
             "_id", "_in_new", "_in_ref",
-            F.array_sort(
-                F.array_distinct(
-                    F.transform(F.col("_shs"), lambda s: F.xxhash64(s))
-                )
+            F.array_distinct(
+                F.transform(F.col("_shs"), lambda s: F.xxhash64(s))
             ).alias("_sh"),
             "_bh",
         )

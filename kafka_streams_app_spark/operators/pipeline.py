@@ -1356,12 +1356,17 @@ def softdedup_weights(
 
     Plan (inverted-index shape, the same skeleton as dedup_ngram_jaccard
     but WITHOUT the quadratic pair join — cost is linear in postings):
-    explode distinct shingles -> groupBy(shingle) count = df ->
-    mark common (df >= 2) -> ONE groupBy(doc) counting (n, dup) ->
-    integer weight. At 100 TB both aggregates are map-side combined and
-    the shuffle carries one row per (doc, shingle) posting, exactly the
-    inverted index every dedup op here already builds; no all-pairs
-    stage exists at any scale.
+    explode distinct shingles -> groupBy(shingle) agg(df, min(doc)) ->
+    keep df==1 rows (whose min(doc) IS the owning doc) -> groupBy(doc)
+    count = unique shingles -> dup = n - unique, with n = size of the
+    doc's distinct-shingle array (map-side, no explode). One exchange
+    carries the postings, the second only the globally-unique-shingle
+    rows; the r14 form instead joined the df table back onto the full
+    posting list and re-aggregated every posting by doc (two
+    full-posting exchanges + a shuffle join — the r15 rewrite is
+    integer-identical and shuffles strictly fewer bytes). At 100 TB
+    both aggregates are map-side combined; no all-pairs stage exists
+    at any scale.
 
     Docs with zero shingles (shorter than k tokens) are weight 1e6 by
     definition (nothing to be common). Output: id_col, n_shingles,
@@ -1381,22 +1386,32 @@ def softdedup_weights(
         shingles_udf(k)(F.col(text)).alias("_sha"),
     ).localCheckpoint(eager=True)
     ex = sh_tbl.select("_id", F.explode("_sha").alias("_s"))
-    sdf = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    per_doc = (
-        ex.join(sdf, "_s")
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0)).alias(
-                "dup_shingles"
-            ),
-        )
+    # dup_shingles = n - (# of the doc's shingles that are globally
+    # unique). A df==1 shingle has exactly one posting, so min(_id) in
+    # the per-shingle aggregate IS its owning doc: one exchange over
+    # the postings (by shingle), then a second exchange over ONLY the
+    # unique-shingle rows (by doc). The previous shape joined the df
+    # table back onto the full posting list and re-aggregated every
+    # posting by doc — two full-posting exchanges + a shuffle join.
+    # n_shingles itself never needs the explode: _sha is distinct by
+    # shingles_udf's contract, so size(_sha) is exact and map-side.
+    uniq_per_doc = (
+        ex.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_df"), F.min("_id").alias("_owner"))
+        .filter(F.col("_df") == 1)
+        .groupBy(F.col("_owner").alias("_id"))
+        .agg(F.count(F.lit(1)).alias("_uniq"))
     )
-    # left join back against the full id set so 0-shingle docs keep
-    # weight 1e6 (explode drops their rows from `ex`)
-    out = sh_tbl.select("_id").join(
-        per_doc, "_id", "left"
-    ).select(
+    per_doc = sh_tbl.select(
+        "_id", F.size("_sha").cast("long").alias("n_shingles")
+    ).join(uniq_per_doc, "_id", "left").select(
+        "_id",
+        "n_shingles",
+        (F.col("n_shingles") - F.coalesce("_uniq", F.lit(0))).alias(
+            "dup_shingles"
+        ),
+    )
+    out = per_doc.select(
         F.col("_id").alias(id_col),
         F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
         F.coalesce("dup_shingles", F.lit(0)).cast("long").alias("dup_shingles"),

@@ -461,14 +461,14 @@ def winnow_fingerprints(
         fps: Column = winnowing_fps_udf(k, window)(F.col(text))
     else:
         from kafka_streams_app_spark.functions.text import (
-            token_hashes,
-            tokens,
-            winnowing_of_hashes,
+            winnowing_fingerprints,
         )
 
-        fps = winnowing_of_hashes(
-            token_hashes(tokens(F.col(text)), hash_fn=hash_fn),
-            k=k, window=window,
+        # CSE-guarded form: the raw winnowing_of_hashes(token_hashes(...))
+        # chain re-inlines tokenize+hash into every gram-fold slice
+        # (see functions/text.py:winnowing_fingerprints).
+        fps = winnowing_fingerprints(
+            F.col(text), k=k, window=window, hash_fn=hash_fn
         )
     return (
         df.select(F.col(id_col).cast("long").alias("doc_id"), fps.alias("_fps"))
