@@ -1084,34 +1084,62 @@ def scrub_duplicated_spans(
     # kept tokens by slicing the gaps. The former per-token
     # `~exists(starts, ...)` filter was O(n_tokens * n_starts) per doc
     # — quadratic for a fully-duplicated long document (every position
-    # a start). This form is O(n_starts log n_starts) for the sort +
-    # O(n_tokens + n_intervals) for the rebuild: a 100%-duplicated doc
-    # merges to ONE interval and the rebuild is a single slice.
-    # A start p covers token positions [p, p+k-1] (1-based); sorted
-    # starts merge when the next start is <= current end + 1 (adjacent
-    # coverage unions identically to overlapping).
+    # a start). A start p covers token positions [p, p+k-1] (1-based);
+    # sorted starts merge when the next start is <= current end + 1
+    # (adjacent coverage unions identically to overlapping), and since
+    # starts are increasing the running end is always last-start+k-1 —
+    # so runs break exactly where consecutive sorted starts differ by
+    # more than k.
+    #
+    # r15: the merge itself is LINEAR — boundary positions via one
+    # filter over indexes, intervals via one zip_with of the boundary
+    # array against its shift. The r14 form was an F.aggregate fold
+    # that rebuilt the accumulator array every step
+    # (concat(slice(acc), ...)) — O(m^2) array copies per doc, which
+    # for a heavily-duplicated long document (m ~ n_tokens starts) is
+    # the same quadratic wall the fold replaced. Measured on 200 docs
+    # x 5000 starts: 1.18 s -> 0.19 s (6x, growing with m); identical
+    # output on 3003 randomized + adversarial cases and the oracle.
+    # Both the sorted-starts and the boundary arrays are bound as
+    # LAMBDA VARIABLES (the CSE guard): referenced as plain
+    # expressions, array_sort would be re-inlined and re-evaluated per
+    # element reference inside the lambdas — measured catastrophic
+    # (the first linear prototype without the guard was SLOWER than
+    # the fold).
     _ivl = "array<struct<s:int,e:int>>"
-    merged = F.aggregate(
-        F.array_sort("_starts"),
-        F.array().cast(_ivl),
-        lambda acc, p: F.when(
-            (F.size(acc) > 0)
-            & (p <= F.element_at(acc, -1)["e"] + 1),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.struct(
-                    F.element_at(acc, -1)["s"].alias("s"),
-                    F.greatest(
-                        F.element_at(acc, -1)["e"], p + k - 1
-                    ).alias("e"),
-                )),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(
-                p.alias("s"), (p + k - 1).alias("e")
-            )))
+
+    def _merge_runs(ss: Column) -> Column:
+        # 1-based index j starts a new run iff j == 1 or
+        # ss[j-1] - ss[j-2] > k (0-based F.get)
+        bcalc = F.filter(
+            F.sequence(F.lit(1), F.size(ss)),
+            lambda j: (j == 1) | (F.get(ss, j - 1) - F.get(ss, j - 2) > k),
+        )
+
+        def _zipped(bounds: Column) -> Column:
+            # run i spans ss[bounds[i]-1 .. bounds[i+1]-2]; its end is
+            # that last start + k - 1 (sentinel m+1 closes the last run)
+            nxt = F.concat(
+                F.slice(bounds, 2, F.size(bounds) - 1),
+                F.array(F.size(ss) + 1),
+            )
+            return F.zip_with(
+                bounds,
+                nxt,
+                lambda b, nb: F.struct(
+                    F.get(ss, b - 1).alias("s"),
+                    (F.get(ss, nb - 2) + k - 1).alias("e"),
+                ),
+            )
+
+        return F.element_at(F.transform(F.array(bcalc), _zipped), 1)
+
+    merged = F.when(
+        F.size("_starts") > 0,
+        F.element_at(
+            F.transform(F.array(F.array_sort("_starts")), _merge_runs), 1
         ),
-    )
+    ).otherwise(F.array().cast(_ivl))
 
     # kept = tokens in the complement gaps of the merged intervals.
     # The token array is bound as a lambda variable (the CSE guard
