@@ -267,8 +267,9 @@ def _sig_table(df: DataFrame, text: str, id_col: str, k: int) -> DataFrame:
     one Python crossing — see _band_hashes_udf). Docs with no
     k-shingle are dropped (size 0), matching shingle_list's contract.
     _sh is deliberately UNSORTED: every consumer reads it through
-    size()/array_intersect(), both order-invariant, and the r15
-    measurement put array_sort at ~0.15-0.2 s per corpus pass."""
+    size()/array_intersect(), both order-invariant, so the sort was
+    pure waste — O(s log s) per doc that grows with shingle width
+    (within measurement noise at sf0.1's ~50-shingle docs)."""
     return (
         ensure_parallelism(df)
         .select(
