@@ -349,12 +349,16 @@ _winnowing_fps_udf_cache: dict[tuple, object] = {}
 
 def winnowing_fps_udf(k: int = 5, window: int = 4, p: int = (1 << 31) - 1):
     """Arrow-batched text -> fingerprint SET (md5 token hashes), the
-    array-returning sibling of winnowing_count_udf and the measured
-    fast path when the set itself is needed (streaming candidate
-    generation): the Column form's nested zip_with chain costs ~47 s
-    for the 50k-doc x10 corpus vs ~16 s through this UDF — the same
-    ~3x the count UDF documented. Values are identical to the Column
-    form's distinct elements (set semantics; order differs)."""
+    array-returning sibling of winnowing_count_udf and still the
+    measured fast path when the set itself is needed (streaming
+    candidate generation). r15 re-measurement AFTER the
+    winnowing_fingerprints CSE guard landed (the old 47 s-vs-16 s x10
+    number was against the unguarded chain that re-tokenized per
+    slice): sf0.1 posting build, best-of-4 interleaved — UDF 1.14 s vs
+    guarded Column form 1.64 s (~1.4x; hashlib's C md5 beats JVM
+    md5-hex conv per token). Values are identical to the Column form's
+    distinct elements (set semantics; order differs — proved set-equal
+    on the sf0.1 corpus)."""
     key = (k, window, p)
     if key not in _winnowing_fps_udf_cache:
 
@@ -372,11 +376,11 @@ _winnowing_count_udf_cache: dict[tuple, object] = {}
 def winnowing_count_udf(k: int = 5, window: int = 4, p: int = (1 << 31) - 1):
     """Arrow-batched text -> fingerprint COUNT (md5 token hashes).
 
-    The Column form nests transform(aggregate(slice(...))) — interpreted
-    per GRAM, the deepest HOF chain in the repo (measured ~3x slower
-    than this UDF at sf0.1). Use the Column form when the fingerprint
-    SET itself is needed; this when only the count is (the contract
-    query's shape).
+    With the r15 winnowing_fingerprints CSE guard the Column form is
+    competitive (the old "~3x slower" measurement was against the
+    unguarded chain that re-tokenized per slice); the contract query
+    keeps the guarded Column form for its zero-Python plan. This UDF
+    remains for callers that want the count without any JVM HOF cost.
     """
     key = (k, window, p)
     if key not in _winnowing_count_udf_cache:

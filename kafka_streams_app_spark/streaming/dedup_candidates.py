@@ -446,11 +446,10 @@ def winnow_fingerprints(
     pinned in tests/test_dedup_candidates_stream):
 
     - impl='udf' (default): Arrow-batched fingerprint-set UDF
-      (functions/text.py:winnowing_fps_udf) — ~3x the Column form on
-      this corpus shape (its nested zip_with chain is the deepest HOF
-      expression in the repo; same measured trade as
-      winnowing_count_udf). md5 hashes only.
-    - impl='column': the batch dedup_winnowing pure-Column path (zero
+      (functions/text.py:winnowing_fps_udf) — r15 re-measurement with
+      the CSE-guarded Column form: 1.14 s vs 1.64 s at sf0.1 (~1.4x;
+      the pre-guard gap was ~3x). md5 hashes only.
+    - impl='column': the CSE-guarded winnowing_fingerprints path (zero
       Python in the plan; supports hash_fn='xxhash64').
     """
     if impl == "udf":
