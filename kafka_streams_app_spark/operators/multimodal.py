@@ -52,6 +52,26 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+def _synth_input(df: DataFrame, id_col: str) -> DataFrame:
+    """Id column for a synth mapInPandas pass, rebalanced to cluster
+    parallelism for batch inputs: the downstream encode + decode is the
+    compute-heavy stage and a single-file scan arrives as ONE partition
+    at testdata sizes, serializing the whole codec chain on one core.
+    r15 measurement (sf0.1, local[32]): multimodal_jpeg_color_decode
+    12.9 s -> ~1 s once the 1-partition input was rebalanced — the
+    same rationale and fix synth_mixed_media shipped with in the r15
+    build phase, now applied to every per-format synth. The shuffle
+    moves ONLY the id column. Streaming inputs pass through
+    (micro-batches inherit source parallelism; .rdd introspection is
+    unavailable on a streaming DataFrame)."""
+    from kafka_streams_app_spark.engine import ensure_parallelism
+
+    out = df.select(id_col)
+    if not out.isStreaming:
+        out = ensure_parallelism(out)
+    return out
+
+
 def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Adapter: treat UTF-8 text bytes as an opaque media payload so the
     binary pipeline is exercisable on the documents table."""
@@ -244,7 +264,7 @@ def synth_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
                 "meta_json": ['{"format": "bmp"}'] * len(ids),
             })
 
-    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _synth_input(df, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 BMP_FEATURE_SCHEMA = StructType([
@@ -506,7 +526,7 @@ def synth_png_media(df: DataFrame, id_col: str) -> DataFrame:
                 "meta_json": ['{"format": "png"}'] * len(ids),
             })
 
-    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _synth_input(df, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def synth_png_pal_pixels(
@@ -554,7 +574,7 @@ def synth_png_pal_media(df: DataFrame, id_col: str) -> DataFrame:
                 "meta_json": ['{"format": "png8"}'] * len(ids),
             })
 
-    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _synth_input(df, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def png_features(df: DataFrame) -> DataFrame:
@@ -965,7 +985,7 @@ def synth_gif_media(df: DataFrame, id_col: str) -> DataFrame:
                 "meta_json": ['{"format": "gif"}'] * len(ids),
             })
 
-    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _synth_input(df, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def gif_features(df: DataFrame) -> DataFrame:
@@ -1024,7 +1044,7 @@ def synth_video_media(df: DataFrame, id_col: str) -> DataFrame:
                 "meta_json": ['{"format": "gif-anim"}'] * len(ids),
             })
 
-    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _synth_input(df, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 VIDEO_FRAME_FEATURE_SCHEMA = StructType([
@@ -1160,7 +1180,7 @@ def synth_wav_media(df: DataFrame, id_col: str) -> DataFrame:
                 "meta_json": ['{"format": "wav"}'] * len(ids),
             })
 
-    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _synth_input(df, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 WAV_FEATURE_SCHEMA = StructType([
@@ -1955,7 +1975,7 @@ def synth_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
                 "meta_json": ['{"format": "jpeg"}'] * len(ids),
             })
 
-    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _synth_input(df, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 JPEG_FEATURE_SCHEMA = StructType([
@@ -2058,7 +2078,7 @@ def synth_jpeg_color_media(df: DataFrame, id_col: str) -> DataFrame:
                 * len(ids),
             })
 
-    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _synth_input(df, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 JPEG_COLOR_FEATURE_SCHEMA = StructType([
@@ -2260,18 +2280,15 @@ def synth_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
     stand-in. Every class reuses the per-format synth closed forms, so
     one analytic DuckDB oracle covers the whole dispatch.
 
-    ensure_parallelism: the downstream decode is the compute-heavy
-    stage (same rationale as the shingle chain in operators/dedup.py
+    ensure_parallelism (via _synth_input, which every synth shares
+    since r15): the downstream decode is the compute-heavy stage (same
+    rationale as the shingle chain in operators/dedup.py
     _doc_shingles) — a single-file scan must not serialize the codec
     work on one core; measured 3.4 s -> sub-second at sf0.1 on
     local[32] (artifacts/scale_smoke_r15/autodispatch_r15.jsonl).
     Streaming inputs skip the rebalance (partition introspection needs
     .rdd, and a per-micro-batch shuffle is the wrong trade at ingest —
     micro-batches inherit source parallelism)."""
-    from kafka_streams_app_spark.engine import ensure_parallelism
-
-    if not df.isStreaming:
-        df = ensure_parallelism(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2316,4 +2333,4 @@ def synth_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
                 "meta_json": ['{"mixed": true}'] * len(ids),
             })
 
-    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _synth_input(df, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
