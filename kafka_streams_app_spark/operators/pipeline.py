@@ -905,7 +905,13 @@ def decontaminate_exact_ac(
                     "n_spans_hit": [len(s) for _, s in rows],
                 })
 
-    return corpus.select(id_col, text_col).mapInPandas(run, out_schema)
+    # single-file corpora arrive as ONE partition at small scale —
+    # rebalance so the vectorized scan uses every core (the multimodal
+    # _synth_input rationale; at 100 TB the scan splits already exceed
+    # parallelism and this no-ops)
+    return ensure_parallelism(corpus.select(id_col, text_col)).mapInPandas(
+        run, out_schema
+    )
 
 
 def bigram_lm_likelihood(
