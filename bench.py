@@ -90,6 +90,20 @@ SKETCHES = [
     "ktable_history_asof",
 ]
 
+# Heavy-scan set (r15 optimization round): the scan-stage/Python-
+# boundary operators the r15 round rewrote — winnowing (the CSE-guard
+# fix), the JPEG codecs (the synth-parallelism fix), and the RK
+# decontam scan. ADDED as a new group per the driver contract (existing
+# groups and keys unchanged); no BASELINE_SEC rows yet, so the 2x rule
+# starts pinning them from the next frozen baseline.
+HEAVYSCAN = [
+    "dedup_winnowing",
+    "text_winnowing",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode",
+    "decontam_exact_ac",
+]
+
 
 # Frozen per-query baselines (r12 idle-host readings, BENCH_r12.json /
 # BASELINE.md) for the 2x regression rule (r12 verdict ask #7): a query
@@ -238,9 +252,15 @@ def main() -> None:
         out["sketch_queries"] = sq
         if group == "sketches":
             out.update(metric="sketch_total", value=out["sketch_total"])
+    if group in ("all", "heavyscan"):
+        xq = _bench_group(spark, queries, HEAVYSCAN)
+        out["heavyscan_total"] = round(sum(xq.values()), 3)
+        out["heavyscan_queries"] = xq
+        if group == "heavyscan":
+            out.update(metric="heavyscan_total", value=out["heavyscan_total"])
     regressions = check_regressions(
         {**out.get("queries", {}), **out.get("curation_queries", {}),
-         **out.get("sketch_queries", {})}
+         **out.get("sketch_queries", {}), **out.get("heavyscan_queries", {})}
     )
     out["regressions"] = regressions
     out["loadavg_start"] = [round(x, 2) for x in loadavg_start]
