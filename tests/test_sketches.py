@@ -494,3 +494,39 @@ def test_hll_setops_matches_python_register_twin(spark):
     r = _setops_row(spark, a, b)
     assert r["est_union"] == num / denom
     assert r["est_intersect"] == r["est_a"] + r["est_b"] - r["est_union"]
+
+
+def test_softdedup_weights_random_vs_python_reference(spark):
+    """Randomized pin for the r15 aggregate rewrite (n from size of the
+    distinct-shingle array; dup = n - globally-unique count via the
+    df==1 min(id) owner trick): exact (n, dup, weight) against a plain
+    Python twin on a corpus dense enough to exercise shared, unique,
+    and empty shingle sets."""
+    import random
+
+    from kafka_streams_app_spark.functions.text import shingle_list
+
+    rng = random.Random(1519)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for d in range(60)
+    ]
+    sh = {d: set(shingle_list(t, 3)) for d, t in docs}
+    df_count: dict[str, int] = {}
+    for s in sh.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    expect = {}
+    for d, s in sh.items():
+        n = len(s)
+        dup = sum(1 for g in s if df_count[g] >= 2)
+        w = 1_000_000 if n == 0 else (1_000_000 * n) // (n + 4 * dup)
+        expect[d] = (n, dup, w)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.dup_shingles, r.weight_ppm)
+        for r in softdedup_weights(df, "text", "doc_id", k=3, alpha=4).collect()
+    }
+    assert got == expect
