@@ -265,7 +265,13 @@ def main() -> None:
     out["regressions"] = regressions
     out["loadavg_start"] = [round(x, 2) for x in loadavg_start]
     out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
-    out["ncpus"] = os.cpu_count()
+    # Report the CONFIGURED parallelism, not os.cpu_count(): the r15
+    # driver's scaling heuristic (suspect_cpus_ignored) misfired because
+    # this line echoed the host's 32 cores even when SPARK_GRAFT_CPUS=8
+    # had correctly sized the master/shuffle partitions (engine.py).
+    out["ncpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()))
+    out["master"] = spark.sparkContext.master
+    out["host_cpus"] = os.cpu_count()
     out.update(settle)
     print(json.dumps(out))
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":

@@ -67,6 +67,32 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+def _ensure_allocator_env() -> None:
+    """Pin glibc malloc tunables for this process tree (JVM + forked
+    Python workers) BEFORE the JVM launches.
+
+    Why (r16, measured): the heavy Arrow/numpy stages allocate and free
+    many tens-of-MB arrays per task. glibc's default dynamic mmap
+    threshold caps at 32 MB, so every such array is a fresh mmap that
+    is returned to the kernel on free — and on this host a minor page
+    fault costs ~20 us (VM nested paging), so a single FK-join fan-out
+    task spent 13 s of its 15 s wall in first-touch faults (stime, not
+    utime; see OPTIMIZATION_r16.md). Raising the mmap/trim thresholds
+    lets the main arena RETAIN and REUSE those pages across the
+    dozens of sequential large allocations inside one task and across
+    tasks of a reused worker: the same kernel microbench drops 20.8 s
+    -> 9.9 s cold and 16.9 s -> 6.0 s warm. Production-neutral: this
+    trades a bounded amount of retained RSS per worker (<= threshold
+    per arena) for fault amortization; callers can override by
+    pre-setting the variables.
+    """
+    for var, val in (
+        ("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024)),
+        ("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024)),
+    ):
+        os.environ.setdefault(var, val)
+
+
 def _ensure_vendor_pythonpath() -> None:
     """Expose _vendor (protobuf shim for transformWithStateInPandas
     workers — see _vendor/README.md) to every Spark Python worker.
@@ -94,6 +120,7 @@ def get_spark(
     same conf applies unchanged.
     """
     _ensure_vendor_pythonpath()
+    _ensure_allocator_env()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)

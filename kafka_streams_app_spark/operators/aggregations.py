@@ -44,14 +44,24 @@ def exact_sum(col: str | Column, scale: tuple[int, int] = (30, 6)) -> Column:
     double conversion. Measured: tpch_q1 1.20 s -> 0.52 s at sf0.1.
 
     Exactness contract: identical to the decimal form whenever each
-    x's fractional part carries <= s significant decimal digits (every
-    money/quantity/measure column in the registry; re-verified by the
-    full oracle gate at sf0.01 and sf0.1 after this change). For
-    longer mantissas the half-up rounding here acts on the BINARY
-    double (x - floor(x)) * 10^s while the decimal cast acts on the
-    shortest decimal representation — they can differ within half an
-    ulp of the s-th decimal on adversarial inputs; any such divergence
+    x's fractional part carries <= s significant decimal digits AND
+    the double can represent that decimal exactly, i.e.
+    ulp(x) < 0.5 * 10^-s — at s=6 that means |x| < ~2^32 (~4.3e9), a
+    much narrower window than the 2^52 floor-exactness bound (every
+    money/quantity/measure column in the registry fits; re-verified by
+    the full oracle gate at sf0.01 and sf0.1 after this change). For
+    longer mantissas or wider magnitudes the half-up rounding here
+    acts on the BINARY double (x - floor(x)) * 10^s while the decimal
+    cast acts on the shortest decimal representation — they can differ
+    within half an ulp of the s-th decimal per row and accumulate; use
+    exact_sum_decimal for wide-magnitude columns. Any such divergence
     hash-mismatches the oracle, which is the tripwire.
+
+    Non-finite inputs (NaN/±Inf) are nulled BEFORE the floor/frac
+    split, so they are skipped exactly as the decimal cast skips them
+    (a decimal cast maps non-finite to null); without this the floor
+    would raise ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode
+    (and silently corrupt the total with ANSI off) — ADVICE r15.
 
     Scale bounds: frac_units < 10^s per row, so its long sum overflows
     past ~9.2e18 / 10^s rows per group (~9.2e12 at s=6); the units sum
@@ -62,6 +72,10 @@ def exact_sum(col: str | Column, scale: tuple[int, int] = (30, 6)) -> Column:
     _, s = scale
     mult = 10 ** s
     x = F.col(col) if isinstance(col, str) else col
+    # skip NaN/±Inf the way the decimal form does (cast -> null):
+    # floor(±Inf) overflows LONG, which aborts the job under ANSI.
+    xd = x.cast("double")
+    x = F.when(~(F.isnan(xd) | (F.abs(xd) == F.lit(float("inf")))), x)
     fl = F.floor(x)
     frac_units = F.floor((x - fl) * F.lit(float(mult)) + F.lit(0.5)).cast("long")
     units = F.sum(fl.cast("long")).cast("decimal(38,0)")

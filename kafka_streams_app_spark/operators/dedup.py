@@ -865,6 +865,12 @@ def dedup_winnowing(
 
     hash_fn='md5' makes the whole pipeline oracle-checkable in DuckDB
     (see token_hashes); 'xxhash64' is the fast production default.
+
+    Contract (ADVICE r15): BATCH-ONLY and EAGER — the posting table is
+    persisted and the result returned as an eagerly materialized
+    localCheckpoint (executes at call time; the checkpoint blocks are
+    not fault-tolerant), mirroring dedup_minhash_lsh. A streaming
+    input fails at plan build.
     """
     from kafka_streams_app_spark.functions.text import winnowing_fingerprints
 

@@ -908,10 +908,14 @@ def decontaminate_exact_ac(
     # single-file corpora arrive as ONE partition at small scale —
     # rebalance so the vectorized scan uses every core (the multimodal
     # _synth_input rationale; at 100 TB the scan splits already exceed
-    # parallelism and this no-ops)
-    return ensure_parallelism(corpus.select(id_col, text_col)).mapInPandas(
-        run, out_schema
-    )
+    # parallelism and this no-ops). Streaming corpora skip the guard:
+    # ensure_parallelism reads df.rdd.getNumPartitions(), which raises
+    # at plan build on a streaming DataFrame (ADVICE r15) — the
+    # stateless mapInPandas itself runs unchanged under streaming.
+    scan = corpus.select(id_col, text_col)
+    if not scan.isStreaming:
+        scan = ensure_parallelism(scan)
+    return scan.mapInPandas(run, out_schema)
 
 
 def bigram_lm_likelihood(

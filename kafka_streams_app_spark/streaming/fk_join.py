@@ -202,6 +202,432 @@ def _fk_apply(
     return out, r_present, r_val
 
 
+def _fk_fast_batch(
+    pdf: pd.DataFrame,
+    snapshots: dict,
+    r_state_of,
+    pre_member,
+    left_cols: list[str],
+    right_cols: list[str],
+    out_types: dict,
+    out_columns: list[str],
+    left_join: bool,
+    compact_rights: bool = False,
+):
+    """Vectorized FK-join transition for a seq-sorted batch with NO
+    right-side tombstones (sub / unsub_move / unsub_delete / right
+    upserts — the gate and production-common shape; right deletes take
+    the per-record _fk_apply path).
+
+    r16: the r15 fast path only covered all-sub batches, so ANY batch
+    carrying an FK change (unsub_move) fell back to per-record Python —
+    at the sf0.1 gate shape (5 fks x 1500 pks x 200k instructions) that
+    meant ~30M output tuples appended one by one (~20 s of the 41 s
+    entry wall). This kernel vectorizes the mixed sub/unsub case with
+    PRESENCE INTERVALS instead of the old (rows x pks) fan-out matrix:
+
+    - per (fk, pk), the in-batch events (sub=+, unsub=-) split the
+      batch into presence intervals: [sub row, next event row) with
+      that sub's payload, plus [batch start, first event row) when the
+      pk was subscribed pre-batch (snapshot payload). Presence after an
+      event is simply (event is sub); an unsub is EFFECTIVE iff the
+      previous event of the same pk is a sub, or there is none and the
+      pk was a pre-batch member.
+    - fan-out pairs = for each interval, the right rows of that fk
+      whose row position falls inside it — two np.searchsorted calls
+      per fk and one range-expansion; transient memory is O(events +
+      live pairs), never rows x pks (the old dense matrix would be
+      ~70 GB at the x10 smoke shape).
+    - effective unsubs emit their delete rows (inner: iff the right
+      side is present at that row; left: only unsub_delete), exactly
+      _fk_apply's branches.
+
+    Emission order matches the per-record machine: rows sort by
+    (triggering row position, subscription-dict position); the
+    subscription-dict position list is snapshot keys first (dict
+    order), then in-batch subs in first-seen order — an unsub claims
+    no position (an effective unsub of a non-snapshot pk cannot exist
+    when a snapshot was taken, and fks without a snapshot have no
+    right rows, so no fan-out reads the order).
+
+    All output columns are built as native (kind, values, mask)
+    triples (see _pdnorm.dense_input) — the 30M-row crossing stays
+    vectorized on both sides.
+
+    compact_rights (OPT-IN, default False — emissions then match the
+    per-record machine row for row): within one batch, only the FINAL
+    right row per fk fans out to its subscribers; sub/delete emissions
+    and all state writes are untouched, and each sub still joins the
+    latest right row AT ITS OWN POSITION (rptr scans every right row).
+    This is Kafka Streams' KTable cache / commit-interval semantics
+    (R_1..R_n compact to R_n within an interval) and matches Spark's
+    update-mode contract (latest state per key per trigger). The
+    reduced end state is provably unchanged — every dropped fan-out
+    row (pk, R_i) at position p_i is superseded by a kept emission for
+    the same pk at a strictly later position:
+      * if pk's presence interval covers R_n: the kept fan-out
+        (pk, R_n), p_n > p_i;
+      * else the interval ended at an (effective) unsub at p_u > p_i,
+        which emits a delete (inner mode / unsub_delete in left mode)
+        or — left-mode unsub_move — is immediately followed by its
+        paired sub at the same seq with a higher minor (fk_instructions
+        always emits the pair), which re-emits the pk.
+    Positions are (seq, minor)-sorted, so "later position" = ">= order
+    tag"; with the engine's unique per-row (seq, minor) tags the
+    superseding emission strictly wins any latest-per-key reduction.
+    ONLY enable under such a reduction (the declared s_fk_* entries) —
+    the raw changelog itself loses the intermediate fan-out rows.
+    Randomized pin: tests/test_fk_fast_batch.py.
+
+    Returns (frame | None, subs_ops, right_writes):
+    - subs_ops: [(ufk, pk, payload tuple | None)] — None = removeKey;
+      exactly the final touched-set of the per-record machine (a pk
+      whose every event was an ineffective unsub gets NO op).
+    - right_writes: [(ufk, right value tuple)] — last right row per fk.
+    """
+    import numpy as np
+
+    from kafka_streams_app_spark.streaming._pdnorm import (
+        dcol_concat,
+        dcol_finalize,
+        dcol_from_list,
+        dcol_in,
+        dcol_nullify,
+        dcol_state,
+        dcol_take,
+        dcol_where,
+    )
+
+    n = len(pdf)
+    idx = np.arange(n)
+    kinds_arr = pdf["kind"].to_numpy()
+    is_right = kinds_arr == KIND_RIGHT
+    is_sub = kinds_arr == KIND_SUB
+    is_event = ~is_right
+    codes, uniques = pd.factorize(pdf["fk"], use_na_sentinel=False)
+    ufks = [pynative(k) for k in uniques]
+    r_states = [r_state_of(k) for k in ufks]
+    rptr = pd.Series(np.where(is_right, idx, -1)).groupby(codes).cummax().to_numpy()
+    r_state_present = np.array([s is not None for s in r_states])[codes]
+    r_present = (rptr >= 0) | r_state_present
+
+    # object copies for state writes / python dict keys (O(inputs))
+    pk_arr = pdf["pk"].to_numpy(dtype=object)
+    l_arrs = {c: pdf[c].to_numpy(dtype=object) for c in left_cols}
+    r_arrs = {c: pdf[c].to_numpy(dtype=object) for c in right_cols}
+
+    def in_col(src: str, out: str):
+        return dcol_in(pdf, src, out_types[out])
+
+    take, where, nullify = dcol_take, dcol_where, dcol_nullify
+    from_list, state_pairs, concat = dcol_from_list, dcol_state, dcol_concat
+
+    pk_col = in_col("pk", "pk")
+    seq_col = in_col("seq", "_seq")
+    minor_col = in_col("minor", "_minor")
+    l_cols = {c: in_col(c, c) for c in left_cols}
+    r_cols = {c: in_col(c, c) for c in right_cols}
+
+    def null_col(proto, m: int):
+        k = proto[0]
+        if k == "f":
+            return "f", np.full(m, np.nan), None
+        if k == "o":
+            return "o", np.full(m, None, dtype=object), None
+        vals = np.zeros(m, dtype=np.int64 if k == "i" else bool)
+        return k, vals, np.ones(m, dtype=bool)
+
+    blocks: list[dict] = []
+
+    # --- subscribe emissions (bucket-wide, vectorized) ---
+    emit_sub = is_sub if left_join else (is_sub & r_present)
+    if emit_sub.any():
+        blk = {
+            "pk": take(pk_col, emit_sub),
+            "_act": "upsert",
+            **{c: take(l_cols[c], emit_sub) for c in left_cols},
+            "_seq": take(seq_col, emit_sub),
+            "_minor": take(minor_col, emit_sub),
+            "_pos": idx[emit_sub],
+            "_ord": np.zeros(int(emit_sub.sum()), dtype=np.int64),
+        }
+        rptr_pos = np.maximum(rptr, 0)
+        for j, c in enumerate(right_cols):
+            own = r_cols[c]
+            sv_k, sv_v, sv_m = state_pairs(r_states, j, own[0])
+            sv = (sv_k, sv_v[codes], sv_m[codes] if sv_m is not None else None)
+            vals = where(rptr >= 0, take(own, rptr_pos), sv)
+            blk[c] = take(nullify(vals, ~r_present), emit_sub)
+        blocks.append(blk)
+
+    subs_ops: list[tuple] = []
+    right_writes: list[tuple] = []
+    del_rows_all: list = []
+    BIG = np.int64(2**62)
+
+    for code in range(len(ufks)):
+        g = idx[codes == code]
+        g_right = g[is_right[g]]
+        g_ev = g[is_event[g]]
+        ufk = ufks[code]
+        if len(g_right):
+            right_writes.append(
+                (ufk, pykey(r_arrs[c][g_right[-1]] for c in right_cols))
+            )
+        snap = snapshots.get(ufk)  # None iff this fk has no right rows
+        m = len(g_ev)
+        if m:
+            # --- per-pk event ids, first-occurrence order
+            pk_of_aid: list = []
+            aid_index: dict = {}
+            aids = np.empty(m, dtype=np.int64)
+            for j, row in enumerate(g_ev):
+                pk = pynative(pk_arr[row])
+                a = aid_index.get(pk)
+                if a is None:
+                    a = aid_index[pk] = len(pk_of_aid)
+                    pk_of_aid.append(pk)
+                aids[j] = a
+            A = len(pk_of_aid)
+            ev_sub = is_sub[g_ev]  # presence AFTER an event == its kind
+            order = np.argsort(aids, kind="stable")
+            s_aids = aids[order]
+            grp_start = np.r_[True, s_aids[1:] != s_aids[:-1]]
+            grp_end = np.r_[grp_start[1:], True]
+            # presence BEFORE each event: the previous event's kind, or
+            # pre-batch membership at a group start
+            s_presence_before = np.r_[False, ev_sub[order][:-1]]
+            start_aids = s_aids[grp_start]
+            if snap is not None:
+                pre_mem_start = np.fromiter(
+                    (pk_of_aid[a] in snap for a in start_aids), bool,
+                    count=len(start_aids),
+                )
+            else:
+                # point lookups ONLY for pks whose first in-batch event
+                # is an unsub (a first-event sub needs no membership)
+                first_is_sub = ev_sub[order][grp_start]
+                pre_mem_start = np.zeros(len(start_aids), dtype=bool)
+                for i2 in np.flatnonzero(~first_is_sub):
+                    pre_mem_start[i2] = bool(
+                        pre_member(ufk, pk_of_aid[start_aids[i2]])
+                    )
+            s_presence_before[grp_start] = pre_mem_start
+            presence_before = np.empty(m, dtype=bool)
+            presence_before[order] = s_presence_before
+            eff_unsub = ~ev_sub & presence_before
+            # --- delete emissions for effective unsubs (_fk_apply's
+            # unsub branches verbatim)
+            if left_join:
+                del_mask = eff_unsub & (kinds_arr[g_ev] == KIND_UNSUB_DELETE)
+            else:
+                del_mask = eff_unsub & r_present[g_ev]
+            if del_mask.any():
+                del_rows_all.append(g_ev[del_mask])
+            # --- state mirror per pk: final presence = last event kind;
+            # a pk is "touched" iff it had a sub or was a pre-batch
+            # member (its first unsub was then effective)
+            pre_mem_aid = np.zeros(A, dtype=bool)
+            pre_mem_aid[start_aids] = pre_mem_start
+            had_sub = np.zeros(A, dtype=bool)
+            np.logical_or.at(had_sub, aids, ev_sub)
+            last_ev = np.empty(A, dtype=np.int64)
+            last_ev[s_aids[grp_end]] = order[grp_end]
+            for a in range(A):
+                j_last = last_ev[a]
+                if ev_sub[j_last]:
+                    row = g_ev[j_last]
+                    subs_ops.append(
+                        (ufk, pk_of_aid[a],
+                         pykey(l_arrs[c][row] for c in left_cols))
+                    )
+                elif had_sub[a] or pre_mem_aid[a]:
+                    subs_ops.append((ufk, pk_of_aid[a], None))
+
+        # --- fan-out pairs via presence intervals ---
+        if len(g_right) == 0:
+            continue
+        # ordering universe: snapshot keys (dict order), then in-batch
+        # subs in first-seen order — the subscription-dict order the
+        # per-record machine's items() iterates
+        pk_index = {pk: j2 for j2, pk in enumerate(snap)}
+        pk_list = list(snap)
+        if m:
+            sub_j = np.flatnonzero(ev_sub)
+            for j in sub_j:
+                pk = pk_of_aid[aids[j]]
+                if pk not in pk_index:
+                    pk_index[pk] = len(pk_list)
+                    pk_list.append(pk)
+        else:
+            sub_j = np.empty(0, dtype=np.int64)
+        if not pk_list:
+            continue
+        # interval bounds: initial [batch start, first event of pk) for
+        # snapshot members; [sub row, next event of pk) per sub
+        init_b = np.full(len(snap), BIG, dtype=np.int64)
+        if m:
+            first_pos_aid = np.full(A, BIG, dtype=np.int64)
+            first_pos_aid[start_aids] = g_ev[order][grp_start]
+            for j2, pk in enumerate(snap):
+                a = aid_index.get(pk)
+                if a is not None:
+                    init_b[j2] = first_pos_aid[a]
+        init_a = np.full(len(snap), -1, dtype=np.int64)
+        init_src = np.full(len(snap), -1, dtype=np.int64)
+        init_ord = np.arange(len(snap), dtype=np.int64)
+        if m and len(sub_j):
+            nxt_sorted = np.where(
+                grp_end, BIG, np.r_[g_ev[order][1:], BIG]
+            )
+            nxt = np.empty(m, dtype=np.int64)
+            nxt[order] = nxt_sorted
+            ord_of_aid = np.full(A, -1, dtype=np.int64)
+            for pk, j2 in pk_index.items():
+                a = aid_index.get(pk)
+                if a is not None:
+                    ord_of_aid[a] = j2
+            sub_a = g_ev[sub_j]
+            sub_b = nxt[sub_j]
+            sub_src = g_ev[sub_j]
+            sub_ord = ord_of_aid[aids[sub_j]]
+            a_arr = np.concatenate([init_a, sub_a])
+            b_arr = np.concatenate([init_b, sub_b])
+            src_arr = np.concatenate([init_src, sub_src])
+            ord_arr = np.concatenate([init_ord, sub_ord])
+        else:
+            a_arr, b_arr, src_arr, ord_arr = init_a, init_b, init_src, init_ord
+        # per-trigger right compaction (r16): only the FINAL right row
+        # of the fk in this batch fans out — Kafka Streams' KTable
+        # cache compacts R_1..R_n to R_n within a commit interval, and
+        # Spark's update-mode output contract is "the latest state per
+        # key per trigger", so the intermediate fan-outs are emission
+        # work no downstream reduction can ever observe (every dropped
+        # row is superseded by a later kept emission for its pk — see
+        # the proof sketch in this function's docstring). rptr/sub
+        # emissions still
+        # see EVERY right row, so a sub between R_i and R_n joins R_i.
+        g_right_emit = g_right[-1:] if compact_rights else g_right
+        lo = np.searchsorted(g_right_emit, a_arr, side="right")
+        hi = np.searchsorted(g_right_emit, b_arr, side="left")
+        cnt = np.maximum(hi - lo, 0)
+        tot = int(cnt.sum())
+        if tot == 0:
+            continue
+        reps = np.repeat(np.arange(len(cnt)), cnt)
+        offs = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        right_rows_g = g_right_emit[lo[reps] + offs]
+        pi = ord_arr[reps]
+        srcs = src_arr[reps]
+        blk = {
+            "pk": take(from_list(pk_list, pk_col[0]), pi),
+            "_act": "upsert",
+            "_seq": take(seq_col, right_rows_g),
+            "_minor": take(minor_col, right_rows_g),
+            "_pos": right_rows_g,
+            "_ord": pi.astype(np.int64),
+        }
+        snap_tuples = [snap.get(pk) for pk in pk_list]
+        use_sub = srcs >= 0
+        src_pos = np.maximum(srcs, 0)
+        for j3, c in enumerate(left_cols):
+            snap_col = take(state_pairs(snap_tuples, j3, l_cols[c][0]), pi)
+            own = take(l_cols[c], src_pos)
+            blk[c] = where(use_sub, own, snap_col)
+        for c in right_cols:
+            blk[c] = take(r_cols[c], right_rows_g)
+        blocks.append(blk)
+
+    # --- effective-unsub delete emissions (bucket-wide block) ---
+    if del_rows_all:
+        drows = (
+            np.concatenate(del_rows_all)
+            if len(del_rows_all) > 1 else del_rows_all[0]
+        )
+        md = len(drows)
+        blk = {
+            "pk": take(pk_col, drows),
+            "_act": "delete",
+            "_seq": take(seq_col, drows),
+            "_minor": take(minor_col, drows),
+            "_pos": drows,
+            "_ord": np.zeros(md, dtype=np.int64),
+        }
+        for c in left_cols:
+            blk[c] = null_col(l_cols[c], md)
+        for c in right_cols:
+            blk[c] = null_col(r_cols[c], md)
+        blocks.append(blk)
+
+    frame = None
+    if blocks:
+        # emission order of the per-record machine: triggering record
+        # order, then subscription-dict order within a fan-out. One
+        # combined int64 key (pos * width + ord) argsorts ~2x faster
+        # than a two-key lexsort at the 30M-row gate shape.
+        pos = np.concatenate([b["_pos"] for b in blocks])
+        ordn = np.concatenate([b["_ord"] for b in blocks])
+        width = np.int64(int(ordn.max()) + 1) if len(ordn) else np.int64(1)
+        order2 = np.argsort(pos * width + ordn, kind="stable")
+        # action: int8 block codes gathered natively, ONE vectorized
+        # object materialization at the end (a 30M-cell object gather
+        # costs seconds; an int8 gather is free)
+        act_names = []
+        act_codes_parts = []
+        for b in blocks:
+            if b["_act"] not in act_names:
+                act_names.append(b["_act"])
+            act_codes_parts.append(
+                np.full(len(b["_pos"]), act_names.index(b["_act"]),
+                        dtype=np.int8)
+            )
+        acts_sorted = np.concatenate(act_codes_parts)[order2]
+        if len(act_names) == 1:
+            acts: object = act_names[0]  # scalar broadcast, zero copies
+        else:
+            acts = np.array(act_names, dtype=object)[acts_sorted]
+        # scatter-assembly through the INVERSE permutation: one final
+        # array + one scatter per column instead of concat + ordered
+        # gather (2 fewer 30M-row copies per column — page faults are
+        # ~20 us on this host, so copies are the wall, not CPU)
+        n_out = len(pos)
+        inv = np.empty(n_out, dtype=np.int64)
+        inv[order2] = np.arange(n_out, dtype=np.int64)
+
+        def assemble(cols):
+            k = cols[0][0]
+            if k == "o":
+                out = np.empty(n_out, dtype=object)
+            elif k == "f":
+                out = np.empty(n_out, dtype=np.float64)
+            else:
+                out = np.empty(n_out, dtype=np.int64 if k == "i" else bool)
+            use_mask = cols[0][2] is not None
+            outm = np.empty(n_out, dtype=bool) if use_mask else None
+            off = 0
+            for _kk, v, m in cols:
+                d = inv[off:off + len(v)]
+                out[d] = v
+                if use_mask:
+                    outm[d] = m
+                off += len(v)
+            return k, out, outm
+
+        data: dict = {}
+        for nm in out_columns:
+            if nm == "action":
+                data[nm] = acts
+                continue
+            data[nm] = dcol_finalize(assemble([b[nm] for b in blocks]))
+        # copy=False: the columns are freshly built arrays owned by this
+        # frame — the default dict_to_mgr copy re-copies every masked
+        # array (measured 7.8 s at the 14M-row shape)
+        frame = pd.DataFrame(data, columns=out_columns, copy=False)
+    return frame, subs_ops, right_writes
+
+
 class _FKJoinProcessor(StatefulProcessor):
     """Per-FK-group state: current right value + {pk -> left payload}."""
 
@@ -211,15 +637,20 @@ class _FKJoinProcessor(StatefulProcessor):
         right_cols: list[str],
         sub_schema: StructType,
         right_schema: StructType,
-        out_columns: list[str],
+        out_schema: StructType,
         how: str,
         pk_schema: StructType,
+        compact_rights: bool = False,
     ) -> None:
+        self.compact_rights = compact_rights
         self.left_cols = left_cols
         self.right_cols = right_cols
         self.sub_schema = sub_schema
         self.right_schema = right_schema
-        self.out_columns = out_columns
+        self.out_columns = [f.name for f in out_schema.fields]
+        # per-output-column Spark types drive the dense (native-dtype)
+        # emission path — see _pdnorm.dense_input / _fk_fast_batch
+        self._out_types = {f.name: f.dataType for f in out_schema.fields}
         self.how = how
         self.pk_schema = pk_schema
         # LongType columns are decimal-shielded (arrive object-exact);
@@ -244,12 +675,42 @@ class _FKJoinProcessor(StatefulProcessor):
         # CONSTRUCTION, so int64 payloads would otherwise arrive float64
         # and round above 2^53 (see _pdnorm.py)
         pdf = normalize_nullable(
-            pd.concat(list(rows)).sort_values(["seq", "minor"], kind="stable"),
+            pd.concat(list(rows))
+            .sort_values(["seq", "minor"], kind="stable")
+            .reset_index(drop=True),
             self._norm_fields,
         )
-        r_present = self.right.exists()
-        r_val: tuple = tuple(self.right.get()) if r_present else ()
-        subs = _SubsView({k[0]: tuple(v) for k, v in self.subs.iterator()})
+        snap = {pynative(k[0]): tuple(v) for k, v in self.subs.iterator()}
+        if not bool(pdf["right_is_delete"].any()):
+            # vectorized kernel (r16) — one fk is just a 1-group bucket;
+            # the full snapshot above means pre_member is never needed
+            ufk = pynative(key[0])
+            r_val0 = self.right.get()
+            frame, subs_ops, right_writes = _fk_fast_batch(
+                pdf, {ufk: snap},
+                r_state_of=lambda _fk: (
+                    tuple(r_val0) if r_val0 is not None else None
+                ),
+                pre_member=lambda _fk, _pk: False,
+                left_cols=self.left_cols, right_cols=self.right_cols,
+                out_types=self._out_types, out_columns=self.out_columns,
+                left_join=self.how == "left",
+                compact_rights=self.compact_rights,
+            )
+            for _fk, pk, pay in subs_ops:
+                if pay is None:
+                    self.subs.removeKey((pk,))
+                else:
+                    self.subs.updateValue((pk,), pay)
+            for _fk, val in right_writes:
+                self.right.update(val)
+            if frame is not None:
+                yield frame
+            return
+        r_val0 = self.right.get()
+        r_present = r_val0 is not None
+        r_val: tuple = tuple(r_val0) if r_present else ()
+        subs = _SubsView(snap)
         out, r_present, r_val = _fk_apply(
             pdf.to_dict("records"), r_present, r_val, subs,
             self.left_cols, self.right_cols, self.how == "left",
@@ -304,7 +765,9 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
         how: str,
         fk_schema: StructType,
         fkpk_schema: StructType,
+        compact_rights: bool = False,
     ) -> None:
+        self.compact_rights = compact_rights
         self.left_cols = left_cols
         self.right_cols = right_cols
         self.sub_schema = sub_schema
@@ -352,203 +815,44 @@ class _FKJoinProcessorBucketed(StatefulProcessor):
                 fk, pk = k[0], k[1]
                 if fk in snapshots:
                     snapshots[fk][pk] = tuple(v)
-        kinds = pdf["kind"]
-        if (
-            not bool(kinds.isin([KIND_UNSUB_MOVE, KIND_UNSUB_DELETE]).any())
-            and not bool(pdf["right_is_delete"].any())
-        ):
-            yield from self._fast_path(pdf, snapshots)
+        if not bool(pdf["right_is_delete"].any()):
+            # vectorized kernel (r16): covers subs, unsub_move,
+            # unsub_delete and right upserts; only right tombstones
+            # fall back to the per-record transition
+            import os as _os
+            import sys as _sys
+            import time as _time
+            _dbg = _os.environ.get("SPARK_GRAFT_FK_DEBUG") == "1"
+            _t0 = _time.monotonic()
+            frame, subs_ops, right_writes = _fk_fast_batch(
+                pdf, snapshots,
+                r_state_of=lambda fk: self.right.getValue((fk,)),
+                pre_member=lambda fk, pk: self.subs.containsKey((fk, pk)),
+                left_cols=self.left_cols, right_cols=self.right_cols,
+                out_types=self._out_types, out_columns=self.out_columns,
+                left_join=self.how == "left",
+                compact_rights=self.compact_rights,
+            )
+            _t1 = _time.monotonic()
+            for ufk, pk, pay in subs_ops:
+                if pay is None:
+                    self.subs.removeKey((ufk, pk))
+                else:
+                    self.subs.updateValue((ufk, pk), pay)
+            for ufk, val in right_writes:
+                self.right.updateValue((ufk,), val)
+            _t2 = _time.monotonic()
+            if _dbg:
+                print(
+                    f"FKDBG kernel={_t1-_t0:.2f}s state_ops={len(subs_ops)}"
+                    f"/{_t2-_t1:.2f}s rows_in={len(pdf)} "
+                    f"rows_out={0 if frame is None else len(frame)}",
+                    file=_sys.stderr, flush=True,
+                )
+            if frame is not None:
+                yield frame
             return
         yield from self._slow_path(pdf, snapshots)
-
-    def _fast_path(
-        self, pdf: pd.DataFrame, snapshots: dict
-    ) -> Iterator[pd.DataFrame]:
-        """Vectorized sub/right-upsert path (the common batch shape: the
-        left table emits only subscribes while its FKs are stable, the
-        right side only upserts).
-
-        Two emission families, both built as NATIVE-dtype numpy /
-        pandas-extension columns (r7): the N:1 fan-out makes the OUTPUT
-        the dominant volume (17x the input on the 1M-event smoke), and
-        object-dtype output columns made the python->JVM Arrow crossing
-        pay per-cell conversion — 12.2 s per 17.3M decimal-shielded
-        long cells vs ~0 s native (measured; see _pdnorm.dense_input).
-        Input columns convert to (values, null-mask) pairs ONCE
-        (O(inputs)); every emission is then numpy takes over native
-        arrays, and each output column finalizes as float64 (NaN==null,
-        matching the object path) or an Integer/Boolean extension array.
-
-        - subscribe rows: the joining right value is the most recent
-          right row of the same fk (per-fk cummax over row pointers,
-          exactly the PK join's partner-resolution trick) or the fk's
-          right state.
-        - right rows: fan out to every pk subscribed AT THAT ROW. Per
-          fk, a (rows+1) x pks matrix of 'latest in-batch sub ordinal'
-          is forward-filled with np.maximum.accumulate; its right-row
-          slices give, per (right row, pk) pair, the sub whose payload
-          joins (or the pre-batch snapshot payload). Pairs materialize
-          by np.nonzero(present) fancy-indexing — transient memory is
-          O(live pairs), never the unmasked rows x pks cross product.
-        """
-        import numpy as np
-
-        from kafka_streams_app_spark.streaming._pdnorm import (
-            dcol_concat,
-            dcol_finalize,
-            dcol_from_list,
-            dcol_in,
-            dcol_nullify,
-            dcol_state,
-            dcol_take,
-            dcol_where,
-        )
-
-        left_join = self.how == "left"
-        n = len(pdf)
-        idx = np.arange(n)
-        kinds = pdf["kind"].to_numpy()
-        is_right = kinds == KIND_RIGHT
-        codes, uniques = pd.factorize(pdf["fk"], use_na_sentinel=False)
-        ufks = [pynative(k) for k in uniques]
-        r_states = [self.right.getValue((k,)) for k in ufks]
-        rptr = pd.Series(np.where(is_right, idx, -1)).groupby(codes).cummax().to_numpy()
-        r_state_present = np.array([s is not None for s in r_states])[codes]
-        r_present = (rptr >= 0) | r_state_present
-        # object copies for state writes / python dict keys (O(inputs))
-        pk_arr = pdf["pk"].to_numpy(dtype=object)
-        l_arrs = {c: pdf[c].to_numpy(dtype=object) for c in self.left_cols}
-        r_arrs = {c: pdf[c].to_numpy(dtype=object) for c in self.right_cols}
-
-        # dense/object dual representation of every output-bound column
-        # ((kind, values, mask) triples — see _pdnorm's dcol_* family);
-        # input conversions are O(inputs), emissions are numpy takes.
-        def in_col(src: str, out: str):
-            return dcol_in(pdf, src, self._out_types[out])
-
-        take, where, nullify = dcol_take, dcol_where, dcol_nullify
-        from_list, state_pairs, concat = dcol_from_list, dcol_state, dcol_concat
-
-        pk_col = in_col("pk", "pk")
-        seq_col = in_col("seq", "_seq")
-        minor_col = in_col("minor", "_minor")
-        l_cols = {c: in_col(c, c) for c in self.left_cols}
-        r_cols = {c: in_col(c, c) for c in self.right_cols}
-
-        # --- subscribe emissions (bucket-wide, vectorized) ---
-        emit_sub = ~is_right if left_join else (~is_right & r_present)
-        blocks: list[dict] = []
-        if emit_sub.any():
-            blk = {
-                "pk": take(pk_col, emit_sub),
-                **{c: take(l_cols[c], emit_sub) for c in self.left_cols},
-                "_seq": take(seq_col, emit_sub),
-                "_minor": take(minor_col, emit_sub),
-                "_pos": idx[emit_sub],
-                "_ord": np.zeros(int(emit_sub.sum()), dtype=np.int64),
-            }
-            rptr_pos = np.maximum(rptr, 0)
-            for j, c in enumerate(self.right_cols):
-                own = r_cols[c]
-                sv_k, sv_v, sv_m = state_pairs(r_states, j, own[0])
-                sv = (sv_k, sv_v[codes],
-                      sv_m[codes] if sv_m is not None else None)
-                vals = where(rptr >= 0, take(own, rptr_pos), sv)
-                blk[c] = take(nullify(vals, ~r_present), emit_sub)
-            blocks.append(blk)
-
-        # --- right-row fan-out (per fk with right rows; numpy inside) ---
-        ords = np.empty(n, dtype=np.int64)
-        for code in np.unique(codes[is_right]):
-            g = idx[codes == code]  # this fk's rows, ascending (sorted)
-            g_is_right = is_right[g]
-            sub_rows = g[~g_is_right]
-            right_rows = g[g_is_right]
-            snap = snapshots.get(ufks[code], {})
-            # pk universe: snapshot first (dict iteration order), then
-            # in-batch subs in first-seen order — the same order the
-            # per-record machine's subs dict would hold
-            pk_list = list(snap.keys())
-            pk_index = {pk: j for j, pk in enumerate(pk_list)}
-            sub_pkcodes = np.empty(len(sub_rows), dtype=np.int64)
-            for i, row in enumerate(sub_rows):
-                pk = pynative(pk_arr[row])
-                j = pk_index.get(pk)
-                if j is None:
-                    j = pk_index[pk] = len(pk_list)
-                    pk_list.append(pk)
-                sub_pkcodes[i] = j
-            P = len(pk_list)
-            if P == 0:
-                continue
-            n_g = len(g)
-            # ordinal of each group row within the group
-            ords[g] = np.arange(n_g)
-            # latest in-batch sub INDEX (into sub_rows) per (row, pk)
-            M = np.full((n_g + 1, P), -1, dtype=np.int64)
-            M[ords[sub_rows] + 1, sub_pkcodes] = np.arange(len(sub_rows))
-            np.maximum.accumulate(M, axis=0, out=M)
-            L = M[ords[right_rows] + 1]  # (r x P)
-            has_state = np.array([pk in snap for pk in pk_list], dtype=bool)
-            present = (L >= 0) | has_state[None, :]
-            ri, pi = np.nonzero(present)  # live (right row, pk) pairs only
-            if len(ri) == 0:
-                continue
-            sel = L[ri, pi]  # sub index per pair; -1 = snapshot payload
-            use_sub = sel >= 0
-            sel_pos = np.maximum(sel, 0)
-            blk = {
-                "pk": take(from_list(pk_list, pk_col[0]), pi),
-                "_seq": take(take(seq_col, right_rows), ri),
-                "_minor": take(take(minor_col, right_rows), ri),
-                "_pos": right_rows[ri],
-                "_ord": pi.astype(np.int64),
-            }
-            snap_tuples = [snap.get(pk) for pk in pk_list]
-            for j, c in enumerate(self.left_cols):
-                snap_col = take(
-                    state_pairs(snap_tuples, j, l_cols[c][0]), pi)
-                if len(sub_rows):
-                    own_pairs = take(take(l_cols[c], sub_rows), sel_pos)
-                    blk[c] = where(use_sub, own_pairs, snap_col)
-                else:
-                    blk[c] = snap_col
-            for c in self.right_cols:
-                blk[c] = take(take(r_cols[c], right_rows), ri)
-            blocks.append(blk)
-
-        if blocks:
-            # emission order of the per-record machine: triggering
-            # record order, then subs-dict order within a fan-out
-            pos = np.concatenate([b["_pos"] for b in blocks])
-            ordn = np.concatenate([b["_ord"] for b in blocks])
-            order = np.lexsort((ordn, pos))
-            data = {}
-            for nm in self.out_columns:
-                if nm == "action":
-                    data[nm] = "upsert"
-                    continue
-                data[nm] = dcol_finalize(
-                    take(concat([b[nm] for b in blocks]), order))
-            yield pd.DataFrame(data, columns=self.out_columns)
-
-        # --- state mirror (Python per distinct key only) ---
-        sub_mask = ~is_right
-        if sub_mask.any():
-            sub_view = pdf.loc[sub_mask, ["fk", "pk"]]
-            last = ~sub_view.duplicated(["fk", "pk"], keep="last")
-            for row in sub_view.index[last]:
-                self.subs.updateValue(
-                    (ufks[codes[row]], pynative(pk_arr[row])),
-                    pykey(l_arrs[c][row] for c in self.left_cols),
-                )
-        rmax = pd.Series(np.where(is_right, idx, -1)).groupby(codes).max()
-        for code, ufk in enumerate(ufks):
-            last_r = int(rmax[code])
-            if last_r >= 0:
-                self.right.updateValue(
-                    (ufk,), pykey(r_arrs[c][last_r] for c in self.right_cols)
-                )
 
     def _slow_path(
         self, pdf: pd.DataFrame, snapshots: dict
@@ -596,6 +900,7 @@ def _fk_join_plan(
     left_value_cols: list[str],
     how: str,
     n_buckets: int | None = None,
+    compact_rights: bool = False,
 ) -> tuple[DataFrame, StatefulProcessor, StructType, list[str]]:
     """Shared union-tag input + processor + output schema for the
     stream (TWS) and batch (grouped replay) paths. Returns the tagged
@@ -661,7 +966,8 @@ def _fk_join_plan(
     if n_buckets is None:
         proc: StatefulProcessor = _FKJoinProcessor(
             left_value_cols, r_cols, sub_schema, right_state_schema,
-            out_columns, how, StructType([StructField("pk", pk_type)]),
+            out_schema, how, StructType([StructField("pk", pk_type)]),
+            compact_rights=compact_rights,
         )
         return unioned, proc, out_schema, ["fk"]
     proc = _FKJoinProcessorBucketed(
@@ -669,6 +975,7 @@ def _fk_join_plan(
         out_schema, how,
         StructType([StructField("fk", fk_type)]),
         StructType([StructField("fk", fk_type), StructField("pk", pk_type)]),
+        compact_rights=compact_rights,
     )
     unioned = unioned.withColumn(
         "_fkj_bucket", F.pmod(F.xxhash64("fk"), F.lit(n_buckets)).cast("int")
@@ -687,6 +994,7 @@ def fk_join_changelog_stream(
     left_value_cols: list[str],
     how: str = "inner",
     n_buckets: int | None = None,
+    compact_rights: bool = False,
 ) -> DataFrame:
     """Query-2 builder: union(instructions, tagged right changelog)
     -> groupBy(fk) -> stateful join processor -> join changelog
@@ -702,7 +1010,7 @@ def fk_join_changelog_stream(
         instructions, right_raw, right_key=right_key,
         right_payload=right_payload, right_seq=right_seq,
         right_tombstone=right_tombstone, left_value_cols=left_value_cols,
-        how=how, n_buckets=n_buckets,
+        how=how, n_buckets=n_buckets, compact_rights=compact_rights,
     )
     return unioned.groupBy(*group_cols).transformWithStateInPandas(
         statefulProcessor=proc,
@@ -723,6 +1031,7 @@ def fk_join_changelog_batch(
     left_value_cols: list[str],
     how: str = "inner",
     n_buckets: int | None = None,
+    compact_rights: bool = False,
 ) -> DataFrame:
     """Same FK-join state machine over BATCH changelog frames via
     grouped replay (applyInPandas; no TWS/protobuf dependency). The
@@ -734,7 +1043,7 @@ def fk_join_changelog_batch(
         instructions, right_raw, right_key=right_key,
         right_payload=right_payload, right_seq=right_seq,
         right_tombstone=right_tombstone, left_value_cols=left_value_cols,
-        how=how, n_buckets=n_buckets,
+        how=how, n_buckets=n_buckets, compact_rights=compact_rights,
     )
     return grouped_replay(unioned, group_cols, proc, out_schema)
 
