@@ -20,6 +20,19 @@ Two groups:
 
 `python bench.py --group headline|curation|sketches` runs one group
 only (the single-group run reports that group's total as `value`).
+
+`python bench.py --x10` (r16 verdict ask #6) ADDITIONALLY times the
+HEADLINE set against the x10 disjoint-replica corpus
+(.scratch/scale_smoke/x10, built by `tools/scale_smoke.py headline10`)
+and emits `scale10_queries` (seconds at x10) and `scale10_ratios`
+(x10 / sf0.1 wall per query) keys. Core-count ratios at sf0.1 cannot
+show compute scaling — every query there is fixed-overhead-bound — so
+this is the data-scaling signal; the two ANN entries are EXCLUDED
+(their contract query sets grow with the corpus, so an x10 run would
+measure the quadratic query-set construction, not the engine — see
+tools/scale_smoke.py headline10's fixed-query swap for their ratios).
+Off by default: the replica build is a ~1 GB scratch artifact the
+driver environment may not carry.
 """
 
 from __future__ import annotations
@@ -217,6 +230,7 @@ def _bench_group(spark, queries, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
+    global SF_DIR
     group = "all"
     if "--group" in sys.argv:
         group = sys.argv[sys.argv.index("--group") + 1]
@@ -258,6 +272,25 @@ def main() -> None:
         out["heavyscan_queries"] = xq
         if group == "heavyscan":
             out.update(metric="heavyscan_total", value=out["heavyscan_total"])
+    x10_dir = "/root/repo/.scratch/scale_smoke/x10"
+    if "--x10" in sys.argv and os.path.isdir(x10_dir):
+        base_q = out.get("queries", {})
+        # the ANN entries' query sets grow with the corpus — excluded
+        # (see module docstring); everything else times the identical
+        # plan at 10x the fact data.
+        names = [n for n in HEADLINE
+                 if n not in ("sim_cosine_topk", "sim_lsh_ann_topk")]
+        saved = SF_DIR
+        SF_DIR = x10_dir
+        try:
+            xq10 = _bench_group(spark, queries, names)
+        finally:
+            SF_DIR = saved
+        out["scale10_queries"] = xq10
+        out["scale10_ratios"] = {
+            n: round(xq10[n] / base_q[n], 2)
+            for n in names if base_q.get(n)
+        }
     regressions = check_regressions(
         {**out.get("queries", {}), **out.get("curation_queries", {}),
          **out.get("sketch_queries", {}), **out.get("heavyscan_queries", {})}
