@@ -14,6 +14,8 @@ Four tiers, each a distributed plan with no driver-side loops:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -61,7 +63,19 @@ def _doc_shingles(df: DataFrame, text: str, id_col: str, k: int) -> DataFrame:
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard on candidate (doc_a, doc_b) pairs via shingle sets."""
+    """Exact Jaccard on candidate (doc_a, doc_b) pairs via shingle sets.
+
+    Join strategy (r16, measured DECISION): the planner picks
+    SortMergeJoin here (no stats on the cached/checkpointed inputs),
+    which sorts the wide shingle-array rows — the §8 smell. A
+    SHUFFLE_HASH-hinted rewrite was implemented and A/B'd at sf0.1 and
+    the x10 corpus: it REGRESSED the base (verify stage 0.35 -> 0.72 s
+    best-of-2; whole entry 1.94 -> 2.53 s best-of-5) for a marginal x10
+    gain (1.23 -> 1.04 s), because the hint nodes break the
+    otherwise-identical cached subtrees that AQE dedups via exchange
+    reuse, and the per-partition hash build costs more than sorting
+    these (still small) partitions. Kept as SMJ; revisit only with
+    cluster-scale partition sizes in hand (OPTIMIZATION_r16.md)."""
     a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sb"))
     joined = cand.join(a, "doc_a").join(b, "doc_b")
@@ -315,9 +329,38 @@ def minhash_signature(
     )
 
 
+MINHASH_BAND_CAP_AUTO = int(
+    os.environ.get("SPARK_GRAFT_MINHASH_BAND_CAP", "512"))
+MINHASH_BAND_CAP_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_MINHASH_CAP_MIN_BYTES", str(8 * 1024**3)))
+
+
+def _auto_band_cap(df: DataFrame) -> int | None:
+    """Production default for the hot-band cap (r15 verdict ask #3):
+    cap = MINHASH_BAND_CAP_AUTO (512) for corpus-sized inputs, off
+    below MINHASH_CAP_MIN_BYTES (8 GiB). Sizing uses the optimizer's
+    COST ESTIMATE (file-size-derived for lake scans) — no counting job
+    at any scale. Unknown-stat inputs (opaque UDF parents, RDD scans)
+    estimate at Long.MaxValue and get the cap, the safe direction: at
+    unknown scale an undialed df-10k boilerplate band alone emits ~50M
+    candidate pairs on one shuffle key (§2.5 skew; SCALE.md "MinHash
+    band fan-out": 10% verbatim boilerplate at x10 lifted pairs 74x —
+    quadratic in the duplication factor — while cap 8 restored
+    linearity). 512 sits far above every measured ORGANIC band df
+    (max 14 at sf0.1, 30 at the x10 dup-heavy build), so the cap only
+    prunes pathological boilerplate buckets; a pair is lost only if
+    EVERY band it shares is hot (near-dups above threshold share ~all
+    64 bands). Callers pass an int to dial it or None to force the
+    exact/oracle path."""
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est >= MINHASH_BAND_CAP_MIN_BYTES:
+        return MINHASH_BAND_CAP_AUTO
+    return None
+
+
 def dedup_minhash_lsh(
     df: DataFrame, text: str, id_col: str, k: int = 3, threshold: float = 0.8,
-    max_band_df: int | None = None,
+    max_band_df: int | None | str = "auto",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -347,9 +390,14 @@ def dedup_minhash_lsh(
     repeated calls in a long-lived session must not accumulate cached
     blocks for the application lifetime.
 
-    max_band_df (default None = off — the oracle path) is the hot-band
-    cap, the band-bucket analogue of the posting-list max_df dial (r14
-    verdict ask #5): band buckets with more than max_band_df members
+    max_band_df (default "auto" — r16: the production skew default;
+    resolves via _auto_band_cap to 512 for inputs the optimizer
+    estimates at >= 8 GiB and to None — the exact/oracle path — below,
+    so test-scale results are byte-identical while corpus-scale runs
+    are skew-protected by default; both knobs are env-overridable) is
+    the hot-band cap, the band-bucket analogue of the posting-list
+    max_df dial (r14 verdict ask #5): band buckets with more than
+    max_band_df members
     are DROPPED before the self-join, bounding per-bucket candidate
     emission at C(max_band_df, 2). Band-join output is
     sum_buckets C(df, 2) — linear in corpus growth while per-bucket df
@@ -364,6 +412,8 @@ def dedup_minhash_lsh(
     construction (it's the tail of the df histogram), so the prune is
     a broadcast anti-join on the band key, no extra shuffle shape.
     """
+    if max_band_df == "auto":
+        max_band_df = _auto_band_cap(df)
     sh_sig = _sig_table(df, text, id_col, k).persist()
     sh = sh_sig.select("_id", "_sh")
     bands = sh_sig.select("_id", F.explode("_bh").alias("bh"))
@@ -375,6 +425,13 @@ def dedup_minhash_lsh(
             .select("bh")
         )
         bands = bands.join(F.broadcast(hot), "bh", "left_anti")
+    # join strategy: SMJ, deliberately — SHUFFLE_HASH hints were A/B'd
+    # here and on the verify joins (one-sided AND both-sided variants)
+    # and lost at sf0.1 (entry best-of-5 1.94 -> 2.53 s / 2.17 s): the
+    # hint node breaks the identical-subtree exchange reuse AQE applies
+    # to this self-join, and hash-building beats sorting only at
+    # partition sizes these inputs don't reach. See _verify_jaccard's
+    # docstring + OPTIMIZATION_r16.md.
     cand = (
         bands.alias("x")
         .join(

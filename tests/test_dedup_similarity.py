@@ -305,6 +305,36 @@ def test_minhash_hot_band_cap(spark):
     assert loose == uncapped
 
 
+def test_minhash_band_cap_auto_default(spark, monkeypatch):
+    """r16 verdict ask #3: max_band_df defaults to "auto" — OFF (the
+    exact/oracle path) below the size threshold, the production cap
+    (512, above every measured organic band df) for corpus-sized
+    inputs. The gate reads the optimizer's size ESTIMATE, so it costs
+    no job; this pins both directions plus result equality when the
+    auto cap engages but no bucket exceeds it."""
+    from kafka_streams_app_spark.sources.catalog import load_table
+
+    # small PARQUET input (file-size-derived stats): auto resolves to
+    # None — the exact/oracle path the declared entry takes at test SFs
+    lake = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert dedup._auto_band_cap(lake) is None
+    # unknown-stat input (RDD-backed frame => Long.MaxValue estimate):
+    # the cap engages — the safe direction for unbounded inputs
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" tail{i}") for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    assert dedup._auto_band_cap(docs) == dedup.MINHASH_BAND_CAP_AUTO
+    # with every bucket df far below 512, an engaged cap changes nothing
+    baseline = pairs(
+        dedup.dedup_minhash_lsh(docs, "text", "doc_id", max_band_df=None))
+    assert pairs(dedup.dedup_minhash_lsh(docs, "text", "doc_id")) == baseline
+    # threshold knob: a forced-low threshold engages the cap on any input
+    monkeypatch.setattr(dedup, "MINHASH_BAND_CAP_MIN_BYTES", 0)
+    assert dedup._auto_band_cap(lake) == dedup.MINHASH_BAND_CAP_AUTO
+
+
 def test_embedding_dedup_stream_equals_batch_lsh(spark):
     """embedding_dedup_candidates_stream (r15): the at-ingest
     embedding near-dup searcher emits EXACTLY the batch
