@@ -371,6 +371,10 @@ def winnowing_fps_udf(k: int = 5, window: int = 4, p: int = (1 << 31) - 1):
 
 
 _winnowing_count_udf_cache: dict[tuple, object] = {}
+# unresolved winnowing fingerprint Columns keyed on (input expr string,
+# k, window, p, hash_fn) — expression-tree reuse, never data (see
+# winnowing_fingerprints)
+_winnowing_col_cache: dict[tuple, object] = {}
 
 
 def winnowing_count_udf(k: int = 5, window: int = 4, p: int = (1 << 31) - 1):
@@ -460,10 +464,24 @@ def winnowing_fingerprints(
     proportionally. Expression-for-expression the same arithmetic —
     values are identical, only the evaluation count changes.
     """
-    return F.element_at(
-        F.transform(
-            F.array(token_hashes(tokens(text_col), p=p, hash_fn=hash_fn)),
-            lambda th: winnowing_of_hashes(th, k=k, window=window, p=p),
-        ),
-        1,
-    )
+    # Memoized on the (rendered input expression, params) key: building
+    # this Column costs ~0.35 s of py4j round-trips (the k+window-1
+    # zip_with chain constructs hundreds of JVM expression objects),
+    # which was the single largest FIXED term of the winnowing entries'
+    # wall (dedup_winnowing sf0.001 floor: 1.5 s of a 2.3 s sf0.1
+    # bench read). The cache holds unresolved EXPRESSION TREES — code,
+    # not data (the _band_hashes_udf_cache precedent): a Column is a
+    # description, resolved per plan, so reuse across queries and
+    # data directories is semantics-free.
+    key = (str(text_col), k, window, p, hash_fn)
+    col = _winnowing_col_cache.get(key)
+    if col is None:
+        col = F.element_at(
+            F.transform(
+                F.array(token_hashes(tokens(text_col), p=p, hash_fn=hash_fn)),
+                lambda th: winnowing_of_hashes(th, k=k, window=window, p=p),
+            ),
+            1,
+        )
+        _winnowing_col_cache[key] = col
+    return col

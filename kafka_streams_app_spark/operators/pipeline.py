@@ -1249,10 +1249,17 @@ def dsir_score(
     # combined before its one shuffle) is strictly smaller than the
     # token stream it replaces, and both consumers read it instead of
     # re-scanning text. Recomputed fresh per invocation.
+    # LAZY checkpoint (r16): the model collect below is the first
+    # action and materializes the blocks as part of its own job, so an
+    # eager=True here only added a separate scan+shuffle job plus a
+    # block read-back before the collect could start (measured: the
+    # sf0.001 fixed floor is ~87% of the sf0.1 wall — job count IS the
+    # cost at bench scale). Both consumers (the collect and the
+    # returned scoring plan) still read the one materialization.
     pairs = (
         raw_occ.groupBy(id_col, "_b")
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rc = pairs.groupBy("_b").agg(F.sum("_cnt").alias("_rc"))
     if target_within_corpus:

@@ -447,7 +447,12 @@ def semdedup(
     # (id, vec, cl, norm) rows, strictly smaller than three re-reads +
     # re-assignments of the corpus. Recomputed fresh per invocation (no
     # cross-run reuse — CacheManager plan matching is not involved).
-    base = base.localCheckpoint(eager=True)
+    # LAZY (r16): localCheckpoint implies a MEMORY_AND_DISK persist, so
+    # the first consumer STAGE of the caller's action computes+caches
+    # the blocks and the other subtrees read them — materializing
+    # eagerly only added a separate job before any result was needed
+    # (the sf0.001 fixed floor was ~68% of the sf0.1 wall).
+    base = base.localCheckpoint(eager=False)
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_cl").alias("_cla"),
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
