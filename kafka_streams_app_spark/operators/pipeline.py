@@ -1074,6 +1074,10 @@ def scrub_duplicated_spans(
     occ_sh = (
         base.withColumn("_sh", sh)
         .select(id_col, "_sh")
+        # EAGER, deliberately — the lazy variant was A/B'd and lost
+        # (1.29 -> 1.38 s at sf0.1): the df counter and the hits join
+        # are concurrent stages whose lazy cache races, recomputing the
+        # md5 shingle chain twice in parallel (softdedup_weights' note)
         .localCheckpoint(eager=True)
     )
     # per-doc DISTINCT hashes feed the df counter: the exchange carries
@@ -1426,6 +1430,13 @@ def softdedup_weights(
     # index payload the shuffle already carries — and the id-only left
     # branch below reads ids from the checkpoint instead of a third
     # scan. Recomputed fresh per invocation (no cross-run reuse).
+    # EAGER, deliberately (r16 A/B): lazy materialization was tried
+    # (merge the checkpoint into the caller's job) and measured WORSE
+    # (1.06 -> 1.22 s at sf0.1) — this operator's two consumers are
+    # roots of INDEPENDENT stages that run concurrently, so the lazy
+    # cache races and the Arrow shingle UDF computes twice in parallel.
+    # dsir/semdedup (where an in-call action or dependent stages
+    # serialize the first materialization) keep the lazy form.
     sh_tbl = src.select(
         F.col(id_col).alias("_id"),
         shingles_udf(k)(F.col(text)).alias("_sha"),

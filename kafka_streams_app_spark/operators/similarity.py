@@ -447,12 +447,16 @@ def semdedup(
     # (id, vec, cl, norm) rows, strictly smaller than three re-reads +
     # re-assignments of the corpus. Recomputed fresh per invocation (no
     # cross-run reuse — CacheManager plan matching is not involved).
-    # LAZY (r16): localCheckpoint implies a MEMORY_AND_DISK persist, so
-    # the first consumer STAGE of the caller's action computes+caches
-    # the blocks and the other subtrees read them — materializing
-    # eagerly only added a separate job before any result was needed
-    # (the sf0.001 fixed floor was ~68% of the sf0.1 wall).
-    base = base.localCheckpoint(eager=False)
+    # EAGER, deliberately (r16 A/B): a lazy checkpoint was tried — the
+    # caller's job would materialize the blocks — but this operator's
+    # three consumers are roots of CONCURRENT stages, so the lazy cache
+    # races and the corpus-wide Arrow assignment pass can run 2-3x in
+    # parallel; at 100 TB that duplicated pass is a real cost even
+    # though sf0.1 walls sat inside host noise (1.31-1.63 s across
+    # interleaved readings either way). dsir_score keeps the lazy form
+    # because its first consumer is an in-call driver collect that
+    # strictly precedes the returned plan (no concurrency window).
+    base = base.localCheckpoint(eager=True)
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_cl").alias("_cla"),
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
