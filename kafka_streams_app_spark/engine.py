@@ -67,6 +67,17 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+def estimated_plan_bytes(df) -> int:
+    """The optimizer's size estimate for a DataFrame — file-size-derived
+    for lake scans, Long.MaxValue for unknown-stat inputs (opaque UDF
+    parents, RDD scans). Costs NO job; used by scale-gated dials
+    (minhash hot-band cap, cms_topk single-scan materialization) that
+    must stay plan-identical at bench/test scale while protecting
+    cluster-scale runs. Unknown stats read as huge — the safe direction
+    for unbounded inputs."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def _ensure_allocator_env() -> None:
     """Pin glibc malloc tunables for this process tree (JVM + forked
     Python workers) BEFORE the JVM launches.

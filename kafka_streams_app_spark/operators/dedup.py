@@ -352,8 +352,9 @@ def _auto_band_cap(df: DataFrame) -> int | None:
     EVERY band it shares is hot (near-dups above threshold share ~all
     64 bands). Callers pass an int to dial it or None to force the
     exact/oracle path."""
-    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if est >= MINHASH_BAND_CAP_MIN_BYTES:
+    from kafka_streams_app_spark.engine import estimated_plan_bytes
+
+    if estimated_plan_bytes(df) >= MINHASH_BAND_CAP_MIN_BYTES:
         return MINHASH_BAND_CAP_AUTO
     return None
 
