@@ -107,8 +107,9 @@ SKETCHES = [
 # boundary operators the r15 round rewrote — winnowing (the CSE-guard
 # fix), the JPEG codecs (the synth-parallelism fix), and the RK
 # decontam scan. ADDED as a new group per the driver contract (existing
-# groups and keys unchanged); no BASELINE_SEC rows yet, so the 2x rule
-# starts pinning them from the next frozen baseline.
+# groups and keys unchanged). r16: BASELINE_SEC rows frozen from the
+# first settled official reading (BENCH_r15.json, settled: true), so
+# the 2x rule now pins the r15 rewrites' 10-25x wins.
 HEAVYSCAN = [
     "dedup_winnowing",
     "text_winnowing",
@@ -147,6 +148,11 @@ BASELINE_SEC = {
     "events_cms_topk": 0.767, "events_hist_quantiles": 0.35,
     "events_hll_setops": 0.558, "corpus_softdedup_sample": 1.251,
     "ktable_history_asof": 0.383,
+    # heavyscan (r16 freeze — first settled official reading,
+    # BENCH_r15.json, r15 verdict ask #4)
+    "dedup_winnowing": 1.763, "text_winnowing": 0.894,
+    "multimodal_jpeg_decode": 0.682, "multimodal_jpeg_color_decode": 1.086,
+    "decontam_exact_ac": 0.479,
 }
 
 

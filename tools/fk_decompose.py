@@ -6,7 +6,10 @@ Splits the entry into its sequential parts, timing each:
      (variants: real processor | noop processor)
   3. latest_per_key reduction over the materialized changelog
 
-Usage: python tools/fk_decompose.py [inner|left] [n_buckets|none]
+Usage: python tools/fk_decompose.py [inner|left] [n_buckets|none] [compact]
+  `compact` runs stage 2 with compact_rights=True — the declared
+  s_fk_* entries' mode (only the final right row per fk per
+  micro-batch fans out).
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ def main() -> None:
     how = sys.argv[1] if len(sys.argv) > 1 else "inner"
     nb = sys.argv[2] if len(sys.argv) > 2 else "16"
     n_buckets = None if nb == "none" else int(nb)
+    compact = len(sys.argv) > 3 and sys.argv[3] == "compact"
     spark = get_spark(app_name="fk-decompose")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -73,6 +77,7 @@ def main() -> None:
             instr, right, right_key="rk", right_payload=["rvalue"],
             right_seq="seq", right_tombstone=None,
             left_value_cols=["value"], how=how, n_buckets=n_buckets,
+            compact_rights=compact,
         )
         ck2 = tempfile.mkdtemp(prefix="fkdec_ck2_")
         counts = {"rows": 0}
