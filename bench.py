@@ -125,34 +125,39 @@ HEAVYSCAN = [
 # host-contention noise on sub-second queries can't flap the gate — is
 # reported loudly on stderr and in the JSON's `regressions` key.
 # SPARK_GRAFT_BENCH_STRICT=1 additionally makes the process exit 2.
+# r16 RE-ANCHOR (r15 verdict ask #5): one idle-host settled reading at
+# the r16-optimized shapes (loadavg_start 0.18, settled, settle
+# attempts 0 — artifacts/opt_r16/bench_r16_final.json.raw) replaces
+# the r12 rows, which had drifted 10-31% from reality on 13 queries.
+# The r12 values remain in BASELINE.md's history tables.
 BASELINE_SEC = {
-    # headline (r12)
-    "t1_wordcount": 0.256, "a2_windowed_count": 0.386,
-    "a3_windowed_sum": 0.501, "a4_session_count": 0.498,
-    "w3_hopping_count": 0.485, "j1_interval_join_inner": 0.434,
-    "j4_asof_enrich": 0.508, "j5_table_join_inner": 0.624,
-    "j8_fk_join_inner_agg": 0.431, "q5_window_fetch_all": 0.304,
-    "dedup_exact": 0.182, "dedup_minhash_lsh": 2.297,
-    "sim_cosine_topk": 0.774, "sim_lsh_ann_topk": 0.941,
-    "text_quality": 0.38, "text_pii_scrub": 1.095,
-    "pack_sequences": 0.281, "tpch_q1_pricing": 1.213,
-    "tpch_q3_top_revenue": 0.723, "tpch_q5_local_revenue": 0.78,
-    "tpch_q6_forecast_revenue": 0.264, "tpch_q13_custdist": 0.43,
-    "tpch_q18_large_orders": 1.17,
-    # curation (r12 first stable series)
-    "sim_semdedup": 1.467, "cluster_kmeans": 1.022, "dsir_select": 1.305,
-    "corpus_scrub_dup_spans": 2.278, "dedup_minhash_lsh_cross": 2.506,
-    "sim_hard_negatives_ann": 1.044,
-    # sketches (r12 first stable series)
-    "events_hll_distinct": 0.396, "events_hll_windowed": 0.62,
-    "events_cms_topk": 0.767, "events_hist_quantiles": 0.35,
-    "events_hll_setops": 0.558, "corpus_softdedup_sample": 1.251,
-    "ktable_history_asof": 0.383,
-    # heavyscan (r16 freeze — first settled official reading,
-    # BENCH_r15.json, r15 verdict ask #4)
-    "dedup_winnowing": 1.763, "text_winnowing": 0.894,
-    "multimodal_jpeg_decode": 0.682, "multimodal_jpeg_color_decode": 1.086,
-    "decontam_exact_ac": 0.479,
+    # headline (r16 re-anchor, was r12)
+    "t1_wordcount": 0.304, "a2_windowed_count": 0.419,
+    "a3_windowed_sum": 0.524, "a4_session_count": 0.535,
+    "w3_hopping_count": 0.497, "j1_interval_join_inner": 0.391,
+    "j4_asof_enrich": 0.52, "j5_table_join_inner": 0.539,
+    "j8_fk_join_inner_agg": 0.422, "q5_window_fetch_all": 0.301,
+    "dedup_exact": 0.205, "dedup_minhash_lsh": 1.917,
+    "sim_cosine_topk": 0.658, "sim_lsh_ann_topk": 0.908,
+    "text_quality": 0.384, "text_pii_scrub": 1.001,
+    "pack_sequences": 0.306, "tpch_q1_pricing": 0.512,
+    "tpch_q3_top_revenue": 0.8, "tpch_q5_local_revenue": 0.893,
+    "tpch_q6_forecast_revenue": 0.303, "tpch_q13_custdist": 0.488,
+    "tpch_q18_large_orders": 0.903,
+    # curation (r16 re-anchor, was r12)
+    "sim_semdedup": 1.665, "cluster_kmeans": 1.136, "dsir_select": 1.534,
+    "corpus_scrub_dup_spans": 1.682, "dedup_minhash_lsh_cross": 1.76,
+    "sim_hard_negatives_ann": 1.055,
+    # sketches (r16 re-anchor, was r12)
+    "events_hll_distinct": 0.406, "events_hll_windowed": 0.462,
+    "events_cms_topk": 0.467, "events_hist_quantiles": 0.311,
+    "events_hll_setops": 0.415, "corpus_softdedup_sample": 1.096,
+    "ktable_history_asof": 0.387,
+    # heavyscan (r16 re-anchor; first frozen at the BENCH_r15 settled
+    # reading per r15 verdict ask #4, refreshed by the same idle run)
+    "dedup_winnowing": 2.074, "text_winnowing": 0.76,
+    "multimodal_jpeg_decode": 0.694, "multimodal_jpeg_color_decode": 1.021,
+    "decontam_exact_ac": 0.5,
 }
 
 
